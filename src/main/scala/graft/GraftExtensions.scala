@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Session extension surface — the Spark analogue of the reference's
+  * `BallistaFunctionRegistry` (`core/src/registry.rs:38-48`): user functions
+  * join the session at build time via `SparkSession.builder.withExtensions`.
+  */
+object GraftExtensions {
+  val install: SparkSessionExtensions => Unit = { e =>
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}

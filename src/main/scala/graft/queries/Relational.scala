@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Dx._
+
+/** Relational core — TPC-H-shaped queries adapted to the driver's synthetic
+  * star schema (TESTDATA.md; fewer columns than spec TPC-H, no partsupp).
+  *
+  * Parity target: the reference runs TPC-H 22/22 with a differential oracle
+  * (`benchmarks/src/bin/tpch.rs:552-692`); we mirror the same spine with
+  * DuckDB as the oracle. Each query exercises a row of SURVEY.md §2B:
+  * scan+filter+two-phase agg (q1), SMJ join + TopK (q3), 6-way join (q5),
+  * selective filter agg (q6), join with derived grouping (q7), multi-join
+  * agg (q9), outer join + distribution (q13), conditional agg (q14),
+  * correlated-subquery-as-join (q17), HAVING semi-join (q18), disjunctive
+  * predicates (q19), anti join + scalar subquery (q22).
+  *
+  * Every double aggregate routes through [[Dx]] decimal math so results are
+  * order-independent and hash-match the oracle bit-for-bit; every query ends
+  * in a deterministic ORDER BY with a unique tiebreaker.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2000-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(charged(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+            .cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q3_topk" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < ts("1998-07-01"))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > ts("1998-07-01"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "q5_join6" -> { (s, dir) =>
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.load(s, dir, "nation")
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      r.join(n, col("r_regionkey") === col("n_regionkey"))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+                   col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "q6_filter_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") < ts("1997-01-01") &&
+                col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+                col("l_quantity") < 25)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 8))
+          .cast("double").as("revenue"))
+    },
+
+    "q7_volume" -> { (s, dir) =>
+      val sup = Tables.load(s, dir, "supplier")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") < ts("1998-01-01"))
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      sup.join(l, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    "q9_profit" -> { (s, dir) =>
+      val p = Tables.load(s, dir, "part").filter(col("p_name").contains("gear"))
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val o = Tables.load(s, dir, "orders")
+      val n = Tables.load(s, dir, "nation")
+      p.join(l, col("p_partkey") === col("l_partkey"))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    "q10_returns" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-10-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = Tables.load(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    "q12_late_ship" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("late_count"),
+          sum(when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("ontime_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q13_custdist" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") =!= "P")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    "q14_promo" -> { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-03-01") &&
+                col("l_shipdate") < ts("1996-04-01"))
+      val p = Tables.load(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO",
+              discounted(col("l_extendedprice"), col("l_discount")))
+              .otherwise(dec(lit(0)))).cast("double")
+            / sum(discounted(col("l_extendedprice"), col("l_discount")))
+              .cast("double")).as("promo_revenue"))
+    },
+
+    "q17_small_qty" -> { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part").filter(col("p_brand") === "Brand#3")
+      val avgQty = l.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+
+    "q18_large_orders" -> { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("b_qty"))
+        .filter(col("b_qty") > 150)
+        .select(col("b_orderkey"))
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    "q19_disjunctive" -> { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("l_quantity") >= 1 &&
+          col("l_quantity") <= 11 && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity") >= 10 &&
+          col("l_quantity") <= 20 && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity") >= 20 &&
+          col("l_quantity") <= 30 && col("p_size").between(1, 15))))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+
+    "q22_anti" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("2000-01-01"))
+      val posAvg = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("pos_avg"))
+      c.crossJoin(posAvg)
+        .filter(col("c_acctbal") > col("pos_avg"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("cntry"))
+    }
+  )
+
+  /** DuckDB equivalents — identical decimal routing and aliases. */
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_join6" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM region, nation, customer, orders, lineitem, supplier
+        |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
+        |  AND n_nationkey = c_nationkey AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 25""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(SUM(volume) AS DOUBLE) AS volume
+        |FROM (
+        | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |   year(l_shipdate) AS l_year,
+        |   CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS volume
+        | FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        | WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |   AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |   AND c_nationkey = n2.n_nationkey
+        |   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_profit
+        |FROM part, lineitem, supplier, orders, nation
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_late_ship" ->
+      """SELECT o_orderpriority,
+        | SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late_count,
+        | SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS ontime_count
+        |FROM orders, lineitem WHERE o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        | GROUP BY c_custkey) a
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+        |   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        | / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#3'
+        |JOIN (SELECT l_partkey AS a_partkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = a_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |   HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#1' AND l_quantity >= 1 AND l_quantity <= 11 AND p_size BETWEEN 1 AND 5)
+        |  OR (p_brand = 'Brand#2' AND l_quantity >= 10 AND l_quantity <= 20 AND p_size BETWEEN 1 AND 10)
+        |  OR (p_brand = 'Brand#3' AND l_quantity >= 20 AND l_quantity <= 30 AND p_size BETWEEN 1 AND 15))""".stripMargin,
+
+    "q22_anti" ->
+      """SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY cntry""".stripMargin
+  )
+}
