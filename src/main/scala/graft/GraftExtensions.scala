@@ -15,6 +15,14 @@ object GraftExtensions {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "cosine_sim", "expectedNum" -> "2",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        CosineSimilarity(children(0), children(1))
+      }))
   }
 }

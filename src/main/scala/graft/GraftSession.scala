@@ -31,6 +31,9 @@ object GraftSession {
     c.set("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
     c.set("spark.sql.join.preferSortMergeJoin", "true")
     c.set("spark.sql.session.timeZone", "UTC")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    // default; read as long nanos (same total order as DuckDB's ns ts).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Bounded-batch engine parity: no streaming configs needed (SURVEY §1).
     spark
   }
@@ -45,6 +48,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .withExtensions(GraftExtensions.install)

@@ -13,11 +13,9 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
-    (queries1, oracle1)
+    (graft.queries.Relational.queries, graft.queries.Relational.oracle),
+    (graft.queries.Windows.queries, graft.queries.Windows.oracle)
   )
-
-  private def queries1 = graft.queries.Relational.queries
-  private def oracle1 = graft.queries.Relational.oracle
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -48,16 +48,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      double dot = 0.0, nx = 0.0, ny = 0.0;
-      for (int i = 0; i < n; i++) {
-        double xi = (double) $a.getFloat(i);
-        double yi = (double) $b.getFloat(i);
-        dot += xi * yi; nx += xi * xi; ny += yi * yi;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two cosine_sim calls in one projection must not collide
+      // when nullSafeCodeGen inlines the block unbraced.
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $xi = (double) $a.getFloat($i);
+        double $yi = (double) $b.getFloat($i);
+        $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
       }
-      ${ev.value} = (nx == 0.0 || ny == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(nx * ny);
-    """)
+      ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+    """})
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
