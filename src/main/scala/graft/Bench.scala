@@ -37,8 +37,11 @@ object Bench {
     val out =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(out)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
-      Files.writeString(Paths.get(p), out + "\n"))
+    // sbt wraps stdout in "[info] " prefixes (r1 driver got parsed:null),
+    // so always leave a machine-readable copy on disk too.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    Files.writeString(Paths.get(outPath), out + "\n")
     spark.stop()
   }
 }

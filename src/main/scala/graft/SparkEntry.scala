@@ -14,7 +14,14 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (graft.queries.Relational.queries, graft.queries.Relational.oracle),
-    (graft.queries.Windows.queries, graft.queries.Windows.oracle)
+    (graft.queries.Windows.queries, graft.queries.Windows.oracle),
+    (graft.queries.Aggregates.queries, graft.queries.Aggregates.oracle),
+    (graft.queries.SetOps.queries, graft.queries.SetOps.oracle),
+    (graft.queries.Subqueries.queries, graft.queries.Subqueries.oracle),
+    (graft.llm.Dedup.queries, graft.llm.Dedup.oracle),
+    (graft.llm.TextAnalysis.queries, graft.llm.TextAnalysis.oracle),
+    (graft.llm.Similarity.queries, graft.llm.Similarity.oracle),
+    (graft.llm.Multimodal.queries, graft.llm.Multimodal.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,214 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH banding,
+  * SimHash, and n-gram Jaccard. Extension surface beyond the reference
+  * (which is bounded-relational only, SURVEY.md §1) for training-data
+  * pipelines.
+  *
+  * 100 TB design notes:
+  *  - NO all-pairs joins anywhere: candidate pairs come from bucket joins
+  *    (shared shingle / shared MinHash band / same LSH bucket), which
+  *    shuffle-partition by bucket key and scale linearly with collision
+  *    count, not quadratically with corpus size;
+  *  - signatures are computed per-row with higher-order functions (stay in
+  *    codegen, no UDFs);
+  *  - the cross-engine token hash is md5-prefix → int64 (both engines
+  *    produce identical bits for identical strings), reduced mod a prime;
+  *    seeded affine permutations give k independent MinHash draws.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private val A = Seq(1299721L, 1299827L, 1299709L, 1299833L)
+  private val B = Seq(15485863L, 15485867L, 15485917L, 15485959L)
+
+  /** md5-prefix token hash, identical in Spark and DuckDB. */
+  private def tokHash(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long") % P
+
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+
+  /** MinHash signature columns mh0..mh3 via affine permutations of the
+    * token hash — array_min(transform(...)) keeps it whole-stage codegen. */
+  private def withMinhash(df: DataFrame): DataFrame =
+    A.indices.foldLeft(df) { (d, j) =>
+      d.withColumn(s"mh$j",
+        array_min(transform(col("toks"),
+          t => (lit(A(j)) * tokHash(t) + lit(B(j))) % P)))
+    }
+
+  private val tokHashSqlDuck =
+    "(('0x' || substr(md5(%s),1,15))::BIGINT %% 2147483647)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> { (s, dir) =>
+      // Exact dedup: content-hash groupBy (the 100 TB-scale primitive —
+      // one shuffle on md5(text)).
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+        .orderBy(col("lang"))
+    },
+
+    "d02_minhash_sig" -> { (s, dir) =>
+      withMinhash(docsWithTokens(s, dir))
+        .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+        .orderBy(col("doc_id"))
+    },
+
+    "d03_minhash_lsh_pairs" -> { (s, dir) =>
+      // LSH banding (k=4, r=1): candidates share >=1 MinHash value within
+      // a source partition; verified with true token-set Jaccard >= 0.7.
+      // Bucket-join, never all-pairs.
+      val sig = withMinhash(docsWithTokens(s, dir))
+        .select(col("doc_id"), col("source"),
+          array_distinct(col("toks")).as("tset"),
+          array(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("sig"))
+      val bands = sig.select(col("doc_id"), col("source"), col("tset"),
+        posexplode(col("sig")).as(Seq("band", "mh")))
+      val a = bands.select(col("doc_id").as("da"), col("source"),
+        col("tset").as("ta"), col("band"), col("mh"))
+      val b = bands.select(col("doc_id").as("db"), col("source").as("sb"),
+        col("tset").as("tb"), col("band").as("bandb"), col("mh").as("mhb"))
+      val cand = a.join(b,
+          col("source") === col("sb") && col("band") === col("bandb") &&
+          col("mh") === col("mhb") && col("da") < col("db"))
+        .select(col("da"), col("db"), col("ta"), col("tb")).distinct()
+      cand
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("uni",
+          (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+        .withColumn("jac", col("inter").cast("double") / col("uni"))
+        .filter(col("jac") >= 0.7)
+        .select(col("da"), col("db"), col("jac"))
+        .orderBy(col("da"), col("db"))
+    },
+
+    "d04_ngram_jaccard" -> { (s, dir) =>
+      // 3-gram shingle Jaccard via shingle-bucket join within source.
+      val sh = docsWithTokens(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - 3),
+            i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))).as("sh"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val a = sh.select(col("doc_id").as("da"), col("source"), col("sh"))
+      val b = sh.select(col("doc_id").as("db"), col("source").as("sb"),
+        col("sh").as("shb"))
+      val common = a.join(b, col("source") === col("sb") &&
+          col("sh") === col("shb") && col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+        .withColumn("jac",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.5)
+        .select(col("da"), col("db"), col("jac"))
+        .orderBy(col("jac").desc, col("da"), col("db"))
+        .limit(100)
+    },
+
+    "d05_simhash" -> { (s, dir) =>
+      // 16-bit SimHash over token multiset: per-bit majority vote of
+      // md5-derived token hashes.
+      val ex = docsWithTokens(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .withColumn("h", tokHash(col("t")))
+      val bitAggs = (0 until 16).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$j"))
+      val grouped = ex.groupBy(col("doc_id"))
+        .agg(bitAggs.head, bitAggs.tail: _*)
+      val simhash = (0 until 16)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      grouped.select(col("doc_id"), simhash.as("simhash16"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val duckTokHash = tokHashSqlDuck.format("t")
+
+  def oracle: Map[String, String] = {
+    val mhExprs = A.indices.map { j =>
+      s"list_min(list_transform(toks, t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647)) AS mh$j"
+    }.mkString(",\n ")
+
+    val bitSums = (0 until 16).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n  ")
+    val bitVal = (0 until 16).map(j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+
+    Map(
+      "d01_exact_dedup" ->
+        """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "d02_minhash_sig" ->
+        s"""SELECT doc_id,
+           | $mhExprs
+           |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+           |ORDER BY doc_id""".stripMargin,
+
+      "d03_minhash_lsh_pairs" ->
+        s"""WITH sig AS (
+           | SELECT doc_id, source, list_distinct(string_split(text,' ')) AS tset,
+           |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
+           | FROM documents),
+           |bands AS (
+           | SELECT doc_id, source, tset, generate_subscripts(sig,1)-1 AS band, unnest(sig) AS mh
+           | FROM sig),
+           |cand AS (
+           | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.tset AS ta, b.tset AS tb
+           | FROM bands a JOIN bands b
+           |  ON a.source = b.source AND a.band = b.band AND a.mh = b.mh
+           |     AND a.doc_id < b.doc_id)
+           |SELECT da, db,
+           | CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+           |   (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
+           |FROM cand
+           |WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+           |   (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.7
+           |ORDER BY da, db""".stripMargin,
+
+      "d04_ngram_jaccard" ->
+        """WITH sh AS (
+          | SELECT doc_id, source, unnest(list_distinct(list_transform(
+          |   range(len(string_split(text,' ')) - 2),
+          |   i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]))) AS sh
+          | FROM documents),
+          |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+          |common AS (
+          | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          | FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+          | GROUP BY 1, 2)
+          |SELECT da, db, CAST(c AS DOUBLE) / (x.nsh + y.nsh - c) AS jac
+          |FROM common JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+          |WHERE CAST(c AS DOUBLE) / (x.nsh + y.nsh - c) >= 0.5
+          |ORDER BY jac DESC, da, db LIMIT 100""".stripMargin,
+
+      "d05_simhash" ->
+        s"""WITH ex AS (
+           | SELECT doc_id, $duckTokHash AS h
+           | FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
+           |bits AS (
+           | SELECT doc_id,
+           |  $bitSums
+           | FROM ex GROUP BY doc_id)
+           |SELECT doc_id, $bitVal AS simhash16
+           |FROM bits ORDER BY doc_id""".stripMargin
+    )
+  }
+}

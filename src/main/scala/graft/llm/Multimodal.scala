@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted by per-partition functions.
+  *
+  * The real media codecs are not in this environment, so the "decode" here
+  * is a DETERMINISTIC FAKE (byte-level arithmetic standing in for
+  * image/audio decoding — clearly marked below). What IS real and tested is
+  * the Spark-side plumbing a 100 TB media pipeline needs:
+  *  - binary payload column + metadata columns flowing through parquet scan
+  *    → typed Dataset[MediaBlob] (case-class Encoder);
+  *  - `mapPartitions` batch shape: the decode function sees an iterator per
+  *    partition (where a real implementation amortizes codec/model init
+  *    per-partition, exactly like a Pandas-UDF batch);
+  *  - results re-enter SQL-land as DataFrames for joins/aggregations.
+  *
+  * The fake decode is pure byte arithmetic, so a DuckDB oracle can verify
+  * the whole pipeline end-to-end (codepoint sums == byte sums for the ASCII
+  * corpus).
+  */
+object Multimodal {
+
+  /** A media blob: opaque payload + metadata (as a real pipeline would
+    * carry width/height/codec). */
+  case class MediaBlob(doc_id: Long, payload: Array[Byte], lang: String)
+
+  /** Extracted features — the "decoded" view. */
+  case class MediaFeatures(doc_id: Long, lang: String, n_bytes: Long,
+                           checksum: Long, width: Long, height: Long)
+
+  /** FAKE DECODE: stands in for an image decoder. Deterministic byte
+    * arithmetic; a real pipeline would decode pixels here (per-partition
+    * init → per-blob decode). */
+  private def decodeFake(b: MediaBlob): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < b.payload.length) { sum += b.payload(i) & 0xffL; i += 1 }
+    MediaFeatures(b.doc_id, b.lang, b.payload.length.toLong,
+      sum % 997L, b.payload.length.toLong % 640L,
+      b.payload.length.toLong % 480L)
+  }
+
+  private def blobs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("lang"))
+      .as[MediaBlob]
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_decode_features" -> { (s, dir) =>
+      import s.implicits._
+      blobs(s, dir)
+        .mapPartitions(_.map(decodeFake)) // codec init would live here
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("checksum"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    },
+
+    "m02_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      // FAKE frame-sampling: every 100th byte is a "frame"; checksum the
+      // sampled frames, aggregate per lang (a real pipeline samples video
+      // frames per blob, then aggregates features — same shape).
+      blobs(s, dir)
+        .mapPartitions(_.map { b =>
+          var sum = 0L; var n = 0L
+          var i = 0
+          while (i < b.payload.length) {
+            sum += b.payload(i) & 0xffL; n += 1; i += 100
+          }
+          (b.lang, n, sum % 997L)
+        })
+        .toDF("lang", "n_frames", "frame_sum")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_frames")).as("total_frames"),
+          sum(col("frame_sum")).as("checksum_total"))
+        .orderBy(col("lang"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "m01_decode_features" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 997 AS BIGINT) AS checksum,
+        | CAST(length(text) % 640 AS BIGINT) AS width,
+        | CAST(length(text) % 480 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m02_frame_sample" ->
+      """WITH per_doc AS (
+        | SELECT lang,
+        |  CAST(len(list_filter(string_split(text,''), (c, i) -> (i - 1) % 100 = 0)) AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(list_filter(string_split(text,''), (c, i) -> (i - 1) % 100 = 0), c -> ascii(c))) % 997 AS BIGINT) AS frame_sum
+        | FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+        | CAST(SUM(frame_sum) AS BIGINT) AS checksum_total
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`array<float>`, 64-dim).
+  *
+  *  - v01: brute-force top-k for a bounded query set — the correctness
+  *    baseline. The query side is tiny and broadcast; the candidate side
+  *    streams. Cost is |Q|·|C|: fine for |Q| small, NOT the 100 TB path.
+  *  - v02: the scale path — random-hyperplane LSH. Each vector gets a
+  *    4-bit signature (sign of dot with 4 deterministic hyperplanes);
+  *    search joins on bucket equality, cutting candidates ~16×; at scale
+  *    the bucket key is the shuffle/partition key and per-bucket work is
+  *    bounded. Recall < 1 by construction — identical in both engines
+  *    because the hyperplanes derive from exact integer arithmetic.
+  *  - v03: embedding-cosine near-duplicate pairs inside LSH buckets
+  *    (bucket join, never all-pairs).
+  *
+  * Cosine is the custom Catalyst expression `cosine_sim`
+  * (graft.functions.CosineSimilarity, codegen'd); the DuckDB oracle
+  * recomputes it with the same sequential double arithmetic
+  * (dot / sqrt(dot_aa * dot_bb)) so results are bit-identical.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component w(i, j) in [-1, 1] —
+    * exact integer arithmetic, identical in Spark and DuckDB SQL. */
+  private def wSpark(i: Column, j: Int): Column =
+    (((i + 1) * (j + 7) * 2654435761L) % 1000003L - 500001L)
+      .cast("double") / 500001.0
+
+  /** 4-bit LSH bucket from hyperplane dot-product signs. */
+  private def withBucket(df: DataFrame): DataFrame = {
+    val planes = (0 until 4).map { j =>
+      val wvec = transform(sequence(lit(0), lit(63)), i => wSpark(i, j))
+      val dot = aggregate(
+        zip_with(col("embedding"), wvec, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", planes.reduce(_ + _))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_knn_brute" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      q.join(c, col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    "v02_knn_lsh" -> { (s, dir) =>
+      val e = withBucket(Tables.load(s, dir, "embeddings"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket"))
+      val c = e.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("bucket").as("cbucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      q.join(c, col("bucket") === col("cbucket") &&
+          col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    "v03_neardup_embed" -> { (s, dir) =>
+      val e = withBucket(Tables.load(s, dir, "embeddings"))
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("bucket"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("bucket").as("bucketb"))
+      a.join(b, col("bucket") === col("bucketb") && col("va") < col("vb"))
+        .withColumn("sim", expr("cosine_sim(ea, eb)"))
+        .filter(col("sim") > 0.4)
+        .select(col("va"), col("vb"), col("sim"))
+        .orderBy(col("sim").desc, col("va"), col("vb"))
+    }
+  )
+
+  private val duckCos =
+    """list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])) /
+      |   sqrt(list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])) *
+      |        list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])))"""
+      .stripMargin
+
+  private def cos(a: String, b: String): String =
+    duckCos.format(a, b, a, a, b, b)
+
+  private val duckBucket =
+    (0 until 4).map { j =>
+      val w = s"(((i + 1) * ${j + 7} * 2654435761) % 1000003 - 500001) / 500001.0"
+      s"""CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+         |  list_transform(range(64), i -> CAST($w AS DOUBLE))) > 0
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "v01_knn_brute" ->
+      s"""WITH pairs AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |ranked AS (
+         | SELECT q_id, c_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+         | FROM pairs)
+         |SELECT q_id, c_id, rnk, sim FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "v02_knn_lsh" ->
+      s"""WITH withb AS (
+         | SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+         |pairs AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM withb q JOIN withb c
+         |  ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |ranked AS (
+         | SELECT q_id, c_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+         | FROM pairs)
+         |SELECT q_id, c_id, rnk, sim FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "v03_neardup_embed" ->
+      s"""WITH withb AS (
+         | SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings)
+         |SELECT a.vec_id AS va, b.vec_id AS vb,
+         | ${cos("a.embedding", "b.embedding")} AS sim
+         |FROM withb a JOIN withb b
+         | ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cos("a.embedding", "b.embedding")} > 0.4
+         |ORDER BY sim DESC, va, vb""".stripMargin
+  )
+}

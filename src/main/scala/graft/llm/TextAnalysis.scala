@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents`: language-ID heuristics,
+  * quality scoring, token counting (whitespace + regex tokenizers), and
+  * positional document fingerprinting. Training-data-pipeline extension
+  * surface (not in the bounded-relational reference).
+  *
+  * All scores are ratios of exact integers (token/char counts), so the
+  * doubles are bit-identical across engines — no rounding tolerance needed.
+  * Everything is per-row projection + one aggregation: linear scans that
+  * partition trivially at 100 TB (no shuffles except the final groupBy).
+  */
+object TextAnalysis {
+
+  private val StopWords = Seq("the", "a", "of", "and", "to")
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def stopHits: Column =
+    size(filter(toks, t => t.isin(StopWords.map(lit): _*)))
+      .cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_lang_stats" -> { (s, dir) =>
+      // Language-profile stats: per tagged lang, stopword-hit ratio of an
+      // English stoplist — the n-gram-profile language-ID building block.
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), size(toks).cast("long").as("n_toks"),
+          stopHits.as("n_stop"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          (sum(col("n_stop")).cast("double") / sum(col("n_toks")))
+            .as("stop_ratio"))
+        .orderBy(col("lang"))
+    },
+
+    "t02_quality_score" -> { (s, dir) =>
+      // Doc-quality scoring: length, avg token length, stopword ratio →
+      // weighted score. Integer-ratio arithmetic → deterministic doubles.
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          length(col("text")).cast("long").as("n_chars"),
+          stopHits.as("n_stop"))
+        .withColumn("avg_tok_len",
+          (col("n_chars") - col("n_toks") + 1).cast("double") / col("n_toks"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_toks"))
+        .withColumn("quality",
+          lit(0.4) * least(col("n_toks").cast("double") / 50.0, lit(1.0)) +
+          lit(0.3) * col("stop_ratio") +
+          lit(0.3) * least(col("avg_tok_len") / 5.0, lit(1.0)))
+        .select(col("doc_id"), col("n_toks"), col("n_chars"),
+          col("avg_tok_len"), col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t03_token_count" -> { (s, dir) =>
+      // Whitespace tokenizer vs BPE-ish regex tokenizer vs distinct count.
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .cast("long").as("n_re"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t04_fingerprint" -> { (s, dir) =>
+      // Positional rolling-hash fingerprint: sum((pos+1) * tokhash) mod p.
+      // Order-sensitive content signature, computed with exact int64 math.
+      val P2 = 1000003L
+      val ex = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+        .withColumn("h",
+          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+            .cast("long") % P2)
+      ex.groupBy(col("doc_id"))
+        .agg((sum((col("pos") + 1) * col("h")) % P2).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    "t01_lang_stats" ->
+      s"""WITH d AS (
+         | SELECT lang, len(string_split(text,' ')) AS n_toks,
+         |  len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS n_stop
+         | FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+         | CAST(SUM(n_stop) AS DOUBLE) / SUM(n_toks) AS stop_ratio
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t02_quality_score" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         | FROM documents WHERE doc_id < 200),
+         |e AS (
+         | SELECT doc_id, n_toks, n_chars,
+         |  CAST(n_chars - n_toks + 1 AS DOUBLE) / n_toks AS avg_tok_len,
+         |  CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio
+         | FROM d)
+         |SELECT doc_id, n_toks, n_chars, avg_tok_len, stop_ratio,
+         | 0.4 * least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) +
+         | 0.3 * stop_ratio +
+         | 0.3 * least(avg_tok_len / 5.0, 1.0) AS quality
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "t03_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      """WITH ex AS (
+        | SELECT doc_id,
+        |  generate_subscripts(string_split(text,' '), 1) AS pos1,
+        |  (('0x' || substr(md5(unnest(string_split(text,' '))),1,15))::BIGINT % 1000003) AS h
+        | FROM documents)
+        |SELECT doc_id, CAST(SUM(pos1 * h) % 1000003 AS BIGINT) AS fingerprint
+        |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

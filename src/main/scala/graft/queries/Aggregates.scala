@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Dx._
+
+/** Aggregate breadth — the reference's aggregate registry surface
+  * (`ballista/client/tests/context_basic.rs:220-440`: min/max/sum/avg/count,
+  * count distinct, approx_distinct, array_agg, var/stddev/covar/corr,
+  * approx_percentile_cont, median) plus ROLLUP/CUBE/GROUPING SETS as used by
+  * its TPC-DS corpus (`benchmarks/queries-tpcds/q5,q18,q22,q67,q77,q80`).
+  *
+  * Determinism strategy per family:
+  *  - moment statistics (var/stddev/covar/corr) are computed from exact
+  *    DECIMAL power sums, then the SAME double formula runs in Spark and
+  *    DuckDB → bit-identical (a distributed merge of double moments is
+  *    order-dependent in the last ulps, which would flake the hash gate);
+  *  - a separate query exercises the BUILT-IN estimators rounded to 2
+  *    decimals (capability proof for the native functions);
+  *  - array_agg → sorted + joined to a string (array hashing is
+  *    representation-sensitive across engines);
+  *  - approx_count_distinct is exercised where cardinality ≤ 5 per group,
+  *    where HLL++ is exact, against an exact COUNT(DISTINCT) oracle.
+  */
+object Aggregates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_count_distinct" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "a02_sum_distinct" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(sum_distinct(dec(col("l_quantity"))).cast("double").as("sd_qty"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    "a03_approx_distinct" -> { (s, dir) =>
+      // Per-user event-type cardinality is <= 5, where HLL++ is exact —
+      // reference maps approx_distinct (context_basic.rs:293).
+      Tables.load(s, dir, "events").filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .agg(approx_count_distinct(col("event_type")).as("nd_types"))
+        .orderBy(col("user_id"))
+    },
+
+    "a04_collect_list" -> { (s, dir) =>
+      // array_agg analogue (context_basic.rs:311); sorted + joined for a
+      // representation-independent compare.
+      val n = Tables.load(s, dir, "nation")
+      val c = Tables.load(s, dir, "customer").filter(col("c_custkey") <= 200)
+      n.join(c, col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(sort_array(collect_list(col("c_name"))), "|")
+          .as("names"))
+        .orderBy(col("n_name"))
+    },
+
+    "a05_collect_set" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), "|")
+          .as("prios"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    "a06_var_stddev_exact" -> { (s, dir) =>
+      // Exact decimal power sums -> identical double formula both engines.
+      val l = Tables.load(s, dir, "lineitem")
+      val agg = l.groupBy(col("l_returnflag"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double")
+            .as("sxx"),
+          count(col("l_quantity")).cast("double").as("n"))
+      agg.select(col("l_returnflag"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("var_samp"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+            .as("var_pop"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("stddev_samp"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "a07_corr_covar_exact" -> { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val agg = l.groupBy(col("l_returnflag"))
+        .agg(
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"),
+          count(lit(1)).cast("double").as("n"))
+      agg.select(col("l_returnflag"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+            .as("covar_samp"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+            .as("covar_pop"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+             sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "a08_stats_builtin" -> { (s, dir) =>
+      // Native estimators, rounded: capability proof for the built-ins.
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(var_samp(col("l_quantity")), 2).as("v_samp"),
+          round(stddev_samp(col("l_quantity")), 2).as("sd_samp"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("qp_corr"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 2)
+            .as("qd_covar"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    "a09_median" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          median(col("l_quantity").cast("long")).as("med_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "a11_rollup" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    "a12_cube" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    "a13_grouping_sets" -> { (s, dir) =>
+      // SQL entry path (Spark SQL GROUPING SETS).
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """)
+    },
+
+    "a14_minmax_strings" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(min(col("c_name")).as("min_name"), max(col("c_name")).as("max_name"),
+          min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a01_count_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS nd_part,
+        | COUNT(DISTINCT l_suppkey) AS nd_supp,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a02_sum_distinct" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sd_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a03_approx_distinct" ->
+      """SELECT user_id, COUNT(DISTINCT event_type) AS nd_types
+        |FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a04_collect_list" ->
+      """SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |WHERE c_custkey <= 200
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "a05_collect_set" ->
+      """SELECT o_orderstatus,
+        | string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prios
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a06_var_stddev_exact" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |  CAST(COUNT(l_quantity) AS DOUBLE) AS n
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | (sxx - sx * sx / n) / (n - 1) AS var_samp,
+        | (sxx - sx * sx / n) / n AS var_pop,
+        | sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+
+    "a07_corr_covar_exact" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |  CAST(COUNT(*) AS DOUBLE) AS n
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+        | (sxy - sx * sy / n) / n AS covar_pop,
+        | (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+
+    "a08_stats_builtin" ->
+      """SELECT l_linestatus,
+        | round(var_samp(l_quantity), 2) AS v_samp,
+        | round(stddev_samp(l_quantity), 2) AS sd_samp,
+        | round(corr(l_quantity, l_extendedprice), 2) AS qp_corr,
+        | round(covar_pop(l_quantity, l_discount), 2) AS qd_covar
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a09_median" ->
+      """SELECT l_returnflag,
+        | median(CAST(l_quantity AS BIGINT)) AS med_qty,
+        | min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "a12_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "a13_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "a14_minmax_strings" ->
+      """SELECT c_mktsegment,
+        | min(c_name) AS min_name, max(c_name) AS max_name,
+        | min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
