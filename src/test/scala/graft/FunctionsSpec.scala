@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Extension-surface tests: the injected `cosine_sim` Catalyst expression
+  * (the analogue of the reference's `BallistaFunctionRegistry`,
+  * `core/src/registry.rs:38-48`) and the session config profile.
+  */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("cosine_sim computes correct similarity") {
+    val row = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS s, " +
+        "cosine_sim(array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS t").head()
+    assert(math.abs(row.getDouble(0)) < 1e-15)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-15)
+  }
+
+  test("cosine_sim zero-norm returns 0.0") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS s")
+      .head()
+    assert(r.getDouble(0) == 0.0)
+  }
+
+  test("two cosine_sim calls in one projection codegen without collision") {
+    // Regression: fixed variable names in doGenCode caused Janino failures
+    // when two calls were inlined into one codegen stage (ADVICE.md r1).
+    val s = spark; import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 1.0f)))
+      .toDF("a", "b")
+      .selectExpr("cosine_sim(a, b) AS s1", "cosine_sim(b, a) AS s2",
+        "cosine_sim(a, a) AS s3")
+    val rows = df.collect()
+    assert(rows.head.getDouble(0) == rows.head.getDouble(1))
+    assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-15)
+  }
+
+  test("cosine_sim wrong arity raises analysis error") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+
+  test("cosine_sim type mismatch raises analysis error") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1), array(2))").head()
+    }
+    assert(e.getMessage.contains("array<float>") ||
+      e.getMessage.contains("ARRAY<FLOAT>"))
+  }
+
+  test("SET / SHOW config surface (reference context_checks.rs:239-336)") {
+    spark.sql("SET spark.sql.shuffle.partitions=7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    val shown = spark.sql("SET spark.sql.shuffle.partitions").collect()
+    assert(shown.head.getString(1) == "7")
+    spark.sql("SET spark.sql.shuffle.partitions=4")
+  }
+
+  test("df.cache() materializes (reference pins this UNsupported; Spark exceeds)") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "nation").cache()
+    try {
+      assert(df.count() == 25)
+      val p = df.queryExecution.executedPlan.toString()
+      assert(df.count() == 25)
+      val cached = df.queryExecution.withCachedData.toString()
+      assert(cached.contains("InMemoryRelation"), cached)
+    } finally df.unpersist()
+  }
+}

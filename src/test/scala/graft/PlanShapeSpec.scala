@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-stability / plan-shape suite — the Spark analogue of the
+  * reference's frozen staged plans
+  * (`ballista/scheduler/tests/tpch_plan_stability/approved/q1-22.txt`):
+  * rather than byte-identical plan text (Spark plan strings carry unstable
+  * expression ids), we pin the structural properties those goldens protect:
+  * join strategy choice, pushdown, top-k fusion, codegen, and the absence
+  * of scale-killers (CartesianProduct, all-pairs joins).
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  /** Final AQE plan after actually running the query (collect executes the
+    * df's own QueryExecution, so AdaptiveSparkPlanExec reaches isFinalPlan). */
+  private def ranPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+  }
+
+  test("q5: dimension joins broadcast, filters reach the parquet scan") {
+    val p = plan("q5_join6")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected dimension broadcast join in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]")
+      || p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed to scan:\n$p")
+  }
+
+  test("q1: partial aggregation before the shuffle (two-phase agg)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q3: TopK fuses into TakeOrderedAndProject") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q6: selective filters pushed, scan prunes columns") {
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_shipdate"), p)
+    // projection pruning: scan must not read l_orderkey
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("no CartesianProduct anywhere in the inventory") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name has a CartesianProduct:\n$p")
+    }
+  }
+
+  test("w10: top-N-per-group plans WindowGroupLimit") {
+    val p = plan("w10_topn_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("j08: pure non-equi join becomes BroadcastNestedLoopJoin") {
+    val p = plan("j08_theta_nlj")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("whole-stage codegen active on the q1 hot path") {
+    // AQE only renders codegen spans in the final (executed) plan; simple
+    // mode marks each WholeStageCodegen span as "*(n) ".
+    val p = ranPlan("q1_agg")
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined,
+      s"aggregation not inside a WholeStageCodegen span:\n$p")
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(p).isDefined,
+      s"filter not inside a WholeStageCodegen span:\n$p")
+  }
+
+  test("sort-merge join engages for fact-fact joins (reference default)") {
+    // orders x lineitem with broadcast disabled — the Ballista SMJ default
+    // (tpch_plan_stability/README.md:33).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.load(spark, sf, "orders")
+      val l = Tables.load(spark, sf, "lineitem")
+      val p = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE is enabled on the session profile") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val p = ranPlan("q5_join6")
+    assert(p.contains("AdaptiveSparkPlan") || p.contains("AQEShuffleRead"), p)
+  }
+}
