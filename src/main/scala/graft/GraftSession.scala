@@ -35,6 +35,7 @@ object GraftSession {
     // default; read as long nanos (same total order as DuckDB's ns ts).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Bounded-batch engine parity: no streaming configs needed (SURVEY §1).
+    graft.functions.Udafs.register(spark)
     spark
   }
 

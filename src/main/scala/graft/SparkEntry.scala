@@ -18,6 +18,8 @@ object SparkEntry {
     (graft.queries.Aggregates.queries, graft.queries.Aggregates.oracle),
     (graft.queries.SetOps.queries, graft.queries.SetOps.oracle),
     (graft.queries.Subqueries.queries, graft.queries.Subqueries.oracle),
+    (graft.queries.Functions.queries, graft.queries.Functions.oracle),
+    (graft.queries.Ops.queries, graft.queries.Ops.oracle),
     (graft.llm.Dedup.queries, graft.llm.Dedup.oracle),
     (graft.llm.TextAnalysis.queries, graft.llm.TextAnalysis.oracle),
     (graft.llm.Similarity.queries, graft.llm.Similarity.oracle),

@@ -139,6 +139,29 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    "a10_percentile" -> { (s, dir) =>
+      // Exact interpolated percentile (reference: approx_percentile_cont +
+      // median, context_basic.rs:440); quantities are integral doubles so
+      // the interpolation arithmetic is identical across engines.
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    "a15_udaf_sumsq" -> { (s, dir) =>
+      // Typed Aggregator registered as a UDAF (graft.functions.Udafs) —
+      // partial/merge split across the shuffle like any built-in agg.
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("sumsq_cents(l_quantity)").as("qty_sumsq_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "a11_rollup" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -249,6 +272,19 @@ object Aggregates {
         | median(CAST(l_quantity AS BIGINT)) AS med_qty,
         | min(l_quantity) AS min_qty,
         | max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a10_percentile" ->
+      """SELECT l_linestatus,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a15_udaf_sumsq" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_sumsq_cents,
+        | COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a11_rollup" ->

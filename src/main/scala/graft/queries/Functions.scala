@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scalar-function breadth — the reference registers DataFusion's entire
+  * default function registry plus higher-order/nested functions
+  * (`core/src/registry.rs:20-22,52-57`) and even ships a Spark-compat pack
+  * (`docs/source/user-guide/spark-compatible-functions.md`), making Spark
+  * semantics the target by definition. One query per family: string, regex,
+  * date/time, math, conditional, array/lambda (higher-order), struct/map.
+  *
+  * Cross-engine determinism: math stays on IEEE-exact ops (sqrt, abs,
+  * round, mod) or integer-derived values; date outputs format to strings
+  * (engines disagree on date/timestamp physical types, not values); libm
+  * functions (ln/exp/pow) are rounded to 6 decimals.
+  */
+object Functions {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_string" -> { (s, dir) =>
+      Tables.load(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 10, 5).as("sub"),
+          length(col("c_name")).cast("long").as("len"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cat"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+          trim(lit("  x  ")).as("trimmed"),
+          split(col("c_name"), "#").getItem(0).as("first_part"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "f02_regex" -> { (s, dir) =>
+      Tables.load(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+          col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+          regexp_extract(col("p_type"), "([A-Z]+)", 1).as("type_caps"))
+        .orderBy(col("p_partkey"))
+    },
+
+    "f03_datetime" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+            "yyyy-MM-dd").as("plus45"),
+          datediff(lit("2000-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_y2k"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "f04_math" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          abs(col("o_totalprice") * -1).as("abs_v"),
+          ceil(col("o_totalprice")).cast("double").as("ceil_v"),
+          floor(col("o_totalprice")).cast("double").as("floor_v"),
+          round(col("o_totalprice")).as("round_v"),
+          sqrt(col("o_totalprice")).as("sqrt_v"),
+          (col("o_orderkey") % 7).cast("long").as("mod_v"),
+          signum(col("o_totalprice") - 200000).as("sign_v"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("gr_v"),
+          least(col("o_totalprice"), lit(100000.0)).as("le_v"),
+          round(log(col("o_totalprice")), 6).as("ln_v"),
+          round(pow(col("o_totalprice"), 0.5) - sqrt(col("o_totalprice")),
+            6).as("pow_sqrt_diff"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "f05_conditional" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_x"),
+          (col("o_orderstatus") === "F").cast("boolean").as("is_f"),
+          nvl2(nullif(col("o_orderpriority"), lit("1-URGENT")),
+            lit("normal"), lit("urgent")).as("prio_class"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "f06_array_lambda" -> { (s, dir) =>
+      // Higher-order functions over array<float> — the reference wires
+      // DataFusion's higher-order registry (core/src/registry.rs:22).
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_v"),
+          size(filter(col("embedding"), x => x > 0)).cast("long")
+            .as("n_pos"),
+          array_max(col("embedding")).cast("double").as("mx"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          size(filter(transform(col("embedding"), x => x * 2f),
+            x => x > lit(0.5f))).cast("long").as("n_big2x"),
+          exists(col("embedding"), x => x > lit(0.3f)).as("has_gt03"))
+        .orderBy(col("vec_id"))
+    },
+
+    "f07_struct_map" -> { (s, dir) =>
+      // Struct/map construction + field access, flattened for compare.
+      Tables.load(s, dir, "nation")
+        .withColumn("st", struct(col("n_name").as("name"),
+          col("n_regionkey").as("rk")))
+        .withColumn("mp", map(lit("region"), col("n_regionkey").cast("long"),
+          lit("key"), col("n_nationkey").cast("long")))
+        .select(col("n_nationkey"),
+          col("st.name").as("st_name"),
+          col("st.rk").cast("long").as("st_rk"),
+          element_at(col("mp"), "region").as("mp_region"),
+          element_at(col("mp"), "key").as("mp_key"),
+          map_keys(col("mp")).getItem(0).as("first_key"))
+        .orderBy(col("n_nationkey"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "f01_string" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS up,
+        | lower(c_mktsegment) AS lo,
+        | substring(c_name, 10, 5) AS sub,
+        | CAST(length(c_name) AS BIGINT) AS len,
+        | concat(c_name, '-', c_mktsegment) AS cat,
+        | replace(c_name, 'Customer', 'Cust') AS repl,
+        | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        | trim('  x  ') AS trimmed,
+        | string_split(c_name, '#')[1] AS first_part
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+
+    "f02_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        | regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+        | regexp_extract(p_type, '([A-Z]+)', 1) AS type_caps
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "f03_datetime" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(day(o_orderdate) AS BIGINT) AS d,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS plus45,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "f04_math" ->
+      """SELECT o_orderkey,
+        | abs(o_totalprice * -1) AS abs_v,
+        | CAST(ceil(o_totalprice) AS DOUBLE) AS ceil_v,
+        | CAST(floor(o_totalprice) AS DOUBLE) AS floor_v,
+        | round(o_totalprice) AS round_v,
+        | sqrt(o_totalprice) AS sqrt_v,
+        | CAST(o_orderkey % 7 AS BIGINT) AS mod_v,
+        | CAST(sign(o_totalprice - 200000) AS DOUBLE) AS sign_v,
+        | greatest(o_totalprice, 100000.0) AS gr_v,
+        | least(o_totalprice, 100000.0) AS le_v,
+        | round(ln(o_totalprice), 6) AS ln_v,
+        | round(pow(o_totalprice, 0.5) - sqrt(o_totalprice), 6) AS pow_sqrt_diff
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "f05_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 300000 THEN 'big'
+        |      WHEN o_totalprice > 150000 THEN 'mid'
+        |      ELSE 'small' END AS bucket,
+        | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x,
+        | o_orderstatus = 'F' AS is_f,
+        | CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+        |      THEN 'normal' ELSE 'urgent' END AS prio_class
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "f06_array_lambda" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS first_v,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        | CAST(list_max(embedding) AS DOUBLE) AS mx,
+        | CAST(list_min(embedding) AS DOUBLE) AS mn,
+        | CAST(len(list_filter(list_transform(embedding, x -> x * CAST(2 AS FLOAT)),
+        |   x -> x > CAST(0.5 AS FLOAT))) AS BIGINT) AS n_big2x,
+        | len(list_filter(embedding, x -> x > CAST(0.3 AS FLOAT))) > 0 AS has_gt03
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "f07_struct_map" ->
+      """SELECT n_nationkey,
+        | n_name AS st_name,
+        | CAST(n_regionkey AS BIGINT) AS st_rk,
+        | CAST(n_regionkey AS BIGINT) AS mp_region,
+        | CAST(n_nationkey AS BIGINT) AS mp_key,
+        | 'region' AS first_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin
+  )
+}

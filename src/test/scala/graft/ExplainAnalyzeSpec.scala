@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** EXPLAIN ANALYZE analogue (reference `context_checks.rs:1129`):
+  * executed-plan metrics must surface as a result table. */
+class ExplainAnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("metrics table has output-row counts for an executed aggregation") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val m = graft.plans.ExplainAnalyze.run(spark, df)
+    val all = m.collect()
+    assert(all.nonEmpty, "no metrics at all")
+    val names = all.map(_.getString(2)).distinct.sorted
+    assert(all.exists(_.getString(2) == "numOutputRows"),
+      s"no numOutputRows; metric names seen: ${names.mkString(", ")}")
+    val render = graft.plans.ExplainAnalyze.render(spark, df)
+    assert(render.nonEmpty)
+  }
+}
