@@ -68,21 +68,30 @@ object Dedup {
       // LSH banding (k=4, r=1): candidates share >=1 MinHash value within
       // a source partition; verified with true token-set Jaccard >= 0.7.
       // Bucket-join, never all-pairs.
+      // Perf: the pair-distinct must shuffle ONLY (da, db) — carrying the
+      // token arrays through that shuffle was a 20× slowdown at sf0.1.
+      // Token sets re-attach afterwards (broadcast here; at cluster scale
+      // this becomes a shuffle join on doc_id, still linear).
       val sig = withMinhash(docsWithTokens(s, dir))
         .select(col("doc_id"), col("source"),
           array_distinct(col("toks")).as("tset"),
           array(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("sig"))
-      val bands = sig.select(col("doc_id"), col("source"), col("tset"),
+      val bands = sig.select(col("doc_id"), col("source"),
         posexplode(col("sig")).as(Seq("band", "mh")))
       val a = bands.select(col("doc_id").as("da"), col("source"),
-        col("tset").as("ta"), col("band"), col("mh"))
+        col("band"), col("mh"))
       val b = bands.select(col("doc_id").as("db"), col("source").as("sb"),
-        col("tset").as("tb"), col("band").as("bandb"), col("mh").as("mhb"))
+        col("band").as("bandb"), col("mh").as("mhb"))
       val cand = a.join(b,
           col("source") === col("sb") && col("band") === col("bandb") &&
           col("mh") === col("mhb") && col("da") < col("db"))
-        .select(col("da"), col("db"), col("ta"), col("tb")).distinct()
+        .select(col("da"), col("db")).distinct()
+      val tsets = sig.select(col("doc_id"), col("tset"))
       cand
+        .join(broadcast(tsets.select(col("doc_id").as("da"),
+          col("tset").as("ta"))), "da")
+        .join(broadcast(tsets.select(col("doc_id").as("db"),
+          col("tset").as("tb"))), "db")
         .withColumn("inter",
           size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .withColumn("uni",
