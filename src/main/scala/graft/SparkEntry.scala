@@ -20,6 +20,7 @@ object SparkEntry {
     (graft.queries.Subqueries.queries, graft.queries.Subqueries.oracle),
     (graft.queries.Functions.queries, graft.queries.Functions.oracle),
     (graft.queries.Ops.queries, graft.queries.Ops.oracle),
+    (graft.queries.Temporal.queries, graft.queries.Temporal.oracle),
     (graft.llm.Dedup.queries, graft.llm.Dedup.oracle),
     (graft.llm.TextAnalysis.queries, graft.llm.TextAnalysis.oracle),
     (graft.llm.Similarity.queries, graft.llm.Similarity.oracle),

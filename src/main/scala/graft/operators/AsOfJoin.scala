@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for every left row, attach the most recent right
+  * row with `right.ts <= left.ts` within the same key group.
+  *
+  * Spark-first composition (preference order (a) from the build brief —
+  * no custom physical operator needed): tag both sides, union, and take
+  * `last(..., ignoreNulls)` over a (key, ts)-ordered running window; right
+  * rows sort BEFORE left rows at equal ts so ties count as matches
+  * (matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` inclusive bound).
+  *
+  * Scale shape: ONE hash shuffle on the key + per-partition sort — the
+  * same cost as a sort-merge join, no point-in-time subquery per row, no
+  * range explosion. Window partitions are per-key, so skew follows key
+  * cardinality (salt hot keys upstream if a key dominates).
+  */
+object AsOfJoin {
+
+  /** @param left      left rows
+    * @param right     right rows
+    * @param key       equality key column name (both sides)
+    * @param ts        event-time column name (both sides, orderable)
+    * @param rightCols right columns to carry (renamed `asof_<name>`)
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val passthrough = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val carried = rightCols.map(c => s"asof_$c")
+
+    val taggedRight = right.select(
+      (col(key) +: col(ts).as("__ts") +: lit(0).as("__src") +:
+        rightCols.map(c => col(c).as(s"asof_$c"))) ++
+        passthrough.map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      (col(key) +: col(ts).as("__ts") +: lit(1).as("__src") +:
+        rightCols.map(c => lit(null).as(s"asof_$c"))) ++
+        passthrough.map(col): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val matched = taggedRight.unionByName(taggedLeft)
+      .select(col(key) +: col("__ts") +: col("__src") +:
+        (passthrough.map(col) ++
+          carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+
+    matched.filter(col("__src") === 1)
+      .drop("__src")
+      .withColumnRenamed("__ts", ts)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import graft.queries.Dx._
+
+/** Temporal join shapes over `events`: as-of (point-in-time) join and
+  * banded range join — operators the reference lacks (bounded-relational
+  * only), composed Spark-first (no custom physical operator: one shuffle +
+  * sort via window / SMJ). DuckDB's native ASOF JOIN is the oracle for
+  * the as-of case.
+  */
+object Temporal {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_asof_join" -> { (s, dir) =>
+      // For each purchase, the most recent prior (or simultaneous) click
+      // by the same user.
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"),
+          col("ts").as("click_ts"))
+      AsOfJoin.backward(purchases, clicks, key = "user_id", ts = "ts",
+          rightCols = Seq("click_ts", "click_value"))
+        .filter(col("asof_click_ts").isNotNull)
+        // ns -> us (integer div): DuckDB's ASOF pipeline carries us precision
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("asof_click_ts div 1000").as("asof_click_us"),
+          col("asof_click_value"))
+        .orderBy(col("event_id"))
+    },
+
+    "p02_range_join" -> { (s, dir) =>
+      // Banded range join: lineitems shipped within 30 days of their
+      // order's date (equi key + range predicate -> SMJ, no explosion).
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_within_30d"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "p03_sessionize" -> { (s, dir) =>
+      // Session assignment: a new session starts after a >30-minute gap —
+      // the classic event-stream sessionization via window lag + running
+      // sum (one shuffle on user_id).
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 40)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "p01_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.value,
+        | CAST(epoch_us(r.ts) AS BIGINT) AS asof_click_us,
+        | r.value AS asof_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "p02_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_within_30d
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |WHERE o_orderkey <= 2000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "p03_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events WHERE user_id < 40
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, event_id, value,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.io.{File, FileInputStream, FileOutputStream}
+import scala.collection.JavaConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC *file*-format source — the reference registers `.arrow` files
+  * as tables (`ballista/client/tests/context_checks.rs:1319`, DataFusion
+  * `ListingTable` with Arrow format); Spark has no native reader, so this
+  * is the survey's "small custom" (§7).
+  *
+  * Scale shape: schema is read from one footer on the driver; the file
+  * list parallelizes across the cluster and each task streams record
+  * batches from its files (one allocator per task, closed on completion).
+  * Supported logical types: Int32/Int64, Float32/64, Utf8, Bool — the
+  * primitive core the reference's own test exercises.
+  */
+object ArrowIpcSource {
+
+  private def toSparkType(t: ArrowType): DataType = t match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case f: ArrowType.FloatingPoint
+        if f.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case f: ArrowType.FloatingPoint
+        if f.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Bool => BooleanType
+    case other => throw new UnsupportedOperationException(
+      s"arrow type not supported by ArrowIpcSource: $other")
+  }
+
+  private def readSchema(file: String): StructType = {
+    val alloc = new RootAllocator()
+    val in = new FileInputStream(file)
+    try {
+      val reader = new ArrowFileReader(in.getChannel, alloc)
+      val fields = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+      StructType(fields.map(f =>
+        StructField(f.getName, toSparkType(f.getType), f.isNullable)).toSeq)
+    } finally { in.close(); alloc.close() }
+  }
+
+  private def cell(v: FieldVector, i: Int): Any =
+    if (v.isNull(i)) null
+    else v match {
+      case x: BigIntVector  => x.get(i)
+      case x: IntVector     => x.get(i)
+      case x: Float8Vector  => x.get(i)
+      case x: Float4Vector  => x.get(i)
+      case x: VarCharVector => new String(x.get(i), "UTF-8")
+      case x: BitVector     => x.get(i) == 1
+      case other => throw new UnsupportedOperationException(
+        s"vector not supported: ${other.getClass.getSimpleName}")
+    }
+
+  /** Read one `.arrow` file or a directory of them as a DataFrame. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val f = new File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".arrow")).map(_.getPath)
+          .sorted.toSeq
+      else Seq(path)
+    require(files.nonEmpty, s"no .arrow files under $path")
+    val schema = readSchema(files.head)
+
+    val rows = spark.sparkContext
+      .parallelize(files, math.min(files.size, 32))
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val alloc = new RootAllocator()
+          val in = new FileInputStream(p)
+          val reader = new ArrowFileReader(in.getChannel, alloc)
+          val root = reader.getVectorSchemaRoot
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (reader.loadNextBatch()) {
+            val vs = root.getFieldVectors.asScala
+            var i = 0
+            while (i < root.getRowCount) {
+              out += Row.fromSeq(vs.map(v => cell(v, i)).toSeq)
+              i += 1
+            }
+          }
+          reader.close(); in.close(); alloc.close()
+          out
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Test-scale writer: one IPC file from a (small) DataFrame — the
+    * roundtrip half of the reference's write-read checks. */
+  def write(df: DataFrame, path: String): Unit = {
+    val rows = df.collect()
+    val sparkSchema = df.schema
+    val fields = sparkSchema.fields.map { sf =>
+      val at: ArrowType = sf.dataType match {
+        case LongType    => new ArrowType.Int(64, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case StringType  => new ArrowType.Utf8()
+        case BooleanType => new ArrowType.Bool()
+        case other => throw new UnsupportedOperationException(s"$other")
+      }
+      new Field(sf.name, new FieldType(sf.nullable, at, null), null)
+    }
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(
+      new ArrowSchema(fields.toList.asJava), alloc)
+    try {
+      root.allocateNew()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        root.getFieldVectors.asScala.zipWithIndex.foreach { case (v, c) =>
+          if (r.isNullAt(c)) v match {
+            case x: BaseFixedWidthVector    => x.setNull(i)
+            case x: BaseVariableWidthVector => x.setNull(i)
+            case other => throw new UnsupportedOperationException(other.toString)
+          }
+          else v match {
+            case x: BigIntVector  => x.setSafe(i, r.getLong(c))
+            case x: IntVector     => x.setSafe(i, r.getInt(c))
+            case x: Float8Vector  => x.setSafe(i, r.getDouble(c))
+            case x: Float4Vector  => x.setSafe(i, r.getFloat(c))
+            case x: VarCharVector => x.setSafe(i, r.getString(c).getBytes("UTF-8"))
+            case x: BitVector     => x.setSafe(i, if (r.getBoolean(c)) 1 else 0)
+            case other => throw new UnsupportedOperationException(other.toString)
+          }
+        }
+      }
+      root.setRowCount(rows.length)
+      val out = new FileOutputStream(path)
+      val w = new ArrowFileWriter(root, null, out.getChannel)
+      w.start(); w.writeBatch(); w.end(); w.close(); out.close()
+    } finally { root.close(); alloc.close() }
+  }
+}

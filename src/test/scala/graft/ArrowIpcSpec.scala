@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.ArrowIpcSource
+
+/** Arrow IPC source — the reference reads `.arrow` listing tables
+  * (`context_checks.rs:1319`); roundtrip + query-over-arrow checks. */
+class ArrowIpcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var tmp: String = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+    tmp = Files.createTempDirectory("graft-arrow").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("arrow write-read roundtrip preserves values, types, and nulls") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, 10, 1.5, "alpha", true),
+      (2L, 20, -2.5, "beta", false),
+      (3L, 30, 0.0, "gamma", true)
+    ).toDF("id", "n", "x", "name", "flag")
+      .withColumn("maybe", when(col("id") === 2, col("name")))
+    ArrowIpcSource.write(df, s"$tmp/t1.arrow")
+    val back = ArrowIpcSource.read(spark, s"$tmp/t1.arrow")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(3) == "alpha")
+    assert(rows(0).isNullAt(5) && !rows(1).isNullAt(5))
+    assert(rows(1).getString(5) == "beta")
+  }
+
+  test("arrow file participates in SQL joins like any table") {
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    ArrowIpcSource.write(nation, s"$tmp/nation.arrow")
+    val arrowNation = ArrowIpcSource.read(spark, s"$tmp/nation.arrow")
+    val joined = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .join(arrowNation, col("c_nationkey") === col("nk"))
+      .groupBy(col("n_name")).count()
+    assert(joined.count() > 0)
+  }
+
+  test("directory of arrow files reads as one table") {
+    val s = spark; import s.implicits._
+    val dir = Files.createDirectory(
+      java.nio.file.Paths.get(s"$tmp/multi")).toString
+    ArrowIpcSource.write(Seq((1L, "a")).toDF("k", "v"), s"$dir/p0.arrow")
+    ArrowIpcSource.write(Seq((2L, "b")).toDF("k", "v"), s"$dir/p1.arrow")
+    val back = ArrowIpcSource.read(spark, dir)
+    assert(back.count() == 2)
+    assert(back.orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b"))
+  }
+}
