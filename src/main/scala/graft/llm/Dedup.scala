@@ -36,13 +36,17 @@ object Dedup {
       .withColumn("toks", split(col("text"), " "))
 
   /** MinHash signature columns mh0..mh3 via affine permutations of the
-    * token hash — array_min(transform(...)) keeps it whole-stage codegen. */
-  private def withMinhash(df: DataFrame): DataFrame =
-    A.indices.foldLeft(df) { (d, j) =>
+    * token hash — md5 runs ONCE per token (`__th`), then each of the k
+    * draws is a cheap affine transform; array_min(transform(...)) keeps
+    * everything in whole-stage codegen. */
+  private def withMinhash(df: DataFrame): DataFrame = {
+    val hashed = df.withColumn("__th", transform(col("toks"), t => tokHash(t)))
+    A.indices.foldLeft(hashed) { (d, j) =>
       d.withColumn(s"mh$j",
-        array_min(transform(col("toks"),
-          t => (lit(A(j)) * tokHash(t) + lit(B(j))) % P)))
-    }
+        array_min(transform(col("__th"),
+          h => (lit(A(j)) * h + lit(B(j))) % P)))
+    }.drop("__th")
+  }
 
   private val tokHashSqlDuck =
     "(('0x' || substr(md5(%s),1,15))::BIGINT %% 2147483647)"
