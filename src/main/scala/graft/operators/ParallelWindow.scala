@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parallel global bounded window — the analogue of the reference's
+  * `PartitionedBoundedWindowAggExec`
+  * (`core/src/execution_plans/partitioned_bounded_window_agg.rs:18-60`),
+  * which lifts a no-PARTITION-BY, bounded-ROWS-frame window off a single
+  * partition by running it on K range-disjoint partitions plus "halo" rows
+  * copied across each boundary for lookback.
+  *
+  * Spark-first composition (no custom SparkPlan):
+  *   1. bucket cuts from `approxQuantile` on the order key (driver holds K
+  *      doubles — same footprint as Spark's own RangePartitioner sample);
+  *   2. every row gets its range bucket; the last `preceding` rows of each
+  *      bucket are ALSO emitted as halo rows of the next bucket;
+  *   3. the bounded window runs partitioned BY BUCKET (parallel, one
+  *      shuffle), halo rows supply cross-boundary lookback and are then
+  *      dropped.
+  *
+  * Result is row-identical to the serial `OVER (ORDER BY ...)` plan for
+  * ROWS BETWEEN `preceding` PRECEDING AND CURRENT ROW frames, provided
+  * every bucket holds at least `preceding` rows (pick
+  * nBuckets ≲ n / (10·preceding)).
+  */
+object ParallelWindow {
+
+  /** Bounded rolling aggregate over a global (un-partitioned) ordering.
+    *
+    * @param df        input
+    * @param orderCol  numeric order key (global ordering, with tiebreak)
+    * @param tieCol    unique tiebreaker column
+    * @param agg       aggregate to apply over the frame, e.g.
+    *                  sum(dec(col("value")))
+    * @param preceding frame size: ROWS BETWEEN preceding PRECEDING AND
+    *                  CURRENT ROW
+    * @param nBuckets  number of range partitions
+    * @param out       output column name
+    */
+  def rollingAgg(df: DataFrame, orderCol: String, tieCol: String,
+                 agg: Column, preceding: Int, nBuckets: Int,
+                 out: String): DataFrame = {
+    // 1. range cuts (driver-side: K-1 doubles, like RangePartitioner).
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cuts = df.stat.approxQuantile(orderCol, probs, 0.001)
+
+    // 2. deterministic bucket id: #cuts strictly below the key.
+    val bucketExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(orderCol) > c, 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("__bucket", bucketExpr)
+
+    // halo: last `preceding` rows of each bucket, re-tagged into the next.
+    val wTail = Window.partitionBy(col("__bucket"))
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    val halo = bucketed
+      .withColumn("__rev", row_number().over(wTail))
+      .filter(col("__rev") <= preceding && col("__bucket") < nBuckets - 1)
+      .drop("__rev")
+      .withColumn("__bucket", col("__bucket") + 1)
+      .withColumn("__halo", lit(true))
+    val all = bucketed.withColumn("__halo", lit(false)).unionByName(halo)
+
+    // 3. bounded window per bucket; halo rows feed lookback then drop out.
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(-preceding, 0)
+    all.withColumn(out, agg.over(w))
+      .filter(!col("__halo"))
+      .drop("__bucket", "__halo")
+  }
+}

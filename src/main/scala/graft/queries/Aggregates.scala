@@ -193,6 +193,28 @@ object Aggregates {
       """)
     },
 
+    "a16_pivot" -> { (s, dir) =>
+      // PIVOT with an explicit value list (deterministic column set).
+      Tables.load(s, dir, "events").filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(dsum(col("value")))
+        .orderBy(col("user_id"))
+    },
+
+    "a17_unpivot" -> { (s, dir) =>
+      // UNPIVOT/melt: wide metrics to long (metric, val) pairs.
+      Tables.load(s, dir, "lineitem").filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
+
     "a14_minmax_strings" -> { (s, dir) =>
       Tables.load(s, dir, "customer")
         .groupBy(col("c_mktsegment"))
@@ -309,6 +331,23 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "a16_pivot" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error
+        |FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a17_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        |FROM lineitem WHERE l_orderkey <= 200
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS val
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "a14_minmax_strings" ->
       """SELECT c_mktsegment,

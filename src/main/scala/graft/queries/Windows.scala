@@ -154,6 +154,19 @@ object Windows {
           (col("value") / sum(dec(col("value"))).over(w).cast("double"))
             .as("share"))
         .orderBy(col("event_id"))
+    },
+
+    "w13_parallel_global" -> { (s, dir) =>
+      // Global bounded window executed in PARALLEL via range buckets +
+      // halo rows (graft.operators.ParallelWindow — the reference's
+      // PartitionedBoundedWindowAggExec capability). The oracle is the
+      // plain serial OVER (ORDER BY), proving row-identical results.
+      graft.operators.ParallelWindow.rollingAgg(
+          ev(s, dir), orderCol = "ts", tieCol = "event_id",
+          agg = sum(dec(col("value"))), preceding = 10, nBuckets = 8,
+          out = "rsum")
+        .select(col("event_id"), col("rsum").cast("double").as("rsum"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -249,6 +262,12 @@ object Windows {
     "w12_share_of_total" ->
       """SELECT event_id,
         | value / CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER () AS DOUBLE) AS share
-        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin
+        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+
+    "w13_parallel_global" ->
+      """SELECT event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (ORDER BY ts, event_id
+        |   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
