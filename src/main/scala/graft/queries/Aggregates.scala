@@ -193,6 +193,20 @@ object Aggregates {
       """)
     },
 
+    "a18_hll_sketch_merge" -> { (s, dir) =>
+      // Mergeable HLL sketches (the 100 TB two-level pattern): sketch per
+      // user, union sketches per cohort, estimate once. Cardinalities are
+      // <= 5 per cohort, where the estimate is exact — so an exact
+      // COUNT(DISTINCT) oracle applies.
+      Tables.load(s, dir, "events")
+        .withColumn("cohort", (col("user_id") % 5).cast("long"))
+        .groupBy(col("cohort"), col("user_id"))
+        .agg(expr("hll_sketch_agg(event_type)").as("sk"))
+        .groupBy(col("cohort"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("nd_types"))
+        .orderBy(col("cohort"))
+    },
+
     "a16_pivot" -> { (s, dir) =>
       // PIVOT with an explicit value list (deterministic column set).
       Tables.load(s, dir, "events").filter(col("user_id") < 50)
@@ -331,6 +345,11 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "a18_hll_sketch_merge" ->
+      """SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+        | COUNT(DISTINCT event_type) AS nd_types
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "a16_pivot" ->
       """SELECT user_id,

@@ -34,6 +34,8 @@ object Ops {
       import s.implicits._
       df.queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode)
+        .replaceAll("#\\d+", "#N")           // expression ids vary per
+        .replaceAll("plan_id=\\d+", "plan_id=N") // session — normalize
         .linesIterator.toSeq.zipWithIndex
         .map { case (l, i) => (i.toLong, l) }
         .toDF("line_no", "plan_line")
