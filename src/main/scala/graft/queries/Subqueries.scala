@@ -139,6 +139,29 @@ object Subqueries {
       """)
     },
 
+    "j11_notin_rewrite_clean" -> { (s, dir) =>
+      // Reference NotInSubqueryRewrite shape (core/src/optimizer.rs:73-90)
+      // — must return exactly what the native NOT IN (j05 oracle) returns.
+      val c = Tables.load(s, dir, "customer")
+      val sub = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      graft.operators.NotInRewrite.notIn(c, col("c_custkey"), sub)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("nk"))
+    },
+
+    "j12_notin_rewrite_nulls" -> { (s, dir) =>
+      // NULL on the subquery side: three-valued logic must yield zero rows.
+      val c = Tables.load(s, dir, "customer")
+      val sub = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("o_custkey"))
+      graft.operators.NotInRewrite.notIn(c, col("c_custkey"), sub)
+        .agg(count(lit(1)).as("n_cust"))
+    },
+
     "j07_in_subquery" -> { (s, dir) =>
       view(s, dir, "customer"); view(s, dir, "orders")
       s.sql("""
@@ -245,6 +268,20 @@ object Subqueries {
         |GROUP BY c_nationkey ORDER BY nk""".stripMargin,
 
     "j06_notin_nulls" ->
+      """SELECT COUNT(*) AS n_cust
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+        |   FROM orders WHERE o_totalprice > 300000)""".stripMargin,
+
+    "j11_notin_rewrite_clean" ->
+      """SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY c_nationkey ORDER BY nk""".stripMargin,
+
+    "j12_notin_rewrite_nulls" ->
       """SELECT COUNT(*) AS n_cust
         |FROM customer
         |WHERE c_custkey NOT IN
