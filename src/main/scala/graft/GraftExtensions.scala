@@ -12,6 +12,9 @@ import graft.functions.CosineSimilarity
   */
 object GraftExtensions {
   val install: SparkSessionExtensions => Unit = { e =>
+    // §7 path (c): custom logical node -> SparkStrategy -> SparkPlan
+    // (reference ChaosExec, core/src/execution_plans/chaos_exec.rs).
+    e.injectPlannerStrategy(_ => graft.plans.Chaos.ChaosStrategy)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
