@@ -75,10 +75,12 @@ object Dedup {
       // Perf: the pair-distinct must shuffle ONLY (da, db) — carrying the
       // token arrays through that shuffle was a 20× slowdown at sf0.1.
       // Token sets re-attach afterwards (broadcast here; at cluster scale
-      // this becomes a shuffle join on doc_id, still linear).
+      // this becomes a shuffle join on doc_id, still linear). The sets are
+      // int64 token hashes, not strings: long-array intersection is far
+      // cheaper per pair and identical across engines (same md5 hash).
       val sig = withMinhash(docsWithTokens(s, dir))
         .select(col("doc_id"), col("source"),
-          array_distinct(col("toks")).as("tset"),
+          array_distinct(transform(col("toks"), t => tokHash(t))).as("tset"),
           array(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("sig"))
       val bands = sig.select(col("doc_id"), col("source"),
         posexplode(col("sig")).as(Seq("band", "mh")))
@@ -177,7 +179,8 @@ object Dedup {
 
       "d03_minhash_lsh_pairs" ->
         s"""WITH sig AS (
-           | SELECT doc_id, source, list_distinct(string_split(text,' ')) AS tset,
+           | SELECT doc_id, source,
+           |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
            |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
            | FROM documents),
            |bands AS (

@@ -80,6 +80,40 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    "v04_knn_ivf" -> { (s, dir) =>
+      // IVF variant: a fixed codebook (stand-in for offline k-means — the
+      // first 16 vectors), every vector assigned to its nearest centroid
+      // cell, search confined to the query's cell. At scale the cell id is
+      // the partition key; candidate work is |cell| not |corpus|.
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      def assign(df: DataFrame, idCol: String): DataFrame = {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("csim").desc, col("cent_id"))
+        df.crossJoin(broadcast(cents))
+          .withColumn("csim", expr("cosine_sim(embedding, cent_emb)"))
+          .withColumn("crn", row_number().over(w))
+          .filter(col("crn") === 1)
+          .drop("csim", "crn", "cent_emb")
+      }
+      val assigned = assign(e, "vec_id")
+      val q = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cent_id").as("q_cell"))
+      val c = assigned.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("cent_id").as("c_cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      q.join(c, col("q_cell") === col("c_cell") &&
+          col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     "v03_neardup_embed" -> { (s, dir) =>
       val e = withBucket(Tables.load(s, dir, "embeddings"))
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
@@ -133,6 +167,29 @@ object Similarity {
          |  ${cos("q.embedding", "c.embedding")} AS sim
          | FROM withb q JOIN withb c
          |  ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |ranked AS (
+         | SELECT q_id, c_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+         | FROM pairs)
+         |SELECT q_id, c_id, rnk, sim FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "v04_knn_ivf" ->
+      s"""WITH cents AS (
+         | SELECT vec_id AS cent_id, embedding AS cent_emb
+         | FROM embeddings WHERE vec_id < 16),
+         |assigned AS (
+         | SELECT vec_id, embedding, cent_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |     ${cos("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS crn
+         |  FROM embeddings e CROSS JOIN cents c) t WHERE crn = 1),
+         |pairs AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM assigned q JOIN assigned c
+         |  ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id
          | WHERE q.vec_id < 20),
          |ranked AS (
          | SELECT q_id, c_id, sim,

@@ -72,6 +72,19 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    "t05_lang_predict" -> { (s, dir) =>
+      // Per-doc language prediction from the stopword-profile score +
+      // confusion matrix against the tagged lang.
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          (stopHits.cast("double") / size(toks)).as("en_score"))
+        .withColumn("predicted",
+          when(col("en_score") >= 0.08, "en").otherwise("other"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
     "t04_fingerprint" -> { (s, dir) =>
       // Positional rolling-hash fingerprint: sum((pos+1) * tokhash) mod p.
       // Order-sensitive content signature, computed with exact int64 math.
@@ -124,6 +137,17 @@ object TextAnalysis {
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re,
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "t05_lang_predict" ->
+      s"""WITH d AS (
+         | SELECT lang, doc_id,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS en_score
+         | FROM documents)
+         |SELECT lang,
+         | CASE WHEN en_score >= 0.08 THEN 'en' ELSE 'other' END AS predicted,
+         | COUNT(*) AS n
+         |FROM d GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
 
     "t04_fingerprint" ->
       """WITH ex AS (
