@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-stability goldens — the Spark analogue of the reference's frozen
+  * staged plans (`ballista/scheduler/tests/tpch_plan_stability/approved/
+  * q1.txt-q22.txt`, regenerated via env var per its README:20-37): the
+  * normalized physical plan of each flagship query is frozen as text; any
+  * join-strategy / pushdown / stage-shape change fails the suite.
+  *
+  * Regenerate after an INTENDED plan change:
+  *   GRAFT_REGEN_GOLDENS=1 sbt "testOnly graft.GoldenPlanSpec"
+  */
+class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val goldenDir = "src/test/resources/goldens"
+  private val regen = sys.env.contains("GRAFT_REGEN_GOLDENS")
+  private var spark: SparkSession = _
+
+  private val flagship = Seq(
+    "q1_agg", "q3_topk", "q5_join6", "q9_profit", "q18_large_orders",
+    "w10_topn_per_group", "j08_theta_nlj", "d01_exact_dedup")
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+    if (regen) Files.createDirectories(Paths.get(goldenDir))
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Strip per-session / per-machine noise, keep the structure. */
+  private def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+L?", "#N")
+      .replaceAll("plan_id=\\d+", "plan_id=N")
+      .replaceAll("Location: [^,\\]]+\\)?\\[[^\\]]*\\]", "Location: <path>")
+      .replaceAll("/root/testdata/sf[0-9.]+", "<sfdir>")
+      .replaceAll("(?m)\\s+$", "")
+
+  flagship.foreach { name =>
+    test(s"plan golden: $name") {
+      val plan = normalize(
+        SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString())
+      val path = Paths.get(s"$goldenDir/$name.txt")
+      if (regen) {
+        Files.writeString(path, plan)
+        succeed
+      } else {
+        assert(Files.exists(path),
+          s"golden missing — run GRAFT_REGEN_GOLDENS=1 sbt 'testOnly graft.GoldenPlanSpec'")
+        val golden = Files.readString(path)
+        assert(plan == golden,
+          s"plan for $name changed vs golden.\n=== GOLDEN ===\n$golden\n=== ACTUAL ===\n$plan")
+      }
+    }
+  }
+}
