@@ -21,6 +21,7 @@ object SparkEntry {
     (graft.queries.Functions.queries, graft.queries.Functions.oracle),
     (graft.queries.Ops.queries, graft.queries.Ops.oracle),
     (graft.queries.Temporal.queries, graft.queries.Temporal.oracle),
+    (graft.queries.Composite.queries, graft.queries.Composite.oracle),
     (graft.llm.Dedup.queries, graft.llm.Dedup.oracle),
     (graft.llm.TextAnalysis.queries, graft.llm.TextAnalysis.oracle),
     (graft.llm.Similarity.queries, graft.llm.Similarity.oracle),
