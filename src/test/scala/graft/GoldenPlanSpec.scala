@@ -30,6 +30,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.tune(spark)
+    // Scan metadata (DataFilters/PushedFilters/...) is truncated at this many
+    // chars BEFORE our #id normalization runs; with the default 100 the cut
+    // point shifts with expression-id digit width (i.e. with how many suites
+    // ran before this one), making goldens order-dependent. Render in full.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     if (regen) Files.createDirectories(Paths.get(goldenDir))
   }
 
