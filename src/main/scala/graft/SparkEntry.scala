@@ -22,6 +22,7 @@ object SparkEntry {
     (graft.queries.Ops.queries, graft.queries.Ops.oracle),
     (graft.queries.Temporal.queries, graft.queries.Temporal.oracle),
     (graft.queries.Composite.queries, graft.queries.Composite.oracle),
+    (graft.queries.H2o.queries, graft.queries.H2o.oracle),
     (graft.llm.Dedup.queries, graft.llm.Dedup.oracle),
     (graft.llm.TextAnalysis.queries, graft.llm.TextAnalysis.oracle),
     (graft.llm.Similarity.queries, graft.llm.Similarity.oracle),
