@@ -127,6 +127,25 @@ object Functions {
           element_at(col("mp"), "key").as("mp_key"),
           map_keys(col("mp")).getItem(0).as("first_key"))
         .orderBy(col("n_nationkey"))
+    },
+
+    "f08_hash_compat" -> { (s, dir) =>
+      // The reference's Spark-compat function pack (`datafusion-spark`
+      // behind the `spark-compat` feature — docs/source/user-guide/
+      // spark-compatible-functions.md:21-27, registry wiring
+      // core/src/registry.rs:30-34): hash/codec functions where Spark IS
+      // the semantics target. hex() case-normalized (Spark upper, DuckDB
+      // lower).
+      Tables.load(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          md5(col("c_name")).as("name_md5"),
+          sha2(col("c_name"), 256).as("name_sha256"),
+          base64(col("c_name").cast("binary")).as("name_b64"),
+          lower(hex(col("c_name"))).as("name_hex"),
+          levenshtein(col("c_name"), col("c_mktsegment")).cast("long")
+            .as("lev"),
+          bit_count(col("c_custkey")).cast("long").as("bits"))
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -210,6 +229,16 @@ object Functions {
         | CAST(n_regionkey AS BIGINT) AS mp_region,
         | CAST(n_nationkey AS BIGINT) AS mp_key,
         | 'region' AS first_key
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "f08_hash_compat" ->
+      """SELECT c_custkey,
+        | md5(c_name) AS name_md5,
+        | sha256(c_name) AS name_sha256,
+        | base64(CAST(c_name AS BLOB)) AS name_b64,
+        | lower(hex(c_name)) AS name_hex,
+        | CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
+        | CAST(bit_count(c_custkey) AS BIGINT) AS bits
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin
   )
 }

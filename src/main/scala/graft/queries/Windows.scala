@@ -167,6 +167,30 @@ object Windows {
           out = "rsum")
         .select(col("event_id"), col("rsum").cast("double").as("rsum"))
         .orderBy(col("event_id"))
+    },
+
+    "w14_topn_sweep" -> { (s, dir) =>
+      // The h2o window suite's top-N partition-cardinality sweep
+      // (BASELINE.md: "100 -> 100,000 partitions"): the same top-2-per-
+      // partition query at three grain levels — 3 / ~100 / ~100k
+      // partitions. Few huge partitions stress per-partition sort volume;
+      // many tiny ones stress partition bookkeeping. WindowGroupLimit
+      // keeps only 2 rows/partition alive past each exchange.
+      val l = Tables.load(s, dir, "lineitem")
+      def top2(keyExpr: Column, grain: String): DataFrame = {
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        l.withColumn("k", keyExpr.cast("string"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+          .select(lit(grain).as("grain"), col("k"),
+            col("l_extendedprice").as("price"), col("rn"))
+      }
+      top2(col("l_returnflag"), "lo")
+        .unionAll(top2(col("l_suppkey"), "mid"))
+        .unionAll(top2(col("l_orderkey"), "hi"))
+        .orderBy(col("grain"), col("k"), col("rn"))
     }
   )
 
@@ -268,6 +292,30 @@ object Windows {
       """SELECT event_id,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (ORDER BY ts, event_id
         |   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w14_topn_sweep" ->
+      """WITH t2 AS (
+        | SELECT grain, k, price, rn FROM (
+        |  SELECT 'lo' AS grain, CAST(l_returnflag AS VARCHAR) AS k,
+        |   l_extendedprice AS price,
+        |   CAST(row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rn
+        |  FROM lineitem) x WHERE rn <= 2
+        | UNION ALL
+        | SELECT grain, k, price, rn FROM (
+        |  SELECT 'mid' AS grain, CAST(l_suppkey AS VARCHAR) AS k,
+        |   l_extendedprice AS price,
+        |   CAST(row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rn
+        |  FROM lineitem) y WHERE rn <= 2
+        | UNION ALL
+        | SELECT grain, k, price, rn FROM (
+        |  SELECT 'hi' AS grain, CAST(l_orderkey AS VARCHAR) AS k,
+        |   l_extendedprice AS price,
+        |   CAST(row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rn
+        |  FROM lineitem) z WHERE rn <= 2)
+        |SELECT grain, k, price, rn FROM t2 ORDER BY grain, k, rn""".stripMargin
   )
 }
