@@ -17,7 +17,10 @@ object Bench {
     def runOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Dev aid: SPARK_GRAFT_ONLY=q1_agg,d03_... limits the run (driver unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Warmup: full pass (JIT + codegen cache + parquet footer cache).
     names.foreach { n =>

@@ -78,10 +78,17 @@ object Dedup {
       // this becomes a shuffle join on doc_id, still linear). The sets are
       // int64 token hashes, not strings: long-array intersection is far
       // cheaper per pair and identical across engines (same md5 hash).
-      val sig = withMinhash(docsWithTokens(s, dir))
+      // md5 runs ONCE per token (`__th` feeds both tset and the sig), and
+      // `sig` is persisted: it feeds three consumers (bands + both tset
+      // re-attach joins), which would otherwise re-hash the corpus 3×.
+      val th = transform(col("toks"), t => tokHash(t))
+      val sig = docsWithTokens(s, dir)
+        .withColumn("__th", th)
         .select(col("doc_id"), col("source"),
-          array_distinct(transform(col("toks"), t => tokHash(t))).as("tset"),
-          array(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("sig"))
+          array_distinct(col("__th")).as("tset"),
+          array(A.indices.map(j => array_min(transform(col("__th"),
+            h => (lit(A(j)) * h + lit(B(j))) % P))): _*).as("sig"))
+        .persist()
       val bands = sig.select(col("doc_id"), col("source"),
         posexplode(col("sig")).as(Seq("band", "mh")))
       val a = bands.select(col("doc_id").as("da"), col("source"),

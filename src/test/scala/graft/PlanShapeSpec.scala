@@ -114,6 +114,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("h11: small-side join broadcasts supplier") {
+    val p = plan("h11_join_small")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("h15: large-large join at scale is a sort-merge join") {
+    // At the bench SF neither side of lineitem x orders broadcasts; pin
+    // the SMJ shape with the threshold off (as the reference's default).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("h15_join_big")
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE is enabled on the session profile") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     val p = ranPlan("q5_join6")
