@@ -76,6 +76,39 @@ object Composite {
         .groupBy(col("c_nationkey").as("nk"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
         .orderBy(col("nk"))
+    },
+
+    "c04_multi_count" -> { (s, dir) =>
+      // q88 shape: N independent filtered counts of the same fact table,
+      // combined by cross-joining 1-row aggregates (each cross join is a
+      // BroadcastNestedLoopJoin over single rows — constant cost; the N
+      // scans share the cached parquet footer and prune to used columns).
+      val l = Tables.load(s, dir, "lineitem")
+      def cnt(cond: org.apache.spark.sql.Column, name: String): DataFrame =
+        l.filter(cond).agg(count(lit(1)).as(name))
+      cnt(col("l_quantity") < 10 && col("l_discount") < 0.02, "n_small_disc")
+        .crossJoin(cnt(col("l_quantity").between(20, 30) &&
+          col("l_returnflag") === "R", "n_mid_returned"))
+        .crossJoin(cnt(col("l_quantity") > 40 &&
+          col("l_linestatus") === "F", "n_big_finished"))
+        .crossJoin(cnt(col("l_extendedprice") > 50000, "n_pricey"))
+    },
+
+    "c05_yoy_growth" -> { (s, dir) =>
+      // q31 shape: same aggregate at two periods, joined for a
+      // period-over-period ratio (the reference skips q31 in CI for
+      // ORDER-BY-tie nondeterminism — the month key here is unique).
+      val l = Tables.load(s, dir, "lineitem")
+      def rev(year: Int): DataFrame =
+        l.filter(col("l_shipdate") >= ts(s"$year-01-01") &&
+            col("l_shipdate") < ts(s"${year + 1}-01-01"))
+          .groupBy(month(col("l_shipdate")).cast("long").as("mth"))
+          .agg(dsum(col("l_extendedprice")).as(s"rev$year"))
+      rev(1996).join(rev(1997).withColumnRenamed("mth", "mth2"),
+          col("mth") === col("mth2"))
+        .select(col("mth"), col("rev1996"), col("rev1997"),
+          (col("rev1997") / col("rev1996")).as("growth"))
+        .orderBy(col("mth"))
     }
   )
 
@@ -126,6 +159,30 @@ object Composite {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
-        |GROUP BY c_nationkey ORDER BY nk""".stripMargin
+        |GROUP BY c_nationkey ORDER BY nk""".stripMargin,
+
+    "c04_multi_count" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 10 AND l_discount < 0.02) AS n_small_disc,
+        | (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 20 AND 30 AND l_returnflag = 'R') AS n_mid_returned,
+        | (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 40 AND l_linestatus = 'F') AS n_big_finished,
+        | (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice > 50000) AS n_pricey""".stripMargin,
+
+    "c05_yoy_growth" ->
+      """WITH r96 AS (
+        | SELECT CAST(month(l_shipdate) AS BIGINT) AS mth,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev1996
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | GROUP BY 1),
+        |r97 AS (
+        | SELECT CAST(month(l_shipdate) AS BIGINT) AS mth,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev1997
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1)
+        |SELECT r96.mth, rev1996, rev1997, rev1997 / rev1996 AS growth
+        |FROM r96 JOIN r97 ON r96.mth = r97.mth
+        |ORDER BY r96.mth""".stripMargin
   )
 }
