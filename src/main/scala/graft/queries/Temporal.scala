@@ -67,6 +67,20 @@ object Temporal {
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    "p04_salted_join" -> { (s, dir) =>
+      // Skew-mitigated join (graft.operators.SaltedJoin): lineitem's
+      // suppkey spread over 8 salts, supplier replicated 8x. The result
+      // is row-identical to the plain join — which IS the oracle.
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      graft.operators.SaltedJoin.inner(
+          l, sup, keyL = "l_suppkey", keyR = "s_suppkey",
+          saltSource = col("l_orderkey"), nSalts = 8)
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("nk"))
     }
   )
 
@@ -104,6 +118,12 @@ object Temporal {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "p04_salted_join" ->
+      """SELECT s_nationkey AS nk, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY nk""".stripMargin
   )
 }

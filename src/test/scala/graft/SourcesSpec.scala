@@ -86,4 +86,34 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() ==
       o.filter(col("o_orderstatus") === "F").count())
   }
+
+  test("bucketed tables join co-located: no shuffle exchange on either side") {
+    // The 100 TB co-location play: bucket both fact tables on the join key
+    // at write time; the sort-merge join then reads bucket-aligned splits
+    // with NO Exchange (the analogue of the reference pre-partitioning
+    // stages on the join key ahead of SortMergeJoinExec).
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
+    spark.sql("DROP TABLE IF EXISTS l_bkt")
+    Tables.load(spark, sf, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode(SaveMode.Overwrite).saveAsTable("o_bkt")
+    Tables.load(spark, sf, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode(SaveMode.Overwrite).saveAsTable("l_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("o_bkt").join(spark.table("l_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+      val p = j.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+      spark.sql("DROP TABLE IF EXISTS l_bkt")
+    }
+  }
 }
