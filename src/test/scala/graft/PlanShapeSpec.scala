@@ -130,6 +130,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hash join engages on opt-in (reference prefer_hash_join analogue)") {
+    // The reference's opt-in hash join (`datafusion.optimizer.
+    // prefer_hash_join` + `ballista.hash_join.max_build_partition_bytes`,
+    // core/src/config.rs:119) maps to Spark's SHUFFLE_HASH hint /
+    // preferSortMergeJoin=false. Same rows as the SMJ default.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.load(spark, sf, "orders")
+      val l = Tables.load(spark, sf, "lineitem")
+      val hj = o.hint("SHUFFLE_HASH")
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val p = hj.queryExecution.executedPlan.toString()
+      assert(p.contains("ShuffledHashJoin"), p)
+      val smj = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      assert(hj.orderBy(col("o_orderpriority")).collect().toSeq ==
+        smj.orderBy(col("o_orderpriority")).collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE is enabled on the session profile") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     val p = ranPlan("q5_join6")
