@@ -191,6 +191,21 @@ object Windows {
         .unionAll(top2(col("l_suppkey"), "mid"))
         .unionAll(top2(col("l_orderkey"), "hi"))
         .orderBy(col("grain"), col("k"), col("rn"))
+    },
+
+    "w15_udaf_window" -> { (s, dir) =>
+      // Custom aggregate AS a window function — the reference registers
+      // scalar/aggregate/window UDFs through one registry
+      // (`BallistaFunctionRegistry`, core/src/registry.rs:38-48); Spark's
+      // analogue is a typed Aggregator running inside an OVER clause.
+      // sumsq_cents is integer arithmetic → exact in both engines.
+      ev(s, dir).filter(col("user_id") < 20)
+        .select(col("event_id"),
+          expr("""sumsq_cents(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+            .as("running_sumsq"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -316,6 +331,13 @@ object Windows {
         |   CAST(row_number() OVER (PARTITION BY l_orderkey
         |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rn
         |  FROM lineitem) z WHERE rn <= 2)
-        |SELECT grain, k, price, rn FROM t2 ORDER BY grain, k, rn""".stripMargin
+        |SELECT grain, k, price, rn FROM t2 ORDER BY grain, k, rn""".stripMargin,
+
+    "w15_udaf_window" ->
+      """SELECT event_id,
+        | CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_sumsq
+        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin
   )
 }
