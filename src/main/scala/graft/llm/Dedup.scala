@@ -32,7 +32,14 @@ object Dedup {
     conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long") % P
 
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    // The test-SF documents parquet is a single row group => the scan is
+    // ONE task, which would serialize the md5-per-token hash stage below.
+    // Spread the (tiny) raw docs across the executors before the
+    // CPU-bound projection; at production scale files arrive in many row
+    // groups and this shuffle stays proportionally negligible (docs are
+    // re-shuffled once, before the fan-out to signature consumers).
     Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
 
   /** MinHash signature columns mh0..mh3 via affine permutations of the
