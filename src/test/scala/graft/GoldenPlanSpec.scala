@@ -24,7 +24,8 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val flagship = Seq(
     "q1_agg", "q3_topk", "q5_join6", "q9_profit", "q18_large_orders",
-    "w10_topn_per_group", "j08_theta_nlj", "d01_exact_dedup")
+    "w10_topn_per_group", "j08_theta_nlj", "d01_exact_dedup",
+    "h15_join_big", "v02_knn_lsh", "c01_channel_rollup")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
