@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface. The reference is a bounded-only engine
+  * (SURVEY.md §1 — no watermarks, no stateful ops), so this module is
+  * EXTENSION surface, not parity: the streaming shapes a training-data
+  * ingest pipeline needs, expressed so the same semantics hold in batch
+  * (`graft.queries.Temporal.p03`) and incrementally over an unbounded
+  * source.
+  *
+  * Scale notes:
+  *  - state is per-key (user), partitioned by the stream's groupBy hash
+  *    shuffle — the same key layout a 1000-executor cluster spreads;
+  *  - watermarks bound state: windows older than the watermark are
+  *    finalized and dropped, so state size tracks the out-of-orderness
+  *    bound, not the stream length;
+  *  - sessionization state is O(1) per open session (aggregates only,
+  *    never the event list).
+  */
+object StreamOps {
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     n_events: Long, total_value: Double)
+
+  /** Per-key mutable state carried between micro-batches (public: the
+    * state encoder's generated code must construct it). */
+  case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+
+  /** Watermarked tumbling-window aggregate (append mode): per-window event
+    * counts + value sums that finalize once the watermark passes the
+    * window end. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMinutes` of silence per user (event-time; the timeout fires
+    * when the watermark passes last_ts + gap). Emits one row per CLOSED
+    * session — the incremental twin of the batch sessionizer
+    * (`Temporal.p03`'s lag + running-sum window). */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int,
+                 watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, new Timestamp(s.start), s.n, s.total))
+      }
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      var open = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t - s.last <= gapMs =>
+            open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            closed += Session(userId, new Timestamp(s.start), s.n, s.total)
+            open = Some(OpenSession(t, t, 1L, e.value))
+          case None =>
+            open = Some(OpenSession(t, t, 1L, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

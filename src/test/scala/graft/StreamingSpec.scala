@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+
+/** Structured-Streaming extension surface: watermarked windowed aggregation
+  * and stateful gap sessionization over an in-memory stream, checked
+  * against the equivalent batch computation (the streaming twin of the
+  * differential-oracle spine).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(minutes * 60L * 1000L)
+
+  test("watermarked tumbling window finalizes once the watermark passes") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedAgg(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      // Two users inside hour 0; then an event far ahead to advance the
+      // watermark past hour 0's end (60 min + 30 min watermark).
+      input.addData(Ev(1, ts(5), 1.0), Ev(1, ts(20), 2.0), Ev(2, ts(40), 5.0))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts(200), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select(col("user_id"), col("n_events"), col("total_value"))
+        .orderBy(col("user_id")).collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // hour-0 windows are final; the ts(200) window is still open.
+      assert(rows == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions; matches batch twin") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val gapMin = 30
+    // NOTE: keep every ts strictly after epoch 0 — the initial watermark is
+    // 0, and the stateful operator drops input rows AT or before it.
+    val evs = Seq(
+      Ev(1, ts(60), 1.0), Ev(1, ts(70), 2.0),         // session A (user 1)
+      Ev(1, ts(120), 4.0),                            // session B (gap 50')
+      Ev(2, ts(65), 7.0))                             // session C (user 2)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionize(input.toDS(), gapMin, "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // Advance the watermark far past every session's timeout.
+      input.addData(Ev(99, ts(1000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select(col("user_id"), col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      assert(got == Seq((1L, 1L, 4.0), (1L, 2L, 3.0), (2L, 1L, 7.0)),
+        got.toString)
+
+      // Batch twin: same gap logic via window lag + running sum.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val batch = evs.toDF()
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess", when(col("prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev")) >
+            gapMin * 60L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+        .filter(col("user_id") =!= 99)
+        .select(col("user_id"), col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+}
