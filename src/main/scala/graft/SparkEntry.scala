@@ -43,4 +43,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.map(_._2).reduce(_ ++ _)
+
+  /** Skip list with reasons — the mirror of the reference's pinned skip
+    * mechanism (`benchmarks/src/bin/tpcds.rs:63-71` skips q31/q71 with
+    * reasons; `context_unsupported.rs` pins unsupported surface). These
+    * TPC-H adaptations are blocked by the driver's synthetic schema, not
+    * by engine capability. */
+  def skipList: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> "synthetic schema has no partsupp table",
+    "q11_important_stock" -> "synthetic schema has no partsupp table",
+    "q16_supplier_cnt" -> "synthetic schema has no partsupp table",
+    "q20_potential_promo" -> "synthetic schema has no partsupp table")
 }
