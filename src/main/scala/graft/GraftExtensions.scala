@@ -27,5 +27,27 @@ object GraftExtensions {
             "docroot" -> "https://spark.apache.org/docs/latest"))
         CosineSimilarity(children(0), children(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantile].getName,
+        "kll_quantile"),
+      (children: Seq[Expression]) => {
+        if (children.size < 2 || children.size > 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "kll_quantile", "expectedNum" -> "2 or 3",
+              "actualNum" -> children.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        def num(e: Expression): Double = e.eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: java.lang.Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"kll_quantile: non-numeric literal $other")
+        }
+        val q = num(children(1))
+        val cap = if (children.size == 3) num(children(2)).toInt else 8192
+        graft.functions.KllQuantile(children(0), q, cap)
+      }))
   }
 }

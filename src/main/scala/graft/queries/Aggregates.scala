@@ -235,6 +235,22 @@ object Aggregates {
         .agg(min(col("c_name")).as("min_name"), max(col("c_name")).as("max_name"),
           min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    "a19_kll_quantile" -> { (s, dir) =>
+      // Custom TypedImperativeAggregate: KLL-style mergeable quantile
+      // sketch (graft.functions.KllQuantile — the reference's KllSketch,
+      // core/src/kll.rs:122). Per-supplier group sizes stay below the
+      // sketch capacity at every test SF, so the sketch is in its EXACT
+      // regime and quantile_disc is the oracle; the compaction regime's
+      // rank-error bound is pinned in QuantileSketchSpec.
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 20)
+        .groupBy(col("l_suppkey"))
+        .agg(expr("kll_quantile(l_quantity, 0.5)").as("q50"),
+          expr("kll_quantile(l_quantity, 0.9)").as("q90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey"))
     }
   )
 
@@ -372,6 +388,14 @@ object Aggregates {
       """SELECT c_mktsegment,
         | min(c_name) AS min_name, max(c_name) AS max_name,
         | min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "a19_kll_quantile" ->
+      """SELECT l_suppkey,
+        | quantile_disc(l_quantity, 0.5) AS q50,
+        | quantile_disc(l_quantity, 0.9) AS q90,
+        | COUNT(*) AS n
+        |FROM lineitem WHERE l_suppkey < 20
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.KllState
+
+/** KLL-style quantile sketch (graft.functions.{KllState, KllQuantile}) —
+  * exact-regime equality, compaction-regime rank-error bound, and the
+  * distributed partial/merge path through a real shuffle.
+  */
+class QuantileSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("exact regime: sketch quantile == exact quantile below capacity") {
+    val st = new KllState(1024)
+    val values = (1 to 1000).map(_.toDouble)
+    scala.util.Random.shuffle(values).foreach(st.insert)
+    assert(st.quantile(0.5) == 500.0)
+    assert(st.quantile(0.9) == 900.0)
+    assert(st.quantile(1.0) == 1000.0)
+  }
+
+  test("serialize/deserialize roundtrip preserves quantiles") {
+    val st = new KllState(256)
+    (1 to 200).foreach(i => st.insert(i.toDouble))
+    val back = KllState.deserialize(st.serialize())
+    assert(back.quantile(0.5) == st.quantile(0.5))
+    assert(back.totalItems == st.totalItems)
+  }
+
+  test("compaction regime: rank error stays within 5% at 40x capacity") {
+    val cap = 512
+    val n = cap * 40
+    val st = new KllState(cap)
+    // adversarial-ish order: interleaved halves
+    (0 until n / 2).foreach { i =>
+      st.insert(i.toDouble)
+      st.insert((n - 1 - i).toDouble)
+    }
+    assert(st.totalItems <= cap + 1, s"state kept ${st.totalItems} items")
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val est = st.quantile(q)
+      val rankErr = math.abs(est / n - q)
+      assert(rankErr < 0.05, s"q=$q est=$est rank error $rankErr")
+    }
+  }
+
+  test("distributed partial/merge across a shuffle stays exact under capacity") {
+    val df = spark.range(0, 5000, 1, 8) // 8 partitions -> 8 partial sketches
+      .select((col("id") % 100).as("g"), col("id").cast("double").as("v"))
+    val got = df.groupBy(col("g"))
+      .agg(expr("kll_quantile(v, 0.5)").as("q50"))
+      .orderBy(col("g")).collect()
+    // group g holds {g, g+100, ..., g+4900}: 50 values; disc median is the
+    // 25th smallest = g + 24*100.
+    got.foreach { r =>
+      val g = r.getLong(0)
+      assert(r.getDouble(1) == g + 2400.0, r.toString)
+    }
+  }
+}
