@@ -22,8 +22,15 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val regen = sys.env.contains("GRAFT_REGEN_GOLDENS")
   private var spark: SparkSession = _
 
+  // Every TPC-H adaptation (the reference freezes all 22 staged plans;
+  // q2/q11/q16/q20 are schema-blocked, SparkEntry.skipList) + one flagship
+  // per module family.
   private val flagship = Seq(
-    "q1_agg", "q3_topk", "q5_join6", "q9_profit", "q18_large_orders",
+    "q1_agg", "q3_topk", "q5_join6", "q6_filter_agg", "q7_volume",
+    "q9_profit", "q10_returns", "q12_late_ship", "q13_custdist",
+    "q14_promo", "q17_small_qty", "q18_large_orders", "q19_disjunctive",
+    "q22_anti", "j01_exists_q4", "j02_not_exists_q21", "j03_mktshare_q8",
+    "j04_top_supplier_q15",
     "w10_topn_per_group", "j08_theta_nlj", "d01_exact_dedup",
     "h15_join_big", "v02_knn_lsh", "c01_channel_rollup")
 
