@@ -39,14 +39,24 @@ object GraftExtensions {
               "functionName" -> "kll_quantile", "expectedNum" -> "2 or 3",
               "actualNum" -> children.size.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
-        def num(e: Expression): Double = e.eval() match {
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble
-          case n: java.lang.Number => n.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"kll_quantile: non-numeric literal $other")
+        def num(name: String, e: Expression): Double = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"kll_quantile: $name must be a literal, got ${e.sql}")
+          e.eval() match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: java.lang.Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"kll_quantile: non-numeric $name literal $other")
+          }
         }
-        val q = num(children(1))
-        val cap = if (children.size == 3) num(children(2)).toInt else 8192
+        val q = num("quantile", children(1))
+        if (q.isNaN || q < 0.0 || q > 1.0)
+          throw new IllegalArgumentException(
+            s"kll_quantile: quantile must be in [0, 1], got $q")
+        val cap = if (children.size == 3)
+          num("capacity", children(2)).toInt else 8192
+        if (cap < 8) throw new IllegalArgumentException(
+          s"kll_quantile: capacity must be >= 8, got $cap")
         graft.functions.KllQuantile(children(0), q, cap)
       }))
   }

@@ -35,17 +35,17 @@ final class KllState(val capacity: Int) {
 
   def insert(v: Double): Unit = {
     levels(0) += v
-    if (totalItems > capacity) compact()
+    shrink()
   }
 
-  /** Compact the largest level under-capacity-wise (simple policy: the
-    * first level holding more than capacity/levels items). */
-  private def compact(): Unit = {
-    val perLevel = math.max(2, capacity / math.max(1, levels.length))
-    val idx = levels.indexWhere(_.length > perLevel)
-    val i = if (idx < 0) 0 else idx
+  /** Compact the FULLEST level (guarantees progress: a successful pass
+    * halves a level of length >= 2). Returns false when nothing can
+    * shrink — every level holds <= 1 item — which the callers treat as
+    * "stop", never as "retry", so compaction cannot spin. */
+  private def compact(): Boolean = {
+    val i = levels.indices.maxBy(j => levels(j).length)
     val lvl = levels(i)
-    if (lvl.length < 2) return
+    if (lvl.length < 2) return false
     val sorted = lvl.sorted
     if (i + 1 >= levels.length) levels += ArrayBuffer.empty[Double]
     var j = parity
@@ -55,6 +55,11 @@ final class KllState(val capacity: Int) {
       j += 2
     }
     levels(i).clear()
+    true
+  }
+
+  private def shrink(): Unit = {
+    while (totalItems > capacity && compact()) {}
   }
 
   def merge(other: KllState): Unit = {
@@ -65,7 +70,7 @@ final class KllState(val capacity: Int) {
       levels(i) ++= other.levels(i)
       i += 1
     }
-    while (totalItems > capacity) compact()
+    shrink()
   }
 
   /** Weighted quantile: smallest value whose cumulative weight reaches

@@ -42,17 +42,22 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
 
-  /** MinHash signature columns mh0..mh3 via affine permutations of the
-    * token hash — md5 runs ONCE per token (`__th`), then each of the k
-    * draws is a cheap affine transform; array_min(transform(...)) keeps
-    * everything in whole-stage codegen. */
+  /** MinHash signature array from a pre-hashed token-array column — the
+    * ONE place the affine-permutation scheme lives (its DuckDB twin is
+    * built in [[oracle]]); md5 runs once per token upstream, each of the
+    * k draws is a cheap affine transform, and array_min(transform(...))
+    * stays in whole-stage codegen. */
+  private def sigArray(th: Column): Column =
+    array(A.indices.map(j =>
+      array_min(transform(th, h => (lit(A(j)) * h + lit(B(j))) % P))): _*)
+
+  /** MinHash signature columns mh0..mh3 (d02's flat-column view). */
   private def withMinhash(df: DataFrame): DataFrame = {
-    val hashed = df.withColumn("__th", transform(col("toks"), t => tokHash(t)))
+    val hashed = df.withColumn("__sig",
+      sigArray(transform(col("toks"), t => tokHash(t))))
     A.indices.foldLeft(hashed) { (d, j) =>
-      d.withColumn(s"mh$j",
-        array_min(transform(col("__th"),
-          h => (lit(A(j)) * h + lit(B(j))) % P)))
-    }.drop("__th")
+      d.withColumn(s"mh$j", col("__sig").getItem(j))
+    }.drop("__sig")
   }
 
   private val tokHashSqlDuck =
@@ -88,14 +93,12 @@ object Dedup {
       // md5 runs ONCE per token (`__th` feeds both tset and the sig), and
       // `sig` is persisted: it feeds three consumers (bands + both tset
       // re-attach joins), which would otherwise re-hash the corpus 3×.
-      val th = transform(col("toks"), t => tokHash(t))
       val sig = docsWithTokens(s, dir)
-        .withColumn("__th", th)
+        .withColumn("__th", transform(col("toks"), t => tokHash(t)))
         .select(col("doc_id"), col("source"),
           array_distinct(col("__th")).as("tset"),
-          array(A.indices.map(j => array_min(transform(col("__th"),
-            h => (lit(A(j)) * h + lit(B(j))) % P))): _*).as("sig"))
-        .persist()
+          sigArray(col("__th")).as("sig"))
+        .persist() // bounded: one row per doc (ids + int64 token hashes)
       val bands = sig.select(col("doc_id"), col("source"),
         posexplode(col("sig")).as(Seq("band", "mh")))
       val a = bands.select(col("doc_id").as("da"), col("source"),

@@ -38,9 +38,11 @@ object SaltedJoin {
       pmod(hash(saltSource), lit(nSalts)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
+    // Side-qualified references: with keyL == keyR (or the key name
+    // present on both inputs) unqualified col(...) would be ambiguous.
     salted.join(replicated,
         salted("__salt") === replicated("__salt") &&
-          col(keyL) === col(keyR))
+          salted(keyL) === replicated(keyR))
       .drop("__salt")
   }
 }

@@ -13,8 +13,12 @@ import graft.queries.Dx._
   * x⋈{small,medium,large}; harness `.github/workflows/h2o.yml:125-174`),
   * adapted to the synthetic schema: x=lineitem (id1=l_returnflag,
   * id2=l_linestatus, id3=l_suppkey, id4=l_linenumber, id5=l_partkey mod
-  * 1000, id6=l_orderkey; v1=l_quantity, v2=l_extendedprice, v3=l_discount),
-  * small=supplier (broadcasts), medium=part / customer, large=orders.
+  * 1000 in h10 / mod 10 in h06 (the coarser grain keeps h06's per-group
+  * median populations meaningful), id6=l_orderkey; v1=l_quantity,
+  * v2=l_extendedprice, v3=l_discount), small=supplier (broadcasts),
+  * medium=part / customer, large=orders. h08's top-2 partitions by id3
+  * (suppkey) rather than id6: per-order groups have <=7 rows, which
+  * would make "top 2 per group" nearly the identity.
   *
   * Scale notes (the h2o suite is exactly a scale stress):
   *  - h05/h10 are high-cardinality groupbys — hash partial→final on the
@@ -101,10 +105,10 @@ object H2o {
         .orderBy(col("l_suppkey"))
     },
 
-    // g8: top-2 v3 per id6 via ROW_NUMBER (WindowGroupLimit pushes the
-    // rank<=2 filter below the exchange). Unique tie-break keys keep the
-    // row set deterministic; rank cast to long (DuckDB ROW_NUMBER is
-    // BIGINT, Spark's is int).
+    // g8: top-2 per group via ROW_NUMBER, partitioned by id3/suppkey (see
+    // header note; WindowGroupLimit pushes the rank<=2 filter below the
+    // exchange). Unique tie-break keys keep the row set deterministic;
+    // rank cast to long (DuckDB ROW_NUMBER is BIGINT, Spark's is int).
     "h08_top2_by_id6" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
@@ -120,14 +124,15 @@ object H2o {
 
     // g9: POWER(CORR(v1,v2),2) by id2, id4 — power-sum corr over integer
     // CENTS (corr is scale-invariant, so scaling both variables by 100
-    // changes nothing semantically). Cents keep every power sum an exact
-    // BIGINT whose ->double conversion is a SINGLE rounding in both
-    // engines; large DECIMAL->DOUBLE casts can differ by an ulp between
-    // Spark (BigDecimal, correctly rounded) and DuckDB (int128 then
-    // /10^scale — two roundings).
+    // changes nothing semantically). Cents at DECIMAL scale 0 keep every
+    // power sum exact AND overflow-proof to 1e38 (an int64 sum of price²
+    // cents would overflow ~6x beyond the bench SF), while the ->double
+    // conversion stays a SINGLE rounding in both engines — scale-0
+    // decimals convert integer->double directly, unlike DECIMAL(p,2)
+    // whose DuckDB cast rounds twice (int128 then /10^scale).
     "h09_r2_by_id24" -> { (s, dir) =>
-      val x = round(col("l_quantity") * 100).cast("long")
-      val y = round(col("l_extendedprice") * 100).cast("long")
+      val x = round(col("l_quantity") * 100).cast("decimal(18,0)")
+      val y = round(col("l_extendedprice") * 100).cast("decimal(18,0)")
       val agg = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_linestatus"), col("l_linenumber"))
         .agg(sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
@@ -283,16 +288,16 @@ object H2o {
     "h09_r2_by_id24" ->
       """WITH b AS (
         | SELECT l_linestatus, l_linenumber,
-        |  CAST(round(l_quantity * 100) AS BIGINT) AS x,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  CAST(round(l_quantity * 100) AS DECIMAL(18,0)) AS x,
+        |  CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS y
         | FROM lineitem),
         |t AS (
         | SELECT l_linestatus, l_linenumber,
-        |  CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
-        |  CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
-        |  CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
-        |  CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy,
-        |  CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+        |  CAST(SUM(x) AS DOUBLE) AS sx,
+        |  CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |  CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |  CAST(SUM(x * y) AS DOUBLE) AS sxy,
         |  CAST(COUNT(*) AS DOUBLE) AS n
         | FROM b GROUP BY l_linestatus, l_linenumber),
         |c AS (

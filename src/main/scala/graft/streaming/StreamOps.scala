@@ -68,12 +68,21 @@ object StreamOps {
       sorted.foreach { e =>
         val t = e.ts.getTime
         open match {
-          case Some(s) if t - s.last <= gapMs =>
-            open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+          case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+            // min() on start: a within-gap event from an earlier event-time
+            // can arrive in a later micro-batch (allowed until the
+            // watermark passes it) and must extend the session backwards.
+            open = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1,
               total = s.total + e.value))
-          case Some(s) =>
+          case Some(s) if t - s.last > gapMs =>
             closed += Session(userId, new Timestamp(s.start), s.n, s.total)
             open = Some(OpenSession(t, t, 1L, e.value))
+          case Some(_) =>
+            // t < open.start - gap: a straggler strictly before the open
+            // session — it is gap-separated from everything we still
+            // track, so it closes immediately as a singleton.
+            closed += Session(userId, new Timestamp(t), 1L, e.value)
           case None =>
             open = Some(OpenSession(t, t, 1L, e.value))
         }

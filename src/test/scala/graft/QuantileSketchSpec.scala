@@ -57,6 +57,26 @@ class QuantileSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("merge terminates on adversarial tiny-capacity sequences (hang regression)") {
+    // Regression: compact() used to no-op (first level <2 items) while
+    // merge's shrink loop condition stayed true — ~5% of random
+    // insert/merge sequences at capacity 4-64 hung. compact() now targets
+    // the fullest level and reports no-progress, which shrink treats as
+    // stop.
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val cap = 4 + rnd.nextInt(60)
+      val a = new KllState(cap)
+      val b = new KllState(cap)
+      (0 until rnd.nextInt(300)).foreach(_ => a.insert(rnd.nextDouble()))
+      (0 until rnd.nextInt(300)).foreach(_ => b.insert(rnd.nextDouble()))
+      a.merge(b)
+      a.merge(KllState.deserialize(a.serialize()))
+      assert(a.totalItems <= math.max(cap, a.levels.length) + cap,
+        s"state ballooned: ${a.totalItems} items at capacity $cap")
+    }
+  }
+
   test("distributed partial/merge across a shuffle stays exact under capacity") {
     val df = spark.range(0, 5000, 1, 8) // 8 partitions -> 8 partial sketches
       .select((col("id") % 100).as("g"), col("id").cast("double").as("v"))
