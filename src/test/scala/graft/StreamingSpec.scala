@@ -55,6 +55,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("out-of-order within-gap event extends the session backwards") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionize(input.toDS(), gapMinutes = 30, "10 minutes")
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts(100), 1.0))
+      q.processAllAvailable() // watermark -> 90min: ts(95) is NOT late yet
+      input.addData(Ev(1, ts(95), 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(99, ts(1000), 0.0)) // advance watermark, fire timeout
+      q.processAllAvailable()
+      val got = spark.table("sessions_ooo")
+        .filter(col("user_id") === 1)
+        .select(col("session_start"), col("n_events"), col("total_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      assert(got == Seq((ts(95), 2L, 3.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions; matches batch twin") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
