@@ -114,6 +114,23 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    "v05_quantize_int8" -> { (s, dir) =>
+      // Symmetric int8 quantization per vector (the storage-side play for
+      // 100 TB embedding corpora: 4x smaller than float32, dot products
+      // in integer SIMD). Scale = 127 / max|x|; everything is per-row
+      // projection — no shuffle at all until the final ORDER BY.
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      Tables.load(s, dir, "embeddings")
+        .withColumn("max_abs", array_max(transform(ed, x => abs(x))))
+        .withColumn("scale",
+          when(col("max_abs") === 0.0, lit(0.0))
+            .otherwise(lit(127.0) / col("max_abs")))
+        .select(col("vec_id"),
+          transform(ed, x => round(x * col("scale")).cast("long")).as("q8"),
+          col("max_abs"))
+        .orderBy(col("vec_id"))
+    },
+
     "v03_neardup_embed" -> { (s, dir) =>
       val e = withBucket(Tables.load(s, dir, "embeddings"))
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
@@ -197,6 +214,20 @@ object Similarity {
          | FROM pairs)
          |SELECT q_id, c_id, rnk, sim FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "v05_quantize_int8" ->
+      """WITH m AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+        | FROM embeddings),
+        |sc AS (
+        | SELECT vec_id, ed, max_abs,
+        |  CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale
+        | FROM m)
+        |SELECT vec_id,
+        | list_transform(ed, x -> CAST(round(x * scale) AS BIGINT)) AS q8,
+        | max_abs
+        |FROM sc ORDER BY vec_id""".stripMargin,
 
     "v03_neardup_embed" ->
       s"""WITH withb AS (

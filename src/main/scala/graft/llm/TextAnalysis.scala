@@ -97,6 +97,27 @@ object TextAnalysis {
       ex.groupBy(col("doc_id"))
         .agg((sum((col("pos") + 1) * col("h")) % P2).as("fingerprint"))
         .orderBy(col("doc_id"))
+    },
+
+    "t06_chunking" -> { (s, dir) =>
+      // Sliding-window chunking (size 50 tokens, stride 40 => overlap
+      // 10) — the pretraining/RAG shard-prep primitive. Pure per-row
+      // array work (sequence + slice, all codegen); the chunk explode is
+      // the only row multiplier and it is bounded by doc length / stride.
+      // Chunks are content-addressed with md5 for a compact compare.
+      val C = 50
+      val S = 40
+      val starts = sequence(lit(0),
+        greatest(size(toks) - 1, lit(0)), lit(S))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tk"),
+          explode(starts).as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+          least(lit(C), size(col("tk")) - col("chunk_start")).cast("long")
+            .as("n_chunk_toks"),
+          md5(array_join(slice(col("tk"), col("chunk_start") + 1, lit(C)), " ")
+            .cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_start"))
     }
   )
 
@@ -156,6 +177,18 @@ object TextAnalysis {
         |  (('0x' || substr(md5(unnest(string_split(text,' '))),1,15))::BIGINT % 1000003) AS h
         | FROM documents)
         |SELECT doc_id, CAST(SUM(pos1 * h) % 1000003 AS BIGINT) AS fingerprint
-        |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t06_chunking" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (
+        | SELECT doc_id, tk,
+        |  unnest(range(0, greatest(len(tk) - 1, 0) + 1, 40)) AS chunk_start
+        | FROM d)
+        |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+        | CAST(least(50, len(tk) - chunk_start) AS BIGINT) AS n_chunk_toks,
+        | md5(array_to_string(list_slice(tk, chunk_start + 1, chunk_start + 50), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin
   )
 }
