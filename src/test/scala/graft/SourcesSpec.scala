@@ -87,6 +87,18 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       o.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("COPY TO analogue: INSERT OVERWRITE DIRECTORY writes queryable parquet") {
+    // Reference: SQL `COPY ... TO` (context_checks.rs:448-494) — the
+    // SQL-directed file sink. Spark's equivalent statement form.
+    Tables.load(spark, sf, "region").createOrReplaceTempView("region_v")
+    spark.sql(
+      s"""INSERT OVERWRITE DIRECTORY '$tmp/region_copy' USING parquet
+         |SELECT r_regionkey, r_name FROM region_v""".stripMargin)
+    val back = spark.read.parquet(s"$tmp/region_copy")
+    assert(back.count() == Tables.load(spark, sf, "region").count())
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name"))
+  }
+
   test("bucketed tables join co-located: no shuffle exchange on either side") {
     // The 100 TB co-location play: bucket both fact tables on the join key
     // at write time; the sort-merge join then reads bucket-aligned splits
