@@ -166,6 +166,40 @@ object Dedup {
         .reduce(_ + _)
       grouped.select(col("doc_id"), simhash.as("simhash16"))
         .orderBy(col("doc_id"))
+    },
+
+    "d06_dup_clusters" -> { (s, dir) =>
+      // Duplicate CLUSTERING — the step a real pipeline runs after pair
+      // mining: connected components over the d03 near-dup pairs, cluster
+      // id = min doc_id in the component (then "keep one per cluster").
+      // Min-label propagation, a fixed number of rounds: each round is
+      // one shuffle join + one min-aggregate, the standard iterative CC
+      // at cluster scale (labels only, never adjacency in driver memory).
+      // Near-dup components are clique-like (everything similar to
+      // everything), so 8 hops is far past their diameter; the DuckDB
+      // recursive-CTE oracle computes the true fixpoint, so the gate
+      // would catch a component deeper than the round budget.
+      // localCheckpoint = the iteration barrier: without it every round
+      // embeds the previous round's WHOLE plan (and the d03 subtree)
+      // twice, and the lineage grows 2^rounds — the optimizer, not the
+      // data, becomes the bottleneck. Checkpointed labels stay
+      // distributed (executor-local blocks), nothing is collected.
+      val pairs = queries("d03_minhash_lsh_pairs")(s, dir)
+        .select(col("da"), col("db")).localCheckpoint()
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .toDF("src", "dst")
+      val nodes = edges.select(col("src").as("id")).distinct()
+      var lab = nodes.withColumn("lbl", col("id"))
+      (0 until 8).foreach { _ =>
+        val prop = edges.join(lab, col("src") === col("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        lab = lab.unionByName(prop)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      lab.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -175,6 +209,30 @@ object Dedup {
     val mhExprs = A.indices.map { j =>
       s"list_min(list_transform(toks, t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647)) AS mh$j"
     }.mkString(",\n ")
+
+    // Shared CTE chain: LSH-banded candidate pairs verified at jac >= 0.7
+    // (the DuckDB twin of d03's plan; d06's closure builds on it).
+    val lshPairCtes =
+      s"""sig AS (
+         | SELECT doc_id, source,
+         |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
+         |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
+         | FROM documents),
+         |bands AS (
+         | SELECT doc_id, source, tset, generate_subscripts(sig,1)-1 AS band, unnest(sig) AS mh
+         | FROM sig),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.tset AS ta, b.tset AS tb
+         | FROM bands a JOIN bands b
+         |  ON a.source = b.source AND a.band = b.band AND a.mh = b.mh
+         |     AND a.doc_id < b.doc_id),
+         |dup_pairs AS (
+         | SELECT da, db,
+         |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+         |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
+         | FROM cand
+         | WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+         |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.7)""".stripMargin
 
     val bitSums = (0 until 16).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
@@ -195,26 +253,22 @@ object Dedup {
            |ORDER BY doc_id""".stripMargin,
 
       "d03_minhash_lsh_pairs" ->
-        s"""WITH sig AS (
-           | SELECT doc_id, source,
-           |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
-           |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
-           | FROM documents),
-           |bands AS (
-           | SELECT doc_id, source, tset, generate_subscripts(sig,1)-1 AS band, unnest(sig) AS mh
-           | FROM sig),
-           |cand AS (
-           | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.tset AS ta, b.tset AS tb
-           | FROM bands a JOIN bands b
-           |  ON a.source = b.source AND a.band = b.band AND a.mh = b.mh
-           |     AND a.doc_id < b.doc_id)
-           |SELECT da, db,
-           | CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
-           |   (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
-           |FROM cand
-           |WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
-           |   (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.7
-           |ORDER BY da, db""".stripMargin,
+        s"""WITH $lshPairCtes
+           |SELECT da, db, jac FROM dup_pairs ORDER BY da, db""".stripMargin,
+
+      "d06_dup_clusters" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |edges AS (
+           | SELECT da AS a, db AS b FROM dup_pairs
+           | UNION SELECT db, da FROM dup_pairs
+           | UNION SELECT da, da FROM dup_pairs
+           | UNION SELECT db, db FROM dup_pairs),
+           |reach AS (
+           | SELECT a, b FROM edges
+           | UNION
+           | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
       "d04_ngram_jaccard" ->
         """WITH sh AS (
