@@ -69,6 +69,27 @@ object Temporal {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    "p05_asof_tolerance" -> { (s, dir) =>
+      // As-of join with a staleness bound: matches older than 2 h are
+      // nulled (kept as rows — the match existed, it is just too stale
+      // to use), the standard point-in-time-feature-store semantic.
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"),
+          col("ts").as("click_ts"))
+      val tolNs = 2L * 3600 * 1000 * 1000 * 1000 // ts is long nanos
+      val fresh = col("asof_click_ts") >= col("ts") - tolNs
+      AsOfJoin.backward(purchases, clicks, key = "user_id", ts = "ts",
+          rightCols = Seq("click_ts", "click_value"))
+        .filter(col("asof_click_ts").isNotNull) // inner ASOF semantics
+        .select(col("event_id"), col("user_id"), col("value"),
+          when(fresh, expr("asof_click_ts div 1000")).as("asof_click_us"),
+          when(fresh, col("asof_click_value")).as("asof_click_value"))
+        .orderBy(col("event_id"))
+    },
+
     "p04_salted_join" -> { (s, dir) =>
       // Skew-mitigated join (graft.operators.SaltedJoin): lineitem's
       // suppkey spread over 8 salts, supplier replicated 8x. The result
@@ -119,6 +140,17 @@ object Temporal {
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "p05_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, l.value,
+        | CASE WHEN r.ts >= l.ts - INTERVAL 2 HOUR
+        |      THEN CAST(epoch_us(r.ts) AS BIGINT) END AS asof_click_us,
+        | CASE WHEN r.ts >= l.ts - INTERVAL 2 HOUR
+        |      THEN r.value END AS asof_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "p04_salted_join" ->
       """SELECT s_nationkey AS nk, COUNT(*) AS n,
