@@ -146,6 +146,24 @@ object Functions {
             .as("lev"),
           bit_count(col("c_custkey")).cast("long").as("bits"))
         .orderBy(col("c_custkey"))
+    },
+
+    "f09_json" -> { (s, dir) =>
+      // JSON path extraction (registry breadth: DataFusion ships JSON
+      // functions via its default registry) — both the string-path
+      // extractor and the schema'd parse, aggregated per event type.
+      Tables.load(s, dir, "events")
+        .withColumn("k1", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k2",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k1")).as("sum_k"),
+          count(col("k1")).as("n_k"),
+          sum(when(col("k1") === col("k2"), 1L).otherwise(0L))
+            .as("n_parse_agree"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -239,6 +257,15 @@ object Functions {
         | lower(hex(c_name)) AS name_hex,
         | CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
         | CAST(bit_count(c_custkey) AS BIGINT) AS bits
-        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+
+    "f09_json" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(json_extract(props, '$.k')) AS n_k,
+        | CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+        |                    = CAST(json_extract(props, '$.k') AS BIGINT)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_agree
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
