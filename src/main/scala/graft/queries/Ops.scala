@@ -47,6 +47,16 @@ object Ops {
         .filter(col("key").startsWith("spark.sql.adaptive") ||
           col("key") === "spark.sql.autoBroadcastJoinThreshold")
         .orderBy(col("key"))
+    },
+
+    "x04_show_tables" -> { (s, dir) =>
+      // Catalog listing (reference: should_execute_show_tables /
+      // test_ballista_show_tables) over the registered source tables.
+      Tables.registerAll(s, dir)
+      s.sql("SHOW TABLES")
+        .select(col("tableName"), col("isTemporary"))
+        .filter(col("tableName").isin(Tables.names: _*))
+        .orderBy(col("tableName"))
     }
   )
 

@@ -152,6 +152,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("SELECT without FROM executes as a one-row plan") {
+    // Reference: test_empty_exec_with_one_row (EmptyExec producing a
+    // single row) — Spark's OneRowRelation.
+    val r = spark.sql("SELECT 1 AS one, 2 + 3 AS five, 'x' AS s").collect()
+    assert(r.length == 1 && r(0).getInt(0) == 1 && r(0).getInt(1) == 5 &&
+      r(0).getString(2) == "x")
+  }
+
   test("AQE is enabled on the session profile") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     val p = ranPlan("q5_join6")
