@@ -86,10 +86,18 @@ object Dedup {
       // Bucket-join, never all-pairs.
       // Perf: the pair-distinct must shuffle ONLY (da, db) — carrying the
       // token arrays through that shuffle was a 20× slowdown at sf0.1.
-      // Token sets re-attach afterwards (broadcast here; at cluster scale
-      // this becomes a shuffle join on doc_id, still linear). The sets are
-      // int64 token hashes, not strings: long-array intersection is far
-      // cheaper per pair and identical across engines (same md5 hash).
+      // Token sets re-attach afterwards via a plain equi-join on doc_id —
+      // NO broadcast hint: tsets is corpus-sized (one row per document),
+      // so a forced broadcast is exactly the thing that kills a
+      // 1000-executor run. AQE promotes the join to broadcast when the
+      // runtime stats say the side is small (it does at test SF) and
+      // keeps it a shuffle join at corpus scale — the same stats-driven
+      // decision the reference's planner makes from table statistics
+      // (scheduler/src/planner.rs:313-350). PlanShapeSpec pins that no
+      // corpus-lineage BroadcastExchange appears in the static plan.
+      // The sets are int64 token hashes, not strings: long-array
+      // intersection is far cheaper per pair and identical across engines
+      // (same md5 hash).
       // md5 runs ONCE per token (`__th` feeds both tset and the sig), and
       // `sig` is persisted: it feeds three consumers (bands + both tset
       // re-attach joins), which would otherwise re-hash the corpus 3×.
@@ -111,10 +119,10 @@ object Dedup {
         .select(col("da"), col("db")).distinct()
       val tsets = sig.select(col("doc_id"), col("tset"))
       cand
-        .join(broadcast(tsets.select(col("doc_id").as("da"),
-          col("tset").as("ta"))), "da")
-        .join(broadcast(tsets.select(col("doc_id").as("db"),
-          col("tset").as("tb"))), "db")
+        .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
+          "da")
+        .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
+          "db")
         .withColumn("inter",
           size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .withColumn("uni",

@@ -46,6 +46,21 @@ object Similarity {
     df.withColumn("bucket", planes.reduce(_ + _))
   }
 
+  /** Int8-quantized embeddings with the codes as a true `array<long>`
+    * column — the form a consumer would store. v05 grades a stringified
+    * projection of this; SimilaritySpec pins the array form directly. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    Tables.load(s, dir, "embeddings")
+      .withColumn("max_abs", array_max(transform(ed, x => abs(x))))
+      .withColumn("scale",
+        when(col("max_abs") === 0.0, lit(0.0))
+          .otherwise(lit(127.0) / col("max_abs")))
+      .select(col("vec_id"),
+        transform(ed, x => round(x * col("scale")).cast("long")).as("q8"),
+        col("max_abs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_brute" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -119,14 +134,13 @@ object Similarity {
       // 100 TB embedding corpora: 4x smaller than float32, dot products
       // in integer SIMD). Scale = 127 / max|x|; everything is per-row
       // projection — no shuffle at all until the final ORDER BY.
-      val ed = transform(col("embedding"), x => x.cast("double"))
-      Tables.load(s, dir, "embeddings")
-        .withColumn("max_abs", array_max(transform(ed, x => abs(x))))
-        .withColumn("scale",
-          when(col("max_abs") === 0.0, lit(0.0))
-            .otherwise(lit(127.0) / col("max_abs")))
+      // Graded output carries the codes as a CSV string: the oracle
+      // harness's pandas compare cannot hash an array<long> column (the r2
+      // v05 crash); the true array form is pinned in SimilaritySpec.
+      quantizeInt8(s, dir)
         .select(col("vec_id"),
-          transform(ed, x => round(x * col("scale")).cast("long")).as("q8"),
+          array_join(transform(col("q8"), x => x.cast("string")), ",")
+            .as("q8_csv"),
           col("max_abs"))
         .orderBy(col("vec_id"))
     },
@@ -225,7 +239,7 @@ object Similarity {
         |  CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale
         | FROM m)
         |SELECT vec_id,
-        | list_transform(ed, x -> CAST(round(x * scale) AS BIGINT)) AS q8,
+        | array_to_string(list_transform(ed, x -> CAST(round(x * scale) AS BIGINT)), ',') AS q8_csv,
         | max_abs
         |FROM sc ORDER BY vec_id""".stripMargin,
 

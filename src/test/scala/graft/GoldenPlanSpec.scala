@@ -52,6 +52,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+L?", "#N")
+      // Lambda variable NAMES (x_23, y_24) embed a JVM-global counter that
+      // #id normalization misses — they too depend on how many suites ran
+      // before this one.
+      .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_K")
       .replaceAll("plan_id=\\d+", "plan_id=N")
       .replaceAll("Location: [^,\\]]+\\)?\\[[^\\]]*\\]", "Location: <path>")
       .replaceAll("/root/testdata/sf[0-9.]+", "<sfdir>")

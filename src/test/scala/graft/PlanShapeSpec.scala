@@ -152,6 +152,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("d03: token-set re-attach is stats-driven, never a forced broadcast") {
+    // The tset side of the d03 re-attach join is corpus-sized (one row per
+    // document) — a hard-coded broadcast() of it is the one thing that
+    // kills a 1000-executor run (the r2 verdict's scale flaw). A forced
+    // hint survives autoBroadcastJoinThreshold=-1; a stats-driven promotion
+    // does not. So: with both static and adaptive thresholds off, the d03
+    // plan must contain NO broadcast join at all — proving every broadcast
+    // seen at test scale comes from size stats (the reference's
+    // planner.rs:313-350 stats-driven decision), not from a hint.
+    val prevS = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.filter(_ != null)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = ranPlan("d03_minhash_lsh_pairs")
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastExchange"),
+        s"d03 still forces a corpus-size broadcast:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevS)
+      prevA match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("SELECT without FROM executes as a one-row plan") {
     // Reference: test_empty_exec_with_one_row (EmptyExec producing a
     // single row) — Spark's OneRowRelation.

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Properties of the embedding operators that the string-projected oracle
+  * rows can't pin: the true `array<long>` form of the int8 quantizer
+  * (v05 grades a CSV projection because the driver's pandas compare cannot
+  * hash array columns) and its dequantization error bound.
+  */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("quantizeInt8 emits array<long> codes in [-127, 127], full width") {
+    val q = graft.llm.Similarity.quantizeInt8(spark, sf)
+    assert(q.schema("q8").dataType.typeName == "array")
+    val bad = q.filter(
+      exists(col("q8"), x => x < -127L || x > 127L) ||
+        size(col("q8")) =!= 64).count()
+    assert(bad == 0, s"$bad vectors with out-of-range codes or wrong width")
+    // Each non-zero vector must hit full scale: some |code| == 127.
+    val noFull = q.filter(col("max_abs") > 0.0)
+      .filter(!exists(col("q8"), x => abs(x) === 127L)).count()
+    assert(noFull == 0, s"$noFull non-zero vectors never reach |code|=127")
+  }
+
+  test("dequantized values reconstruct within half-step error") {
+    // |x - q/scale| <= 0.5/scale = max_abs/254 per component.
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("ed"))
+    val q = graft.llm.Similarity.quantizeInt8(spark, sf)
+    val joined = q.join(e, "vec_id").filter(col("max_abs") > 0.0)
+      .withColumn("err", aggregate(
+        zip_with(col("ed"), col("q8"), (x, c) =>
+          abs(x - c.cast("double") * col("max_abs") / 127.0)),
+        lit(0.0), (acc, v) => greatest(acc, v)))
+    val viol = joined
+      .filter(col("err") > col("max_abs") / 254.0 * 1.0000001).count()
+    assert(viol == 0, s"$viol vectors exceed the half-step error bound")
+  }
+
+  test("v05 graded projection matches the array form element-wise") {
+    val graded = graft.llm.Similarity.queries("v05_quantize_int8")(spark, sf)
+    val arr = graft.llm.Similarity.quantizeInt8(spark, sf)
+      .select(col("vec_id"),
+        array_join(transform(col("q8"), x => x.cast("string")), ",")
+          .as("expect_csv"))
+    val diff = graded.join(arr, "vec_id")
+      .filter(col("q8_csv") =!= col("expect_csv")).count()
+    assert(diff == 0)
+  }
+}
