@@ -53,5 +53,9 @@ object SparkEntry {
     "q2_min_cost_supplier" -> "synthetic schema has no partsupp table",
     "q11_important_stock" -> "synthetic schema has no partsupp table",
     "q16_supplier_cnt" -> "synthetic schema has no partsupp table",
-    "q20_potential_promo" -> "synthetic schema has no partsupp table")
+    "q20_potential_promo" -> "synthetic schema has no partsupp table",
+    "avro_scan" -> ("environment-blocked: spark-avro is a separate jar not " +
+      "in /opt/spark/jars and the build has zero egress; the reference " +
+      "reads Avro via its listing-table machinery (README.md:49). The " +
+      "CSV/JSON/Parquet/Arrow-IPC sources cover the same scan surface."))
 }

@@ -37,8 +37,12 @@ object Chaos {
     attempts.computeIfAbsent((runId, partition), _ => new AtomicInteger())
       .getAndIncrement()
 
-  /** Logical marker: fail the first attempt of `failPartition`. */
-  case class ChaosNode(child: LogicalPlan, runId: String, failPartition: Int)
+  /** Logical marker: fail the first attempt of `failPartition` — or EVERY
+    * attempt when `fatal` (the reference's terminal `FailedTask` path,
+    * `core/proto/ballista.proto:607-679`: a task whose failure reason is
+    * non-retryable fails the job rather than rescheduling forever). */
+  case class ChaosNode(child: LogicalPlan, runId: String, failPartition: Int,
+                       fatal: Boolean = false)
       extends UnaryNode {
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(c: LogicalPlan): ChaosNode =
@@ -48,15 +52,18 @@ object Chaos {
   /** Plans ChaosNode → ChaosExec (the §7 path-(c) SparkStrategy). */
   object ChaosStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case ChaosNode(child, runId, failPartition) =>
-        ChaosExec(planLater(child), runId, failPartition) :: Nil
+      case ChaosNode(child, runId, failPartition, fatal) =>
+        ChaosExec(planLater(child), runId, failPartition, fatal) :: Nil
       case _ => Nil
     }
   }
 
   /** Physical pass-through that throws on the first attempt of one
-    * partition — retried attempts stream the child normally. */
-  case class ChaosExec(child: SparkPlan, runId: String, failPartition: Int)
+    * partition — retried attempts stream the child normally, unless
+    * `fatal`, in which case every attempt throws and Spark gives up after
+    * spark.task.maxFailures, surfacing the chaos error to the caller. */
+  case class ChaosExec(child: SparkPlan, runId: String, failPartition: Int,
+                       fatal: Boolean = false)
       extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning = child.outputPartitioning
@@ -67,8 +74,13 @@ object Chaos {
     override protected def doExecute(): RDD[InternalRow] = {
       val id = runId
       val target = failPartition
+      val isFatal = fatal
       child.execute().mapPartitionsWithIndex { (pid, it) =>
         val attempt = Chaos.registerAttempt(id, pid)
+        if (pid == target && isFatal) {
+          throw new RuntimeException(
+            s"chaos: injected FATAL fault in partition $pid (attempt $attempt)")
+        }
         if (pid == target && attempt == 0 &&
             TaskContext.get().attemptNumber() == 0) {
           throw new RuntimeException(
@@ -81,7 +93,8 @@ object Chaos {
 
   /** Wrap a DataFrame with fault injection (test harness entry point). */
   def inject(spark: SparkSession, df: DataFrame, runId: String,
-             failPartition: Int = 0): DataFrame =
+             failPartition: Int = 0, fatal: Boolean = false): DataFrame =
     org.apache.spark.sql.classic.GraftDatasetShim.ofRows(
-      spark, ChaosNode(df.queryExecution.analyzed, runId, failPartition))
+      spark, ChaosNode(df.queryExecution.analyzed, runId, failPartition,
+        fatal))
 }

@@ -8,7 +8,9 @@ import graft.queries.Dx._
 
 /** TPC-DS-class composite shapes — the reference's TPC-DS corpus leans on
   * channel-union + ROLLUP reports (q5/q77/q80), windowed top-k over joined
-  * aggregates (q67), and EXISTS/NOT-EXISTS chains (q10/q35)
+  * aggregates (q67), EXISTS/NOT-EXISTS chains (q10/q35), channel-INTERSECT
+  * item restriction (q14), cumulative window-over-union comparison (q51),
+  * and deep multi-join year-over-year reports (q64)
   * (`benchmarks/queries-tpcds/`). Re-expressed on the synthetic schema,
   * each combining several §2B rows in one plan.
   */
@@ -109,6 +111,112 @@ object Composite {
         .select(col("mth"), col("rev1996"), col("rev1997"),
           (col("rev1997") / col("rev1996")).as("growth"))
         .orderBy(col("mth"))
+    },
+
+    "c06_channel_intersect" -> { (s, dir) =>
+      // q14 shape: cross_items = parts sold in ALL channels (INTERSECT of
+      // part keys across three channel slices), then the channel-union
+      // report restricted to that set. INTERSECT is a shuffle on the key
+      // only (distinct + semi-join semantics), and the final restriction
+      // is a semi-join — no row blow-up anywhere at 100 TB.
+      val l = Tables.load(s, dir, "lineitem")
+      def chan(name: String, cond: org.apache.spark.sql.Column): DataFrame =
+        l.filter(cond).select(col("l_partkey"), col("l_extendedprice"),
+          col("l_discount"), lit(name).as("channel"))
+      val c1 = chan("y1996", col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01"))
+      val c2 = chan("y1997", col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      val c3 = chan("returned", col("l_returnflag") === "R")
+      val cross = c1.select(col("l_partkey"))
+        .intersect(c2.select(col("l_partkey")))
+        .intersect(c3.select(col("l_partkey")))
+      val p = Tables.load(s, dir, "part")
+      c1.unionByName(c2).unionByName(c3)
+        .join(cross, Seq("l_partkey"), "left_semi")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("channel"), col("p_brand"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("rev"),
+          count(lit(1)).as("n_sales"))
+        .orderBy(col("channel"), col("p_brand"))
+    },
+
+    "c07_cumulative_compare" -> { (s, dir) =>
+      // q51 shape: two channel series full-outer-joined on the month key,
+      // cumulative sums over the join, rows where one channel's running
+      // total overtakes the other. The cumulative sums stay in DECIMAL
+      // through the window (exact + associative): DuckDB computes windowed
+      // double sums with a segment tree, whose association order differs
+      // from Spark's streaming frame — decimals make that unobservable.
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+      def series(flag: String, out: String): DataFrame =
+        l.filter(col("l_returnflag") === flag)
+          .groupBy((year(col("l_shipdate")) * 100 +
+            month(col("l_shipdate"))).cast("long").as("ym"))
+          .agg(sum(dec(col("l_extendedprice"))).as(out))
+      val a = series("R", "rev_r")
+      val b = series("N", "rev_n").withColumnRenamed("ym", "ym2")
+      val z = lit(BigDecimal(0)).cast("decimal(12,2)")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ym"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      a.join(b, col("ym") === col("ym2"), "full_outer")
+        .select(coalesce(col("ym"), col("ym2")).as("ym"),
+          coalesce(col("rev_r"), z).as("rev_r"),
+          coalesce(col("rev_n"), z).as("rev_n"))
+        .withColumn("cum_r", sum(col("rev_r")).over(w))
+        .withColumn("cum_n", sum(col("rev_n")).over(w))
+        .filter(col("cum_r") > col("cum_n"))
+        .select(col("ym"), col("rev_r").cast("double").as("rev_r"),
+          col("rev_n").cast("double").as("rev_n"),
+          col("cum_r").cast("double").as("cum_r"),
+          col("cum_n").cast("double").as("cum_n"))
+        .orderBy(col("ym"))
+    },
+
+    "c08_deep_report" -> { (s, dir) =>
+      // q64 shape: the same 6-table dimension pipeline evaluated at two
+      // periods, self-joined on the report key to compare across years
+      // (q64 keeps rows where the later count <= the earlier). Dimension
+      // joins broadcast; the two year slices scan-prune on l_shipdate;
+      // the self-join key (cust_nation, p_brand) is low-cardinality but
+      // the joined sides are already aggregates — tiny at any scale.
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val sup = Tables.load(s, dir, "supplier")
+      val p = Tables.load(s, dir, "part")
+      val cn = n.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))
+      val sn = n.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      def yearly(year: Int, rev: String, cnt: String): DataFrame =
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= ts(s"$year-01-01") &&
+            col("l_shipdate") < ts(s"${year + 1}-01-01"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(cn, col("c_nationkey") === col("cn_key"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(sn, col("s_nationkey") === col("sn_key"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("cust_nation"), col("p_brand"))
+          .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+              .cast("double").as(rev),
+            count(lit(1)).as(cnt))
+      val y96 = yearly(1996, "rev96", "n96")
+      val y97 = yearly(1997, "rev97", "n97")
+        .withColumnRenamed("cust_nation", "cn2")
+        .withColumnRenamed("p_brand", "pb2")
+      y96.join(y97, col("cust_nation") === col("cn2") &&
+          col("p_brand") === col("pb2"))
+        .filter(col("rev97") <= col("rev96"))
+        .select(col("cust_nation"), col("p_brand"),
+          col("rev96"), col("n96"), col("rev97"), col("n97"))
+        .orderBy(col("cust_nation"), col("p_brand"))
     }
   )
 
@@ -183,6 +291,79 @@ object Composite {
         | GROUP BY 1)
         |SELECT r96.mth, rev1996, rev1997, rev1997 / rev1996 AS growth
         |FROM r96 JOIN r97 ON r96.mth = r97.mth
-        |ORDER BY r96.mth""".stripMargin
+        |ORDER BY r96.mth""".stripMargin,
+
+    "c06_channel_intersect" ->
+      """WITH chan AS (
+        | SELECT l_partkey, l_extendedprice, l_discount, 'y1996' AS channel
+        | FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | UNION ALL
+        | SELECT l_partkey, l_extendedprice, l_discount, 'y1997' AS channel
+        | FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | UNION ALL
+        | SELECT l_partkey, l_extendedprice, l_discount, 'returned' AS channel
+        | FROM lineitem WHERE l_returnflag = 'R'),
+        |cross_parts AS (
+        | SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | INTERSECT
+        | SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | INTERSECT
+        | SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT channel, p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS rev,
+        | COUNT(*) AS n_sales
+        |FROM chan JOIN part ON l_partkey = p_partkey
+        |WHERE l_partkey IN (SELECT l_partkey FROM cross_parts)
+        |GROUP BY channel, p_brand
+        |ORDER BY channel, p_brand""".stripMargin,
+
+    "c07_cumulative_compare" ->
+      """WITH l2 AS (
+        | SELECT * FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |a AS (
+        | SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_r
+        | FROM l2 WHERE l_returnflag = 'R' GROUP BY 1),
+        |b AS (
+        | SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_n
+        | FROM l2 WHERE l_returnflag = 'N' GROUP BY 1),
+        |j AS (
+        | SELECT COALESCE(a.ym, b.ym) AS ym,
+        |  COALESCE(rev_r, CAST(0 AS DECIMAL(12,2))) AS rev_r,
+        |  COALESCE(rev_n, CAST(0 AS DECIMAL(12,2))) AS rev_n
+        | FROM a FULL OUTER JOIN b ON a.ym = b.ym),
+        |cum AS (
+        | SELECT ym, rev_r, rev_n,
+        |  SUM(rev_r) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+        |  SUM(rev_n) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        | FROM j)
+        |SELECT ym, CAST(rev_r AS DOUBLE) AS rev_r, CAST(rev_n AS DOUBLE) AS rev_n,
+        | CAST(cum_r AS DOUBLE) AS cum_r, CAST(cum_n AS DOUBLE) AS cum_n
+        |FROM cum WHERE cum_r > cum_n ORDER BY ym""".stripMargin,
+
+    "c08_deep_report" ->
+      """WITH yearly AS (
+        | SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        |  cn.n_name AS cust_nation, p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1, 2, 3)
+        |SELECT y96.cust_nation, y96.p_brand,
+        | y96.rev AS rev96, y96.n AS n96, y97.rev AS rev97, y97.n AS n97
+        |FROM yearly y96 JOIN yearly y97
+        |  ON y96.cust_nation = y97.cust_nation AND y96.p_brand = y97.p_brand
+        | AND y96.yr = 1996 AND y97.yr = 1997
+        |WHERE y97.rev <= y96.rev
+        |ORDER BY y96.cust_nation, y96.p_brand""".stripMargin
   )
 }

@@ -51,4 +51,25 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Chaos.attemptCount(runId) >= 5,
       s"expected a retried attempt, saw ${Chaos.attemptCount(runId)}")
   }
+
+  test("fatal fault exhausts retries and fails the job with the chaos error") {
+    // Reference: the terminal FailedTask path (ballista.proto:607-679) — a
+    // non-retryable failure reason fails the JOB, it is not rescheduled
+    // forever. Here every attempt of partition 1 throws; local[4,2] allows
+    // 2 attempts, then Spark aborts the stage and surfaces the cause.
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .repartition(4)
+    val runId = s"fatal-${System.nanoTime()}"
+    val chaotic = Chaos.inject(spark, df, runId, failPartition = 1,
+      fatal = true)
+    val e = intercept[org.apache.spark.SparkException] { chaotic.count() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("chaos") &&
+        m.contains("FATAL")),
+      s"chaos cause not surfaced: ${chain(e).mkString(" | ")}")
+    // both allowed attempts of the target partition actually ran
+    assert(Chaos.attemptCount(runId) >= 5,
+      s"expected retries before the abort, saw ${Chaos.attemptCount(runId)}")
+  }
 }

@@ -32,7 +32,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q22_anti", "j01_exists_q4", "j02_not_exists_q21", "j03_mktshare_q8",
     "j04_top_supplier_q15",
     "w10_topn_per_group", "j08_theta_nlj", "d01_exact_dedup",
-    "h15_join_big", "v02_knn_lsh", "c01_channel_rollup")
+    "h15_join_big", "v02_knn_lsh", "c01_channel_rollup",
+    // LLM-pipeline flagships, frozen after the r2 verdict's broadcast fix:
+    // d03/d06 must keep their no-forced-broadcast shapes, p01 its
+    // single-shuffle union+window as-of shape.
+    "d03_minhash_lsh_pairs", "d06_dup_clusters", "p01_asof_join")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
