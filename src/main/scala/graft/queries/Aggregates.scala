@@ -134,6 +134,23 @@ object Aggregates {
         .orderBy(col("l_linestatus"))
     },
 
+    "a20_percentile_gk" -> { (s, dir) =>
+      // The ACTUAL Greenwald-Khanna surface (reference:
+      // approx_percentile_cont's TDigest analogue — see README "sketch
+      // deltas"): percentile_approx at accuracy 1e6 keeps GK's rank error
+      // below one for any group under a million rows, so it returns the
+      // exact discrete percentile (the element at rank ceil(q*n)), which
+      // is DuckDB's quantile_disc.
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("percentile_approx(l_quantity, 0.25, 1000000)").as("p25"),
+          expr("percentile_approx(l_quantity, 0.5, 1000000)").as("p50"),
+          expr("percentile_approx(l_quantity, 0.9, 1000000)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))
+    },
+
     "a09_median" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -330,6 +347,14 @@ object Aggregates {
         | min(l_quantity) AS min_qty,
         | max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a20_percentile_gk" ->
+      """SELECT l_linestatus,
+        | quantile_disc(l_quantity, 0.25) AS p25,
+        | quantile_disc(l_quantity, 0.5) AS p50,
+        | quantile_disc(l_quantity, 0.9) AS p90,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "a10_percentile" ->
       """SELECT l_linestatus,

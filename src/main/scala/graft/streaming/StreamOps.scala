@@ -25,6 +25,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  /** A document arriving on the ingest stream (content already hashed). */
+  case class Doc(doc_hash: String, ts: Timestamp, source: String)
+  /** The enrichment stream for the stream-stream join (labels produced by
+    * a downstream annotator, keyed back to the doc within a time bound). */
+  case class Label(l_doc_hash: String, l_ts: Timestamp, label: String)
   case class Session(user_id: Long, session_start: Timestamp,
                      n_events: Long, total_value: Double)
 
@@ -44,6 +49,33 @@ object StreamOps {
         sum(col("value")).as("total_value"))
       .select(col("window.start").as("win_start"), col("user_id"),
         col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup — the ingest-side twin of the batch d01 exact
+    * dedup: keep the FIRST arrival of each content hash, drop duplicates
+    * that arrive within the watermark delay. State is one row per distinct
+    * key seen inside the watermark horizon (dropped once the watermark
+    * passes), so state size tracks the duplicate-arrival bound, not the
+    * stream length — the property that makes exact dedup runnable on an
+    * unbounded 100 TB/day ingest. */
+  def dedupStream(docs: DataFrame, watermark: String = "30 minutes")
+      : DataFrame =
+    docs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_hash")
+
+  /** Watermarked stream-stream inner join: each doc joins labels that
+    * arrive within `boundMinutes` AFTER it. Both sides carry watermarks and
+    * the join condition carries the event-time bound, so both join-state
+    * buffers are purged as the watermark advances — bounded state, the
+    * requirement for an unbounded two-stream join. */
+  def labelJoin(docs: DataFrame, labels: DataFrame,
+                watermark: String = "30 minutes",
+                boundMinutes: Int = 10): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .join(labels.withWatermark("l_ts", watermark),
+        expr(s"""doc_hash = l_doc_hash AND
+                 l_ts >= ts AND l_ts <= ts + interval $boundMinutes minutes"""))
+      .select(col("doc_hash"), col("source"), col("ts"),
+        col("label"), col("l_ts"))
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of silence per user (event-time; the timeout fires

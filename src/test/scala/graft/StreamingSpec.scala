@@ -129,4 +129,80 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == batch, s"stream $got != batch $batch")
     } finally q.stop()
   }
+
+  test("streaming dedup keeps first arrival, drops within-watermark dupes") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.Doc
+    val input = MemoryStream[Doc]
+    val q = StreamOps.dedupStream(input.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc("h1", ts(10), "web"), Doc("h2", ts(11), "web"),
+        Doc("h1", ts(12), "crawl")) // same batch duplicate
+      q.processAllAvailable()
+      // Cross-micro-batch duplicate, still inside the watermark horizon.
+      input.addData(Doc("h1", ts(20), "pdf"), Doc("h3", ts(21), "web"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_docs")
+        .select(col("doc_hash"), col("source"))
+        .orderBy(col("doc_hash"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      // First arrival of each hash survives; h1's crawl/pdf copies dropped.
+      assert(got == Seq(("h1", "web"), ("h2", "web"), ("h3", "web")),
+        got.toString)
+      // The batch twin of "first arrival per hash".
+      val batch = Seq(
+        Doc("h1", ts(10), "web"), Doc("h2", ts(11), "web"),
+        Doc("h1", ts(12), "crawl"), Doc("h1", ts(20), "pdf"),
+        Doc("h3", ts(21), "web")).toDF()
+        .orderBy(col("ts")).dropDuplicates("doc_hash")
+        .select(col("doc_hash"), col("source")).orderBy(col("doc_hash"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream join matches the batch join twin") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.{Doc, Label}
+    val docs = MemoryStream[Doc]
+    val labels = MemoryStream[Label]
+    val q = StreamOps.labelJoin(docs.toDF(), labels.toDF(),
+        "30 minutes", boundMinutes = 10)
+      .writeStream.format("memory").queryName("doc_labels")
+      .outputMode("append").start()
+    try {
+      docs.addData(Doc("h1", ts(10), "web"), Doc("h2", ts(12), "web"))
+      // h1 labeled within bound; h2's label arrives 20' later — outside.
+      labels.addData(Label("h1", ts(15), "good"),
+        Label("h2", ts(32), "late"))
+      q.processAllAvailable()
+      // Advance both watermarks so all joinable pairs are emitted.
+      docs.addData(Doc("h9", ts(500), "web"))
+      labels.addData(Label("h9", ts(501), "x"))
+      q.processAllAvailable()
+      val got = spark.table("doc_labels")
+        .filter(col("doc_hash") =!= "h9")
+        .select(col("doc_hash"), col("label"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got == Seq(("h1", "good")), got.toString)
+
+      // Batch twin: plain interval join over the same data.
+      val bd = Seq(Doc("h1", ts(10), "web"), Doc("h2", ts(12), "web")).toDF()
+      val bl = Seq(Label("h1", ts(15), "good"),
+        Label("h2", ts(32), "late")).toDF()
+      val batch = bd.join(bl,
+          expr("doc_hash = l_doc_hash AND l_ts >= ts AND " +
+            "l_ts <= ts + interval 10 minutes"))
+        .select(col("doc_hash"), col("label"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
 }
