@@ -208,6 +208,38 @@ object Dedup {
       }
       lab.select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy(col("doc_id"))
+    },
+
+    "d07_keep_best" -> { (s, dir) =>
+      // Canonical-document selection — the step after clustering in a real
+      // dedup pipeline: the FULL corpus reduced to one representative per
+      // duplicate cluster (singletons keep themselves). "Best" = most
+      // tokens, tie-break min doc_id: an integer rule, so the ranking is
+      // exactly reproducible across engines (a double quality score could
+      // tie-break differently in the last ulp). One left join against the
+      // cluster labels + one WindowGroupLimit-able rank per cluster —
+      // nothing here outgrows its shuffle partition at corpus scale.
+      val clusters = queries("d06_dup_clusters")(s, dir)
+        .select(col("doc_id").as("cid"), col("cluster"))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val labeled = docs
+        .join(clusters, col("doc_id") === col("cid"), "left_outer")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_toks").desc, col("doc_id"))
+      labeled
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster"))))
+        .filter(col("rnk") === 1)
+        .select(col("cluster"), col("doc_id").as("kept_doc"),
+          col("n_toks"), col("n_members"))
+        .orderBy(col("cluster"))
     }
   )
 
@@ -277,6 +309,34 @@ object Dedup {
            | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+      "d07_keep_best" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |edges AS (
+           | SELECT da AS a, db AS b FROM dup_pairs
+           | UNION SELECT db, da FROM dup_pairs
+           | UNION SELECT da, da FROM dup_pairs
+           | UNION SELECT db, db FROM dup_pairs),
+           |reach AS (
+           | SELECT a, b FROM edges
+           | UNION
+           | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (
+           | SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+           | FROM reach GROUP BY a),
+           |lens AS (
+           | SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+           | FROM documents),
+           |labeled AS (
+           | SELECT l.doc_id, l.n_toks, COALESCE(c.cluster, l.doc_id) AS cluster
+           | FROM lens l LEFT JOIN comp c ON l.doc_id = c.doc_id),
+           |ranked AS (
+           | SELECT cluster, doc_id, n_toks,
+           |  row_number() OVER (PARTITION BY cluster ORDER BY n_toks DESC, doc_id) AS rnk,
+           |  COUNT(*) OVER (PARTITION BY cluster) AS n_members
+           | FROM labeled)
+           |SELECT cluster, doc_id AS kept_doc, n_toks, n_members
+           |FROM ranked WHERE rnk = 1 ORDER BY cluster""".stripMargin,
 
       "d04_ngram_jaccard" ->
         """WITH sh AS (

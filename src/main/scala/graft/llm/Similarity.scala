@@ -146,18 +146,38 @@ object Similarity {
     },
 
     "v03_neardup_embed" -> { (s, dir) =>
-      val e = withBucket(Tables.load(s, dir, "embeddings"))
-      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("bucket"))
-      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("bucket").as("bucketb"))
-      a.join(b, col("bucket") === col("bucketb") && col("va") < col("vb"))
-        .withColumn("sim", expr("cosine_sim(ea, eb)"))
-        .filter(col("sim") > 0.4)
-        .select(col("va"), col("vb"), col("sim"))
+      neardupPairs(s, dir)
         .orderBy(col("sim").desc, col("va"), col("vb"))
+    },
+
+    "v06_semdedup" -> { (s, dir) =>
+      // SemDeDup-style embedding dedup, greedy keep-one: a vector is
+      // DROPPED iff some smaller-id vector in its LSH bucket is a
+      // near-duplicate (the (va < vb) pair mined by v03). Greedy min-id
+      // survivorship — not transitive closure; the closure variant for
+      // text is d06/d07. One bucket join + one anti join: both shuffle on
+      // bounded keys, nothing corpus-broadcast, scale-safe.
+      val pairs = neardupPairs(s, dir).select(col("vb"))
+      Tables.load(s, dir, "embeddings")
+        .join(pairs, col("vec_id") === col("vb"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
     }
   )
+
+  /** LSH-bucketed near-duplicate pairs (va < vb, cosine > 0.4) — the pair
+    * miner behind v03 (report) and v06 (survivorship). */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = withBucket(Tables.load(s, dir, "embeddings"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("bucket"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("bucket").as("bucketb"))
+    a.join(b, col("bucket") === col("bucketb") && col("va") < col("vb"))
+      .withColumn("sim", expr("cosine_sim(ea, eb)"))
+      .filter(col("sim") > 0.4)
+      .select(col("va"), col("vb"), col("sim"))
+  }
 
   private val duckCos =
     """list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])) /
@@ -251,6 +271,18 @@ object Similarity {
          |FROM withb a JOIN withb b
          | ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} > 0.4
-         |ORDER BY sim DESC, va, vb""".stripMargin
+         |ORDER BY sim DESC, va, vb""".stripMargin,
+
+    "v06_semdedup" ->
+      s"""WITH withb AS (
+         | SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+         |dropped AS (
+         | SELECT DISTINCT b.vec_id AS vb
+         | FROM withb a JOIN withb b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         | WHERE ${cos("a.embedding", "b.embedding")} > 0.4)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vb FROM dropped)
+         |ORDER BY vec_id""".stripMargin
   )
 }

@@ -217,6 +217,75 @@ object Composite {
         .select(col("cust_nation"), col("p_brand"),
           col("rev96"), col("n96"), col("rev97"), col("n97"))
         .orderBy(col("cust_nation"), col("p_brand"))
+    },
+
+    "c09_frequent_best" -> { (s, dir) =>
+      // q23 shape: frequent items (HAVING count over a period) × best
+      // customers (spend above a scalar-subquery threshold: half the max
+      // customer spend), restricting a later period's sales to both sets.
+      // The threshold is a 1-row aggregate cross-joined in (constant-cost
+      // BNLJ); both restrictions are semi-joins on the aggregate keys.
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val freq = lo.filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 4).select(col("l_partkey"))
+      val spend = lo.groupBy(col("o_custkey"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .as("spend"))
+      // threshold compare in DOUBLE on both engines: decimal division
+      // rounds to a derived scale in Spark but converts to double in
+      // DuckDB — double halving is exact and identical in both.
+      val thresh = spend
+        .agg((max(col("spend")).cast("double") / 2).as("half_max"))
+      val best = spend.crossJoin(thresh)
+        .filter(col("spend").cast("double") > col("half_max"))
+        .select(col("o_custkey"))
+      lo.filter(year(col("o_orderdate")) === 1997)
+        .join(freq, Seq("l_partkey"), "left_semi")
+        .join(best, Seq("o_custkey"), "left_semi")
+        .groupBy(month(col("o_orderdate")).cast("long").as("mth"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("mth"))
+    },
+
+    "c10_having_count" -> { (s, dir) =>
+      // q34/q73 shape: customers whose order count in a slice lands in a
+      // band (HAVING BETWEEN over a grouped join), joined back to the
+      // customer dimension for the report.
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val c = Tables.load(s, dir, "customer")
+      o.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(2, 5))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("cnt"))
+        .orderBy(col("cnt").desc, col("c_custkey"))
+    },
+
+    "c11_channel_ratio" -> { (s, dir) =>
+      // q78 shape: per-key revenue in one channel LEFT-joined against
+      // another, ratio with an absent-channel null path (q78 keeps rows
+      // with no counterpart — the LEFT join + COALESCE is the point).
+      val l = Tables.load(s, dir, "lineitem")
+      def chan(flag: String, rev: String): DataFrame =
+        l.filter(col("l_returnflag") === flag)
+          .groupBy(col("l_partkey"))
+          .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .as(rev))
+      val kept = chan("N", "rev_kept")
+      val ret = chan("R", "rev_ret").withColumnRenamed("l_partkey", "pk2")
+      kept.join(ret, col("l_partkey") === col("pk2"), "left_outer")
+        .select(col("l_partkey"),
+          col("rev_kept").cast("double").as("rev_kept"),
+          coalesce(col("rev_ret").cast("double"), lit(0.0)).as("rev_ret"),
+          (coalesce(col("rev_ret").cast("double"), lit(0.0)) /
+            col("rev_kept").cast("double")).as("ret_ratio"))
+        .orderBy(col("l_partkey"))
     }
   )
 
@@ -364,6 +433,51 @@ object Composite {
         |  ON y96.cust_nation = y97.cust_nation AND y96.p_brand = y97.p_brand
         | AND y96.yr = 1996 AND y97.yr = 1997
         |WHERE y97.rev <= y96.rev
-        |ORDER BY y96.cust_nation, y96.p_brand""".stripMargin
+        |ORDER BY y96.cust_nation, y96.p_brand""".stripMargin,
+
+    "c09_frequent_best" ->
+      """WITH lo AS (
+        | SELECT l_partkey, o_custkey, o_orderdate,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS rev
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |freq AS (
+        | SELECT l_partkey FROM lo WHERE year(o_orderdate) = 1996
+        | GROUP BY l_partkey HAVING COUNT(*) > 4),
+        |spend AS (
+        | SELECT o_custkey, SUM(rev) AS spend FROM lo GROUP BY o_custkey),
+        |best AS (
+        | SELECT o_custkey FROM spend
+        | WHERE CAST(spend AS DOUBLE) > (SELECT CAST(MAX(spend) AS DOUBLE) / 2 FROM spend))
+        |SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+        | CAST(SUM(rev) AS DOUBLE) AS rev, COUNT(*) AS n
+        |FROM lo
+        |WHERE year(o_orderdate) = 1997
+        |  AND l_partkey IN (SELECT l_partkey FROM freq)
+        |  AND o_custkey IN (SELECT o_custkey FROM best)
+        |GROUP BY 1 ORDER BY mth""".stripMargin,
+
+    "c10_having_count" ->
+      """SELECT c_custkey, c_name, c_mktsegment, cnt
+        |FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        |      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      GROUP BY o_custkey HAVING COUNT(*) BETWEEN 2 AND 5) t
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY cnt DESC, c_custkey""".stripMargin,
+
+    "c11_channel_ratio" ->
+      """WITH kept AS (
+        | SELECT l_partkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS rev_kept
+        | FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey),
+        |ret AS (
+        | SELECT l_partkey AS pk2,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS rev_ret
+        | FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
+        |SELECT l_partkey,
+        | CAST(rev_kept AS DOUBLE) AS rev_kept,
+        | COALESCE(CAST(rev_ret AS DOUBLE), 0.0) AS rev_ret,
+        | COALESCE(CAST(rev_ret AS DOUBLE), 0.0) / CAST(rev_kept AS DOUBLE) AS ret_ratio
+        |FROM kept LEFT JOIN ret ON l_partkey = pk2
+        |ORDER BY l_partkey""".stripMargin
   )
 }
