@@ -49,6 +49,16 @@ object Ops {
         .orderBy(col("key"))
     },
 
+    "x05_sql_front" -> { (s, dir) =>
+      // The reference's PRIMARY interface is SQL text over registered
+      // tables (SessionContext::sql everywhere in its client tests);
+      // every other graded query here uses the DataFrame API, so this one
+      // goes through `spark.sql` end-to-end on a registered catalog —
+      // same ANSI text the DuckDB oracle runs, TPC-H q1 shape.
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ1)
+    },
+
     "x04_show_tables" -> { (s, dir) =>
       // Catalog listing (reference: should_execute_show_tables /
       // test_ballista_show_tables) over the registered source tables.
@@ -60,6 +70,20 @@ object Ops {
     }
   )
 
-  /** Engine-specific outputs — no DuckDB oracle (rows-only gate). */
-  def oracle: Map[String, String] = Map.empty
+  /** ANSI SQL that parses identically in Spark SQL and DuckDB: decimal
+    * routing per Dx rules, unique ORDER BY keys. */
+  private val sqlQ1 =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** x01–x04 are engine-specific (rows-only gate); x05 is the SQL
+    * front-end twin, graded hash-exact with the SAME text as the oracle. */
+  def oracle: Map[String, String] = Map(
+    "x05_sql_front" -> sqlQ1)
 }
