@@ -180,31 +180,42 @@ object Dedup {
       // Duplicate CLUSTERING — the step a real pipeline runs after pair
       // mining: connected components over the d03 near-dup pairs, cluster
       // id = min doc_id in the component (then "keep one per cluster").
-      // Min-label propagation, a fixed number of rounds: each round is
-      // one shuffle join + one min-aggregate, the standard iterative CC
-      // at cluster scale (labels only, never adjacency in driver memory).
-      // Near-dup components are clique-like (everything similar to
-      // everything), so 8 hops is far past their diameter; the DuckDB
-      // recursive-CTE oracle computes the true fixpoint, so the gate
-      // would catch a component deeper than the round budget.
+      // Min-label propagation TO CONVERGENCE: each round is one shuffle
+      // join + one min-aggregate, the standard iterative CC at cluster
+      // scale (labels only, never adjacency in driver memory). Labels
+      // only ever decrease, so sum(lbl) is strictly decreasing until the
+      // fixpoint — an O(|nodes|) aggregate per round detects convergence
+      // exactly. No fixed round budget: a component of ANY diameter
+      // converges (the DuckDB recursive-CTE oracle computes the same
+      // fixpoint), and the near-dup clique-like components stop after
+      // 2-3 rounds instead of burning a worst-case budget. The cap is a
+      // runaway backstop (diameter > 64 would mean a 2^64-node chain).
       // localCheckpoint = the iteration barrier: without it every round
       // embeds the previous round's WHOLE plan (and the d03 subtree)
       // twice, and the lineage grows 2^rounds — the optimizer, not the
       // data, becomes the bottleneck. Checkpointed labels stay
-      // distributed (executor-local blocks), nothing is collected.
+      // distributed (executor-local blocks); only the one scalar sum
+      // comes to the driver per round.
       val pairs = queries("d03_minhash_lsh_pairs")(s, dir)
         .select(col("da"), col("db")).localCheckpoint()
       val edges = pairs
         .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
         .toDF("src", "dst")
       val nodes = edges.select(col("src").as("id")).distinct()
-      var lab = nodes.withColumn("lbl", col("id"))
-      (0 until 8).foreach { _ =>
+      var lab = nodes.withColumn("lbl", col("id")).localCheckpoint()
+      var prevSum = lab.agg(sum(col("lbl"))).head().getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 64) {
         val prop = edges.join(lab, col("src") === col("id"))
           .select(col("dst").as("id"), col("lbl"))
         lab = lab.unionByName(prop)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint()
+        val curSum = lab.agg(sum(col("lbl"))).head().getLong(0)
+        converged = curSum == prevSum
+        prevSum = curSum
+        rounds += 1
       }
       lab.select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy(col("doc_id"))
