@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Multi-config verification legs — the analogue of the reference's TPC-H
+  * CI matrix, which re-runs the verified suite under several planner
+  * configurations (static; AQE on; AQE + max_partitions_per_task=0;
+  * prefer_hash_join=false — `.github/workflows/tpch.yml:30-40,135-136`).
+  * Here: each flagship query must return IDENTICAL rows with AQE off,
+  * broadcast disabled (all joins shuffle), and shuffled-hash-join
+  * preferred, as under the default profile. Plan strategy must never
+  * change results — the invariant those CI legs exist to protect.
+  */
+class ConfigLegsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val flagships = Seq(
+    "q1_agg", "q3_topk", "q5_join6", "q18_large_orders",
+    "j02_not_exists_q21", "a11_rollup", "w10_topn_per_group",
+    "s05_intersect_all", "c08_deep_report", "d01_exact_dedup")
+
+  private val legs: Seq[(String, Map[String, String])] = Seq(
+    "aqe-off" -> Map("spark.sql.adaptive.enabled" -> "false"),
+    "no-broadcast" -> Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "hash-join-preferred" ->
+      Map("spark.sql.join.preferSortMergeJoin" -> "false"))
+
+  private def runOnce(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+
+  private def withConfs[T](confs: Map[String, String])(body: => T): T = {
+    val prev = confs.keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  flagships.foreach { name =>
+    test(s"config legs agree: $name") {
+      val baseline = runOnce(name)
+      assert(baseline.nonEmpty, s"$name returned no rows")
+      legs.foreach { case (leg, confs) =>
+        val got = withConfs(confs)(runOnce(name))
+        assert(got == baseline,
+          s"$name differs under leg '$leg' (${got.size} vs ${baseline.size} rows)")
+      }
+    }
+  }
+}
