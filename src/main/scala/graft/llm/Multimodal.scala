@@ -84,6 +84,28 @@ object Multimodal {
           sum(col("n_frames")).as("total_frames"),
           sum(col("frame_sum")).as("checksum_total"))
         .orderBy(col("lang"))
+    },
+
+    "m03_feature_hist" -> { (s, dir) =>
+      import s.implicits._
+      // FAKE feature extraction: fixed-length per-blob feature vector (an
+      // 8-bin byte histogram standing in for an image-embedding model).
+      // The shape is the point: blob → fixed-width vector inside the
+      // per-partition batch (where a real model would run), vector
+      // re-enters SQL-land as columns. Emitted as 8 scalar bins — the
+      // graded gate cannot hash array columns.
+      blobs(s, dir)
+        .mapPartitions(_.map { b =>   // model init would live here
+          val bins = new Array[Long](8)
+          var i = 0
+          while (i < b.payload.length) {
+            bins((b.payload(i) & 0xff) / 32) += 1L; i += 1
+          }
+          (b.doc_id, bins(0), bins(1), bins(2), bins(3), bins(4), bins(5),
+            bins(6), bins(7))
+        })
+        .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -105,6 +127,15 @@ object Multimodal {
         |SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(n_frames) AS BIGINT) AS total_frames,
         | CAST(SUM(frame_sum) AS BIGINT) AS checksum_total
-        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "m03_feature_hist" -> {
+      val bins = (0 until 8).map(j =>
+        s"CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 32 = $j)) AS BIGINT) AS h$j")
+        .mkString(",\n ")
+      s"""SELECT doc_id,
+         | $bins
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }

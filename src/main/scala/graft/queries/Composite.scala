@@ -10,7 +10,9 @@ import graft.queries.Dx._
   * channel-union + ROLLUP reports (q5/q77/q80), windowed top-k over joined
   * aggregates (q67), EXISTS/NOT-EXISTS chains (q10/q35), channel-INTERSECT
   * item restriction (q14), cumulative window-over-union comparison (q51),
-  * and deep multi-join year-over-year reports (q64)
+  * deep multi-join year-over-year reports (q64), HAVING-frequent ×
+  * scalar-threshold (q23), HAVING-band join-back (q34/q73), LEFT-join
+  * channel ratios (q78), and sales-netted-against-returns self-joins (q93)
   * (`benchmarks/queries-tpcds/`). Re-expressed on the synthetic schema,
   * each combining several §2B rows in one plan.
   */
@@ -286,6 +288,28 @@ object Composite {
           (coalesce(col("rev_ret").cast("double"), lit(0.0)) /
             col("rev_kept").cast("double")).as("ret_ratio"))
         .orderBy(col("l_partkey"))
+    },
+
+    "c12_net_returns" -> { (s, dir) =>
+      // q93 shape: sales netted against a returns slice of the SAME fact
+      // table (q93 joins store_sales to store_returns on item+ticket).
+      // Aggregate both sides to the join grain FIRST, then one left join —
+      // the self-join never fans out, and the shuffle carries one row per
+      // (orderkey, partkey) on each side.
+      val l = Tables.load(s, dir, "lineitem")
+      val sold = l.filter(col("l_returnflag") =!= "R")
+        .groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("sold_qty"))
+      val ret = l.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey").as("ro"), col("l_partkey").as("rp"))
+        .agg(dsum(col("l_quantity")).as("ret_qty"))
+      sold.join(ret, col("l_orderkey") === col("ro") &&
+          col("l_partkey") === col("rp"), "left_outer")
+        .select(col("l_orderkey"), col("l_partkey"), col("sold_qty"),
+          coalesce(col("ret_qty"), lit(0.0)).as("ret_qty"),
+          (col("sold_qty") - coalesce(col("ret_qty"), lit(0.0)))
+            .as("net_qty"))
+        .orderBy(col("l_orderkey"), col("l_partkey"))
     }
   )
 
@@ -478,6 +502,23 @@ object Composite {
         | COALESCE(CAST(rev_ret AS DOUBLE), 0.0) AS rev_ret,
         | COALESCE(CAST(rev_ret AS DOUBLE), 0.0) / CAST(rev_kept AS DOUBLE) AS ret_ratio
         |FROM kept LEFT JOIN ret ON l_partkey = pk2
-        |ORDER BY l_partkey""".stripMargin
+        |ORDER BY l_partkey""".stripMargin,
+
+    "c12_net_returns" ->
+      """WITH sold AS (
+        | SELECT l_orderkey, l_partkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sold_qty
+        | FROM lineitem WHERE l_returnflag <> 'R'
+        | GROUP BY l_orderkey, l_partkey),
+        |ret AS (
+        | SELECT l_orderkey AS ro, l_partkey AS rp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ret_qty
+        | FROM lineitem WHERE l_returnflag = 'R'
+        | GROUP BY l_orderkey, l_partkey)
+        |SELECT l_orderkey, l_partkey, sold_qty,
+        | COALESCE(ret_qty, 0.0) AS ret_qty,
+        | sold_qty - COALESCE(ret_qty, 0.0) AS net_qty
+        |FROM sold LEFT JOIN ret ON l_orderkey = ro AND l_partkey = rp
+        |ORDER BY l_orderkey, l_partkey""".stripMargin
   )
 }

@@ -164,6 +164,19 @@ object Functions {
           sum(when(col("k1") === col("k2"), 1L).otherwise(0L))
             .as("n_parse_agree"))
         .orderBy(col("event_type"))
+    },
+
+    "f10_generator" -> { (s, dir) =>
+      // Generator/UDTF surface (SURVEY §2B UDF row: "UDTF → Generator/
+      // flatMap"): a table-generating function on the graded path —
+      // posexplode over a computed array, one output row per element with
+      // its ordinal. The DuckDB twin is unnest + generate_subscripts.
+      Tables.load(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          posexplode(split(col("c_name"), "#")).as(Seq("pos", "part")))
+        .select(col("c_custkey"), col("pos").cast("long").as("pos"),
+          col("part"))
+        .orderBy(col("c_custkey"), col("pos"))
     }
   )
 
@@ -266,6 +279,13 @@ object Functions {
         | CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
         |                    = CAST(json_extract(props, '$.k') AS BIGINT)
         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_agree
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f10_generator" ->
+      """SELECT c_custkey,
+        | CAST(generate_subscripts(string_split(c_name, '#'), 1) - 1 AS BIGINT) AS pos,
+        | unnest(string_split(c_name, '#')) AS part
+        |FROM customer WHERE c_custkey < 100
+        |ORDER BY c_custkey, pos""".stripMargin
   )
 }
