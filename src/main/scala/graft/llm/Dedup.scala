@@ -31,6 +31,22 @@ object Dedup {
   private def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long") % P
 
+  /** Per-ROW 16-bit SimHash of a text column — the same bit-majority-vote
+    * as d05 computed inside one projection (higher-order functions, stays
+    * in codegen, no shuffle), so it can run where no groupBy is available:
+    * per-row scoring, streaming ingest (StreamOps.nearDedupStream).
+    * StreamingSpec pins row-wise == d05's distributed groupBy result.
+    * Order-invariant over the token multiset by construction. */
+  def simhashExpr(text: Column): Column = {
+    val th = transform(split(text, " "), t => tokHash(t))
+    (0 until 16).map { j =>
+      val vote = aggregate(th, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     // The test-SF documents parquet is a single row group => the scan is
     // ONE task, which would serialize the md5-per-token hash stage below.

@@ -40,9 +40,12 @@ object Chaos {
   /** Logical marker: fail the first attempt of `failPartition` — or EVERY
     * attempt when `fatal` (the reference's terminal `FailedTask` path,
     * `core/proto/ballista.proto:607-679`: a task whose failure reason is
-    * non-retryable fails the job rather than rescheduling forever). */
+    * non-retryable fails the job rather than rescheduling forever).
+    * `delayMs > 0` instead injects a straggler: the partition sleeps
+    * before streaming (the reference ChaosExec's delay mode,
+    * `chaos_exec.rs:18-30` transient/fatal/panic/delay matrix). */
   case class ChaosNode(child: LogicalPlan, runId: String, failPartition: Int,
-                       fatal: Boolean = false)
+                       fatal: Boolean = false, delayMs: Long = 0L)
       extends UnaryNode {
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(c: LogicalPlan): ChaosNode =
@@ -52,8 +55,9 @@ object Chaos {
   /** Plans ChaosNode → ChaosExec (the §7 path-(c) SparkStrategy). */
   object ChaosStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case ChaosNode(child, runId, failPartition, fatal) =>
-        ChaosExec(planLater(child), runId, failPartition, fatal) :: Nil
+      case ChaosNode(child, runId, failPartition, fatal, delayMs) =>
+        ChaosExec(planLater(child), runId, failPartition, fatal,
+          delayMs) :: Nil
       case _ => Nil
     }
   }
@@ -61,9 +65,10 @@ object Chaos {
   /** Physical pass-through that throws on the first attempt of one
     * partition — retried attempts stream the child normally, unless
     * `fatal`, in which case every attempt throws and Spark gives up after
-    * spark.task.maxFailures, surfacing the chaos error to the caller. */
+    * spark.task.maxFailures, surfacing the chaos error to the caller;
+    * `delayMs` makes the target partition a straggler instead. */
   case class ChaosExec(child: SparkPlan, runId: String, failPartition: Int,
-                       fatal: Boolean = false)
+                       fatal: Boolean = false, delayMs: Long = 0L)
       extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning = child.outputPartitioning
@@ -75,13 +80,15 @@ object Chaos {
       val id = runId
       val target = failPartition
       val isFatal = fatal
+      val delay = delayMs
       child.execute().mapPartitionsWithIndex { (pid, it) =>
         val attempt = Chaos.registerAttempt(id, pid)
-        if (pid == target && isFatal) {
+        if (pid == target && delay > 0L) {
+          Thread.sleep(delay) // straggler: slow, not failing
+        } else if (pid == target && isFatal) {
           throw new RuntimeException(
             s"chaos: injected FATAL fault in partition $pid (attempt $attempt)")
-        }
-        if (pid == target && attempt == 0 &&
+        } else if (pid == target && attempt == 0 &&
             TaskContext.get().attemptNumber() == 0) {
           throw new RuntimeException(
             s"chaos: injected transient fault in partition $pid")
@@ -93,8 +100,9 @@ object Chaos {
 
   /** Wrap a DataFrame with fault injection (test harness entry point). */
   def inject(spark: SparkSession, df: DataFrame, runId: String,
-             failPartition: Int = 0, fatal: Boolean = false): DataFrame =
+             failPartition: Int = 0, fatal: Boolean = false,
+             delayMs: Long = 0L): DataFrame =
     org.apache.spark.sql.classic.GraftDatasetShim.ofRows(
       spark, ChaosNode(df.queryExecution.analyzed, runId, failPartition,
-        fatal))
+        fatal, delayMs))
 }

@@ -27,6 +27,8 @@ object StreamOps {
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   /** A document arriving on the ingest stream (content already hashed). */
   case class Doc(doc_hash: String, ts: Timestamp, source: String)
+  /** A raw-text document on the ingest stream (for near-dup dedup). */
+  case class RawDoc(text: String, ts: Timestamp, source: String)
   /** The enrichment stream for the stream-stream join (labels produced by
     * a downstream annotator, keyed back to the doc within a time bound). */
   case class Label(l_doc_hash: String, l_ts: Timestamp, label: String)
@@ -61,6 +63,18 @@ object StreamOps {
       : DataFrame =
     docs.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("doc_hash")
+
+  /** Streaming NEAR-dup dedup: per-row 16-bit SimHash (graft.llm.Dedup's
+    * bit-majority vote as one codegen projection — no groupBy, so it runs
+    * incrementally) as the dedup key within the watermark horizon. Token
+    * reorderings and docs with identical token multisets collapse to the
+    * same key; state is one row per distinct simhash inside the horizon.
+    * The streaming twin of batch d05 + "keep first". */
+  def nearDedupStream(docs: DataFrame, watermark: String = "30 minutes")
+      : DataFrame =
+    docs.withColumn("simhash16", graft.llm.Dedup.simhashExpr(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash16")
 
   /** Watermarked stream-stream inner join: each doc joins labels that
     * arrive within `boundMinutes` AFTER it. Both sides carry watermarks and

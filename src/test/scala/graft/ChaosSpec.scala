@@ -72,4 +72,21 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Chaos.attemptCount(runId) >= 5,
       s"expected retries before the abort, saw ${Chaos.attemptCount(runId)}")
   }
+
+  test("delay fault makes a straggler but the result is complete") {
+    // Reference ChaosExec delay mode: the partition is slow, not broken —
+    // the job must finish with the full result and no retries.
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .repartition(4)
+    val runId = s"delay-${System.nanoTime()}"
+    val chaotic = Chaos.inject(spark, df, runId, failPartition = 2,
+      delayMs = 500L)
+    val t0 = System.nanoTime()
+    val n = chaotic.count()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(n == 25)
+    assert(elapsedMs >= 500L, s"straggler delay not observed ($elapsedMs ms)")
+    assert(Chaos.attemptCount(runId) == 4,
+      s"delay must not trigger retries, saw ${Chaos.attemptCount(runId)}")
+  }
 }

@@ -166,6 +166,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("row-wise simhashExpr equals d05's distributed groupBy simhash") {
+    val sf = "/root/testdata/sf0.001"
+    val perRow = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.llm.Dedup.simhashExpr(col("text")).as("rowwise"))
+    val batch = graft.llm.Dedup.queries("d05_simhash")(spark, sf)
+    val diff = perRow.join(batch, "doc_id")
+      .filter(col("rowwise") =!= col("simhash16")).count()
+    assert(diff == 0, s"$diff docs disagree between row-wise and groupBy")
+  }
+
+  test("streaming near-dup dedup collapses token-reordered duplicates") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.RawDoc
+    val input = MemoryStream[RawDoc]
+    val q = StreamOps.nearDedupStream(input.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("neardedup_docs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        RawDoc("the quick brown fox jumps over the lazy dog", ts(10), "web"),
+        RawDoc("completely different content about spark shuffles", ts(11), "web"))
+      q.processAllAvailable()
+      // Same token multiset, reordered (a scraped near-dup): same simhash
+      // by order-invariance → dropped as a duplicate across micro-batches.
+      input.addData(
+        RawDoc("quick the brown fox jumps over lazy the dog", ts(20), "crawl"))
+      q.processAllAvailable()
+      val got = spark.table("neardedup_docs")
+        .select(col("source")).collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("web", "web"), got.toString)
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream join matches the batch join twin") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
