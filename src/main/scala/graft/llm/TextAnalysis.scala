@@ -118,6 +118,37 @@ object TextAnalysis {
           md5(array_join(slice(col("tk"), col("chunk_start") + 1, lit(C)), " ")
             .cast("binary")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_start"))
+    },
+
+    "t07_filter_pipeline" -> { (s, dir) =>
+      // The keep/drop FILTER CHAIN a pretraining pipeline runs per doc
+      // (FineWeb-style): length gate → repetition gate (distinct-token
+      // ratio, INTEGER cross-multiplied so the threshold compare is
+      // exact) → quality gate (t02's score; its arithmetic is exact
+      // integer ratios, so the < threshold compare reproduces). First
+      // failing rule names the drop reason — per-row projection only.
+      val q = {
+        val ntoks = size(toks).cast("long")
+        val nchars = length(col("text")).cast("long")
+        val avgTok = (nchars - ntoks + 1).cast("double") / ntoks
+        lit(0.4) * least(ntoks.cast("double") / 50.0, lit(1.0)) +
+          lit(0.3) * (stopHits.cast("double") / ntoks) +
+          lit(0.3) * least(avgTok / 5.0, lit(1.0))
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          q.as("quality"))
+        .withColumn("reason",
+          when(col("n_toks") < 10, "too_short")
+            .when(col("n_distinct") * 10 < col("n_toks") * 3, "repetitive")
+            .when(col("quality") < 0.5, "low_quality")
+            .otherwise("kept"))
+        .withColumn("keep",
+          (col("reason") === "kept").cast("long"))
+        .select(col("doc_id"), col("n_toks"), col("reason"), col("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -189,6 +220,31 @@ object TextAnalysis {
         |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
         | CAST(least(50, len(tk) - chunk_start) AS BIGINT) AS n_chunk_toks,
         | md5(array_to_string(list_slice(tk, chunk_start + 1, chunk_start + 50), ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_start""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "t07_filter_pipeline" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         | FROM documents),
+         |e AS (
+         | SELECT doc_id, n_toks, n_distinct,
+         |  0.4 * least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) +
+         |  0.3 * (CAST(n_stop AS DOUBLE) / n_toks) +
+         |  0.3 * least((CAST(n_chars - n_toks + 1 AS DOUBLE) / n_toks) / 5.0, 1.0) AS quality
+         | FROM d),
+         |r AS (
+         | SELECT doc_id, n_toks,
+         |  CASE WHEN n_toks < 10 THEN 'too_short'
+         |       WHEN n_distinct * 10 < n_toks * 3 THEN 'repetitive'
+         |       WHEN quality < 0.5 THEN 'low_quality'
+         |       ELSE 'kept' END AS reason
+         | FROM e)
+         |SELECT doc_id, n_toks, reason,
+         | CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }
