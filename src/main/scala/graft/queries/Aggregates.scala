@@ -151,6 +151,19 @@ object Aggregates {
         .orderBy(col("l_linestatus"))
     },
 
+    "a21_bool_aggs" -> { (s, dir) =>
+      // Boolean-aggregate registry row: count_if / bool_and / bool_or
+      // (graded as BIGINT 0/1 — engine boolean dtypes differ in pandas).
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("count_if(l_quantity > 25)").as("n_big"),
+          expr("bool_and(l_discount >= 0)").cast("long").as("all_nonneg"),
+          expr("bool_or(l_returnflag = 'R')").cast("long").as("any_returned"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))
+    },
+
     "a09_median" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -353,6 +366,14 @@ object Aggregates {
         | quantile_disc(l_quantity, 0.25) AS p25,
         | quantile_disc(l_quantity, 0.5) AS p50,
         | quantile_disc(l_quantity, 0.9) AS p90,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a21_bool_aggs" ->
+      """SELECT l_linestatus,
+        | CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+        | CAST(CASE WHEN bool_and(l_discount >= 0) THEN 1 ELSE 0 END AS BIGINT) AS all_nonneg,
+        | CAST(CASE WHEN bool_or(l_returnflag = 'R') THEN 1 ELSE 0 END AS BIGINT) AS any_returned,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 

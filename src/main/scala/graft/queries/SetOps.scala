@@ -65,6 +65,22 @@ object SetOps {
       a.exceptAll(b).groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("multiplicity"))
         .orderBy(col("o_custkey"))
+    },
+
+    "s07_union_by_name" -> { (s, dir) =>
+      // Schema-aligned union with null-fill for missing columns —
+      // Spark's unionByName(allowMissingColumns) == DuckDB's
+      // UNION ALL BY NAME. The mixed-schema append every multi-source
+      // ingest hits (one source lacks a column).
+      val o = Tables.load(s, dir, "orders")
+      val a = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price"))
+      val b = o.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_custkey")) // no price column
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"),
+          col("price").asc_nulls_first)
     }
   )
 
@@ -105,6 +121,14 @@ object SetOps {
         | SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
         | EXCEPT ALL
         | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
-        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "s07_union_by_name" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        | FROM orders WHERE o_orderpriority = '1-URGENT'
+        | UNION ALL BY NAME
+        | SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY o_orderkey, price NULLS FIRST""".stripMargin
   )
 }

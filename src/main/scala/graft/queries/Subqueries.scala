@@ -205,8 +205,28 @@ object Subqueries {
                                      / COUNT(*) FROM orders)
         GROUP BY o_orderpriority ORDER BY o_orderpriority
       """)
+    },
+
+    "j13_lateral_topn" -> { (s, dir) =>
+      // Correlated LATERAL subquery with per-row LIMIT (the reference's
+      // NestedLoopJoin census row exercised through the SQL front-end):
+      // top-2 orders per customer. Spark decorrelates this into a ranked
+      // join — same rows as the window top-N, expressed the SQL-standard
+      // LATERAL way. Identical text runs on DuckDB.
+      view(s, dir, "customer"); view(s, dir, "orders")
+      s.sql(sqlLateral)
     }
   )
+
+  private val sqlLateral =
+    """SELECT c_custkey, t.o_orderkey,
+      | CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey < 200
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "j01_exists_q4" ->
@@ -311,6 +331,8 @@ object Subqueries {
         |FROM orders
         |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |                             / COUNT(*) FROM orders)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j13_lateral_topn" -> sqlLateral
   )
 }
