@@ -164,6 +164,37 @@ object Aggregates {
         .orderBy(col("l_linestatus"))
     },
 
+    "a22_regr" -> { (s, dir) =>
+      // Linear-regression aggregate registry row (regr_slope/intercept/
+      // r2/count). Graded at float32 like a08: both engines run the same
+      // estimator formula but merge partials in different orders.
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("regr_slope(l_extendedprice, l_quantity)").cast("float")
+            .as("slope"),
+          expr("regr_intercept(l_extendedprice, l_quantity)").cast("float")
+            .as("icept"),
+          expr("regr_r2(l_extendedprice, l_quantity)").cast("float")
+            .as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").cast("long")
+            .as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "a23_bitwise" -> { (s, dir) =>
+      // Bitwise aggregate registry row — exact integer ops, hash-exact
+      // with no precision routing needed.
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("bit_and(l_partkey)").as("band"),
+          expr("bit_or(l_partkey)").as("bor"),
+          expr("bit_xor(l_partkey)").as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))
+    },
+
     "a09_median" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -366,6 +397,22 @@ object Aggregates {
         | quantile_disc(l_quantity, 0.25) AS p25,
         | quantile_disc(l_quantity, 0.5) AS p50,
         | quantile_disc(l_quantity, 0.9) AS p90,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a22_regr" ->
+      """SELECT l_returnflag,
+        | CAST(regr_slope(l_extendedprice, l_quantity) AS REAL) AS slope,
+        | CAST(regr_intercept(l_extendedprice, l_quantity) AS REAL) AS icept,
+        | CAST(regr_r2(l_extendedprice, l_quantity) AS REAL) AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a23_bitwise" ->
+      """SELECT l_linestatus,
+        | CAST(bit_and(l_partkey) AS BIGINT) AS band,
+        | CAST(bit_or(l_partkey) AS BIGINT) AS bor,
+        | CAST(bit_xor(l_partkey) AS BIGINT) AS bxor,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
