@@ -27,7 +27,20 @@ object AsOfJoin {
     * @param rightCols right columns to carry (renamed `asof_<name>`)
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String]): DataFrame =
+    asof(left, right, key, ts, rightCols, forwardDir = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` in the key group (ties match) — the "next
+    * event after" direction (DuckDB: `ASOF JOIN ... ON l.ts <= r.ts`).
+    * Same union+window plan over time reversed: one shuffle. */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+              rightCols: Seq[String]): DataFrame =
+    asof(left, right, key, ts, rightCols, forwardDir = true)
+
+  private def asof(left: DataFrame, right: DataFrame, key: String,
+                   ts: String, rightCols: Seq[String],
+                   forwardDir: Boolean): DataFrame = {
     val passthrough = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val carried = rightCols.map(c => s"asof_$c")
 
@@ -40,8 +53,14 @@ object AsOfJoin {
         rightCols.map(c => lit(null).as(s"asof_$c"))) ++
         passthrough.map(col): _*)
 
+    // Backward: ascending time, right-before-left at equal ts, so last()
+    // sees the latest right <= l.ts. Forward: DESCENDING time (right
+    // still first at equal ts) — the last right seen walking backward
+    // from +inf is the SMALLEST right >= l.ts.
+    val timeOrder =
+      if (forwardDir) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__src"))
+      .orderBy(timeOrder, col("__src"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val matched = taggedRight.unionByName(taggedLeft)

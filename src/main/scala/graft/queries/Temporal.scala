@@ -35,6 +35,24 @@ object Temporal {
         .orderBy(col("event_id"))
     },
 
+    "p06_asof_forward" -> { (s, dir) =>
+      // Forward direction: for each click, the NEXT purchase (at or
+      // after) by the same user — the attribution-window primitive.
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("p_value"),
+          col("ts").as("p_ts"))
+      AsOfJoin.forward(clicks, purchases, key = "user_id", ts = "ts",
+          rightCols = Seq("p_ts", "p_value"))
+        .filter(col("asof_p_ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          expr("asof_p_ts div 1000").as("next_purchase_us"),
+          col("asof_p_value"))
+        .orderBy(col("event_id"))
+    },
+
     "p02_range_join" -> { (s, dir) =>
       // Banded range join: lineitems shipped within 30 days of their
       // order's date (equi key + range predicate -> SMJ, no explosion).
@@ -113,6 +131,15 @@ object Temporal {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "p06_asof_forward" ->
+      """SELECT l.event_id, l.user_id,
+        | CAST(epoch_us(r.ts) AS BIGINT) AS next_purchase_us,
+        | r.value AS asof_p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "p02_range_join" ->

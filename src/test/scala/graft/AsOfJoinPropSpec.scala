@@ -44,6 +44,16 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       (k, ts, lv, best.map(_._3))
     }.toSet
 
+  /** Forward-direction brute force: earliest right.ts >= left.ts. */
+  private def referenceFwd(ls: List[(Long, Long, Long)],
+                           rs: List[(Long, Long, Long)])
+      : Set[(Long, Long, Long, Option[Long])] =
+    ls.map { case (k, ts, lv) =>
+      val best = rs.filter(r => r._1 == k && r._2 >= ts)
+        .sortBy(r => (r._2, r._3)).headOption
+      (k, ts, lv, best.map(_._3))
+    }.toSet
+
   test("as-of backward join equals brute force on random streams") {
     val s = spark
     import s.implicits._
@@ -74,6 +84,37 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (r.isNullAt(3)) None else Some(r.getLong(3))))
         .toSet
       got == reference(ls, rs)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("forward as-of join equals brute force on random streams") {
+    val s = spark
+    import s.implicits._
+    val genRow = for {
+      k <- Gen.choose(0L, 4L)
+      ts <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, ts, v)
+    val genCase = for {
+      ls <- Gen.listOfN(40, genRow)
+      rs <- Gen.listOfN(25, genRow)
+    } yield (ls, rs)
+
+    val prop = Prop.forAll(genCase) { case (ls0, rs0) =>
+      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val ls = ls0.distinct
+      val left = ls.toDF("k", "ts", "lv")
+      val right = rs.toDF("k", "ts", "rv")
+      val got = AsOfJoin.forward(left, right, "k", "ts", Seq("rv"))
+        .select(col("k"), col("ts"), col("lv"), col("asof_rv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSet
+      got == referenceFwd(ls, rs)
     }
     val res = ScTest.check(
       ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
