@@ -202,6 +202,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dedup state survives a checkpointed restart (exactly-once sink)") {
+    // Operational property none of the memory-sink tests cover: the
+    // dropDuplicates state is CHECKPOINTED — after stopping and
+    // restarting the query from the same checkpoint, a duplicate of a
+    // pre-restart doc must still be dropped, and the file sink must hold
+    // exactly one row per distinct hash (no replay duplication).
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.Doc
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val input = MemoryStream[Doc]
+    def start() = StreamOps.dedupStream(input.toDF(), "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      input.addData(Doc("h1", ts(10), "web"), Doc("h2", ts(11), "web"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      // h1 again after restart: only the checkpointed state can drop it.
+      input.addData(Doc("h1", ts(15), "crawl"), Doc("h3", ts(16), "web"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select(col("doc_hash"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq(("h1", "web"), ("h2", "web"), ("h3", "web")),
+      rows.toString)
+  }
+
   test("watermarked stream-stream join matches the batch join twin") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
