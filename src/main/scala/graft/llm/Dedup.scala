@@ -258,11 +258,16 @@ object Dedup {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster"))
         .orderBy(col("n_toks").desc, col("doc_id"))
+      // n_members over the SAME ordered spec with a full frame — same
+      // partitioning + ordering as rnk, so both compute in ONE Window
+      // operator (an unordered count spec would add a second Window pass
+      // and its own sort).
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
       labeled
         .withColumn("rnk", row_number().over(w))
-        .withColumn("n_members",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("cluster"))))
+        .withColumn("n_members", count(lit(1)).over(wFull))
         .filter(col("rnk") === 1)
         .select(col("cluster"), col("doc_id").as("kept_doc"),
           col("n_toks"), col("n_members"))

@@ -53,6 +53,25 @@ object Temporal {
         .orderBy(col("event_id"))
     },
 
+    "p07_session_window" -> { (s, dir) =>
+      // Spark's NATIVE session_window in batch — the built-in twin of
+      // p03's manual lag+running-sum sessionization. Interval semantics:
+      // [ts, ts+gap) windows merge iff the next event starts strictly
+      // inside, so a gap of EXACTLY 30 min opens a new session (the
+      // oracle's `>=`). events.ts is long nanos under the profile →
+      // convert to micros timestamps for the window, emit unix micros.
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 40)
+      val tsCol = timestamp_micros(expr("ts div 1000"))
+      ev.groupBy(col("user_id"),
+          session_window(tsCol, "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
     "p02_range_join" -> { (s, dir) =>
       // Banded range join: lineitems shipped within 30 days of their
       // order's date (equi key + range predicate -> SMJ, no explosion).
@@ -141,6 +160,26 @@ object Temporal {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "p07_session_window" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events WHERE user_id < 40
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts, value,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id,
+        | CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "p02_range_join" ->
       """SELECT o_orderkey, COUNT(*) AS n_within_30d
