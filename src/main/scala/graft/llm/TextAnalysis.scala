@@ -120,6 +120,34 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("chunk_start"))
     },
 
+    "t08_tfidf_terms" -> { (s, dir) =>
+      // Top distinguishing terms per document — the TF-IDF retrieval
+      // primitive, scored log-free (tf * N / df: exact-int ratio, one
+      // double op) so both engines produce identical bits. At corpus
+      // scale: one explode, two shuffles (term-count per doc, doc-freq
+      // per term), a bucket join on term, a per-doc top-k window —
+      // exactly the distributed shape of a real TF-IDF job.
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+      val nDocs = 100L // fixed slice => constant N on both engines
+      val toksEx = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = toksEx.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toksEx.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score",
+          col("tf").cast("double") * nDocs / col("df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+          col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     "t07_filter_pipeline" -> { (s, dir) =>
       // The keep/drop FILTER CHAIN a pretraining pipeline runs per doc
       // (FineWeb-style): length gate → repetition gate (distinct-token
@@ -221,6 +249,28 @@ object TextAnalysis {
         | CAST(least(50, len(tk) - chunk_start) AS BIGINT) AS n_chunk_toks,
         | md5(array_to_string(list_slice(tk, chunk_start + 1, chunk_start + 50), ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "t08_tfidf_terms" ->
+      """WITH ex AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        | FROM documents WHERE doc_id < 100),
+        |tf AS (
+        | SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+        |df AS (
+        | SELECT term, COUNT(*) AS df
+        | FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY term),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  CAST(tf.tf AS DOUBLE) * 100 / df.df AS score
+        | FROM tf JOIN df USING (term)),
+        |ranked AS (
+        | SELECT doc_id, term, tf, df, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS BIGINT) AS rnk
+        | FROM scored)
+        |SELECT doc_id, rnk, term, CAST(tf AS BIGINT) AS tf,
+        | CAST(df AS BIGINT) AS df, score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "t07_filter_pipeline" ->
       s"""WITH d AS (

@@ -206,6 +206,22 @@ object Windows {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
             .as("running_sumsq"))
         .orderBy(col("event_id"))
+    },
+
+    "w16_tumbling" -> { (s, dir) =>
+      // Batch tumbling time window — the batch twin of the streaming
+      // windowedAgg (StreamOps): per (hour-bucket, event_type) counts and
+      // sums. events.ts is long nanos under the profile; Spark's window()
+      // needs a timestamp, so bucket on micros; the DuckDB twin is
+      // time_bucket. At scale this is one partial-agg shuffle keyed by
+      // (bucket, type) — the canonical time-series rollup.
+      val tsCol = timestamp_micros(expr("ts div 1000"))
+      Tables.load(s, dir, "events")
+        .groupBy(window(tsCol, "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("bucket_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("bucket_us"), col("event_type"))
     }
   )
 
@@ -338,6 +354,12 @@ object Windows {
         | CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_sumsq
-        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin
+        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+
+    "w16_tumbling" ->
+      """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_us,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
   )
 }
