@@ -237,6 +237,24 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    "d08_stratified_sample" -> { (s, dir) =>
+      // Deterministic stratified sampling — how a 100 TB pipeline samples
+      // training data reproducibly: per stratum (lang), keep the k docs
+      // with smallest content hash. No RNG (rand() would flake the
+      // differential gate AND resampling on retry), cross-engine
+      // identical (md5), and the per-stratum top-k compiles to
+      // WindowGroupLimit — only k rows per stratum cross the exchange.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("h"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("h"))
+        .orderBy(col("lang"), col("rnk"))
+    },
+
     "d07_keep_best" -> { (s, dir) =>
       // Canonical-document selection — the step after clustering in a real
       // dedup pipeline: the FULL corpus reduced to one representative per
@@ -341,6 +359,16 @@ object Dedup {
            | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+      "d08_stratified_sample" ->
+        """WITH h AS (
+          | SELECT doc_id, lang, md5(text) AS h FROM documents),
+          |r AS (
+          | SELECT lang, doc_id, h,
+          |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rnk
+          | FROM h)
+          |SELECT lang, rnk, doc_id, h FROM r WHERE rnk <= 10
+          |ORDER BY lang, rnk""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -195,6 +195,21 @@ object Aggregates {
         .orderBy(col("l_linestatus"))
     },
 
+    "a24_arg_minmax" -> { (s, dir) =>
+      // max_by/min_by registry row (DuckDB: arg_max/arg_min). The
+      // selector key is the UNIQUE o_orderkey, so the chosen row is
+      // well-defined — ties on the selector would make the result
+      // engine-dependent.
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("max_by(o_totalprice, o_orderkey)").as("price_of_last"),
+          expr("min_by(o_totalprice, o_orderkey)").as("price_of_first"),
+          max(col("o_orderkey")).as("last_key"),
+          min(col("o_orderkey")).as("first_key"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "a09_median" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -399,6 +414,14 @@ object Aggregates {
         | quantile_disc(l_quantity, 0.9) AS p90,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a24_arg_minmax" ->
+      """SELECT o_orderpriority,
+        | arg_max(o_totalprice, o_orderkey) AS price_of_last,
+        | arg_min(o_totalprice, o_orderkey) AS price_of_first,
+        | CAST(max(o_orderkey) AS BIGINT) AS last_key,
+        | CAST(min(o_orderkey) AS BIGINT) AS first_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "a22_regr" ->
       """SELECT l_returnflag,
