@@ -310,6 +310,50 @@ object Composite {
           (col("sold_qty") - coalesce(col("ret_qty"), lit(0.0)))
             .as("net_qty"))
         .orderBy(col("l_orderkey"), col("l_partkey"))
+    },
+
+    "c13_monthly_deviation" -> { (s, dir) =>
+      // q47/q57 shape — the reference pins it as bug regression 1296
+      // (ballista/client/tests/bugs.rs:34-147, TPC-DS q47 "missing sort
+      // information"): window OVER an aggregate (yearly average of
+      // monthly sums) + rank over time + TRIPLE self-join on rank for
+      // prev/next month, filtered to months deviating >10% from the
+      // yearly average. avg is computed as decimal-sum / count so both
+      // engines divide the same exact values.
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+      val monthly = l
+        .groupBy(col("l_returnflag"),
+          year(col("l_shipdate")).cast("long").as("yr"),
+          month(col("l_shipdate")).cast("long").as("mth"))
+        .agg(sum(dec(col("l_extendedprice"))).as("sum_dec"))
+      val wYear = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"), col("yr"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("yr"), col("mth"))
+      val v1 = monthly
+        .withColumn("avg_monthly",
+          (sum(col("sum_dec")).over(wYear).cast("double") /
+            count(lit(1)).over(wYear)))
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .select(col("l_returnflag"), col("yr"), col("mth"),
+          col("sum_dec").cast("double").as("sum_sales"),
+          col("avg_monthly"), col("rn"))
+      val vLag = v1.select(col("l_returnflag").as("f2"),
+        col("rn").as("rn2"), col("sum_sales").as("psum"))
+      val vLead = v1.select(col("l_returnflag").as("f3"),
+        col("rn").as("rn3"), col("sum_sales").as("nsum"))
+      v1.join(vLag, col("l_returnflag") === col("f2") &&
+          col("rn") === col("rn2") + 1)
+        .join(vLead, col("l_returnflag") === col("f3") &&
+          col("rn") === col("rn3") - 1)
+        .filter(col("yr") === 1997 && col("avg_monthly") > 0 &&
+          abs(col("sum_sales") - col("avg_monthly")) / col("avg_monthly")
+            > 0.1)
+        .select(col("l_returnflag"), col("yr"), col("mth"),
+          col("sum_sales"), col("avg_monthly"), col("psum"), col("nsum"))
+        .orderBy(col("l_returnflag"), col("mth"))
     }
   )
 
@@ -519,6 +563,33 @@ object Composite {
         | COALESCE(ret_qty, 0.0) AS ret_qty,
         | sold_qty - COALESCE(ret_qty, 0.0) AS net_qty
         |FROM sold LEFT JOIN ret ON l_orderkey = ro AND l_partkey = rp
-        |ORDER BY l_orderkey, l_partkey""".stripMargin
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "c13_monthly_deviation" ->
+      """WITH monthly AS (
+        | SELECT l_returnflag,
+        |  CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(month(l_shipdate) AS BIGINT) AS mth,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_dec
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1, 2, 3),
+        |v1 AS (
+        | SELECT l_returnflag, yr, mth,
+        |  CAST(sum_dec AS DOUBLE) AS sum_sales,
+        |  CAST(SUM(sum_dec) OVER (PARTITION BY l_returnflag, yr) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY l_returnflag, yr) AS avg_monthly,
+        |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY yr, mth) AS BIGINT) AS rn
+        | FROM monthly)
+        |SELECT v1.l_returnflag, v1.yr, v1.mth, v1.sum_sales,
+        | v1.avg_monthly, v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+        |FROM v1, v1 v1_lag, v1 v1_lead
+        |WHERE v1.l_returnflag = v1_lag.l_returnflag
+        |  AND v1.l_returnflag = v1_lead.l_returnflag
+        |  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+        |  AND v1.yr = 1997 AND v1.avg_monthly > 0
+        |  AND abs(v1.sum_sales - v1.avg_monthly) / v1.avg_monthly > 0.1
+        |ORDER BY v1.l_returnflag, v1.mth""".stripMargin
   )
 }
