@@ -31,4 +31,21 @@ class ExplainAnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val render = graft.plans.ExplainAnalyze.render(spark, df)
     assert(render.nonEmpty)
   }
+
+  test("observe() collects named runtime metrics on the query path") {
+    // The reference ships per-operator metric sets to the client over
+    // proto (ballista.proto:439-494); Spark's user-facing analogue for
+    // pipeline-level counters is df.observe: named aggregates evaluated
+    // DURING execution, no second pass over the data.
+    val obs = new org.apache.spark.sql.Observation("graft_obs")
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"))
+      .filter(col("l_quantity") > 25)
+    val kept = df.count()
+    val m = obs.get
+    assert(m("rows_seen").asInstanceOf[Long] > kept,
+      s"observe ran after the filter: $m vs kept=$kept")
+    assert(m("qty_sum").asInstanceOf[Long] > 0)
+  }
 }
