@@ -36,7 +36,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // LLM-pipeline flagships, frozen after the r2 verdict's broadcast fix:
     // d03/d06 must keep their no-forced-broadcast shapes, p01 its
     // single-shuffle union+window as-of shape.
-    "d03_minhash_lsh_pairs", "d06_dup_clusters", "p01_asof_join")
+    "d03_minhash_lsh_pairs", "d06_dup_clusters", "p01_asof_join",
+    // round-3 composite/pipeline flagships: channel INTERSECT, deep
+    // multi-join report, q47 window-over-aggregate self-join, TF-IDF
+    // top-k, hash-stratified sampling (WindowGroupLimit shape).
+    "c06_channel_intersect", "c08_deep_report", "c13_monthly_deviation",
+    "t08_tfidf_terms", "d08_stratified_sample")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
