@@ -210,6 +210,37 @@ object Aggregates {
         .orderBy(col("o_orderpriority"))
     },
 
+    "a25_empty_input" -> { (s, dir) =>
+      // Global aggregate over ZERO rows — the semantics the reference
+      // pins with EmptyExec-producing plans: COUNT → 0, SUM/MIN/MAX/AVG
+      // → NULL, and the aggregate still emits exactly ONE row.
+      Tables.load(s, dir, "lineitem")
+        .filter(lit(false))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("s"),
+          min(col("l_quantity")).as("mn"),
+          max(col("l_quantity")).as("mx"),
+          avg(col("l_quantity")).as("av"))
+    },
+
+    "a26_null_skipping" -> { (s, dir) =>
+      // NULL-skipping aggregate semantics over a synthesized nullable
+      // column: COUNT(*) counts rows, COUNT(col)/SUM/AVG skip NULLs,
+      // count_if(IS NULL) counts them. nullif is deterministic, so both
+      // engines null the SAME rows.
+      Tables.load(s, dir, "lineitem")
+        .withColumn("q",
+          when(col("l_quantity") > 45, lit(null)).otherwise(
+            col("l_quantity").cast("long")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("q")).as("n_nonnull"),
+          sum(col("q")).as("s"),
+          (sum(col("q")).cast("double") / count(col("q"))).as("av"),
+          sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "a09_median" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -414,6 +445,27 @@ object Aggregates {
         | quantile_disc(l_quantity, 0.9) AS p90,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a25_empty_input" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+        | MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+        | AVG(l_quantity) AS av
+        |FROM lineitem WHERE 1 = 0""".stripMargin,
+
+    "a26_null_skipping" ->
+      """WITH q AS (
+        | SELECT l_returnflag,
+        |  CASE WHEN l_quantity > 45 THEN NULL
+        |       ELSE CAST(l_quantity AS BIGINT) END AS q
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | COUNT(*) AS n_rows,
+        | COUNT(q) AS n_nonnull,
+        | CAST(SUM(q) AS BIGINT) AS s,
+        | CAST(SUM(q) AS DOUBLE) / COUNT(q) AS av,
+        | CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM q GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a24_arg_minmax" ->
       """SELECT o_orderpriority,
