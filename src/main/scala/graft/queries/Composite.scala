@@ -354,6 +354,29 @@ object Composite {
         .select(col("l_returnflag"), col("yr"), col("mth"),
           col("sum_sales"), col("avg_monthly"), col("psum"), col("nsum"))
         .orderBy(col("l_returnflag"), col("mth"))
+    },
+
+    "c14_channel_topn_union" -> { (s, dir) =>
+      // q49 shape: rank items WITHIN each channel, take each channel's
+      // top 10, UNION the per-channel leaderboards. The rank window is
+      // per-channel over the part dimension (bounded cardinality at any
+      // corpus size), and WindowGroupLimit keeps 10 rows per channel
+      // past the exchange.
+      val l = Tables.load(s, dir, "lineitem")
+      def board(flag: String, name: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rev").desc, col("l_partkey"))
+        l.filter(col("l_returnflag") === flag)
+          .groupBy(col("l_partkey"))
+          .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("rev"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(lit(name).as("channel"), col("rnk"), col("l_partkey"),
+            col("rev"))
+      }
+      board("R", "returned").unionByName(board("N", "kept"))
+        .orderBy(col("channel"), col("rnk"))
     }
   )
 
@@ -590,6 +613,21 @@ object Composite {
         |  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
         |  AND v1.yr = 1997 AND v1.avg_monthly > 0
         |  AND abs(v1.sum_sales - v1.avg_monthly) / v1.avg_monthly > 0.1
-        |ORDER BY v1.l_returnflag, v1.mth""".stripMargin
+        |ORDER BY v1.l_returnflag, v1.mth""".stripMargin,
+
+    "c14_channel_topn_union" ->
+      """WITH board AS (
+        | SELECT l_returnflag AS flag, l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS rev
+        | FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        | GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT flag, l_partkey, rev,
+        |  CAST(row_number() OVER (PARTITION BY flag ORDER BY rev DESC, l_partkey) AS BIGINT) AS rnk
+        | FROM board)
+        |SELECT CASE WHEN flag = 'R' THEN 'returned' ELSE 'kept' END AS channel,
+        | rnk, l_partkey, rev
+        |FROM ranked WHERE rnk <= 10
+        |ORDER BY channel, rnk""".stripMargin
   )
 }
