@@ -237,6 +237,30 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    "d09_contamination" -> { (s, dir) =>
+      // Benchmark DECONTAMINATION — distinct from within-corpus dedup:
+      // find documents sharing a long n-gram prefix with a document in a
+      // DIFFERENT source (train/eval leakage; exact-text cross-source
+      // matches don't exist in this corpus, but eval items embedded in
+      // training docs share long prefixes — the standard n-gram-overlap
+      // decontamination signal). One equi-join on the prefix fingerprint
+      // (md5 — uniform, unskewable shuffle key), cross-source pairs
+      // only, counted per source pair. Linear in corpus size at 100 TB.
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(array_join(slice(split(col("text"), " "), 1, 30), " ")
+            .cast("binary")).as("h"))
+      val a = d.select(col("h"), col("doc_id").as("da"),
+        col("source").as("sa"))
+      val b = d.select(col("h").as("hb"), col("doc_id").as("db"),
+        col("source").as("sb"))
+      a.join(b, col("h") === col("hb") && col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_leaks"),
+          countDistinct(col("da")).as("n_docs_a"))
+        .orderBy(col("sa"), col("sb"))
+    },
+
     "d08_stratified_sample" -> { (s, dir) =>
       // Deterministic stratified sampling — how a 100 TB pipeline samples
       // training data reproducibly: per stratum (lang), keep the k docs
@@ -359,6 +383,17 @@ object Dedup {
            | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+      "d09_contamination" ->
+        """WITH h AS (
+          | SELECT doc_id, source,
+          |  md5(array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')) AS h
+          | FROM documents)
+          |SELECT a.source AS sa, b.source AS sb,
+          | COUNT(*) AS n_leaks,
+          | COUNT(DISTINCT a.doc_id) AS n_docs_a
+          |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin,
 
       "d08_stratified_sample" ->
         """WITH h AS (
