@@ -166,6 +166,22 @@ object Functions {
         .orderBy(col("event_type"))
     },
 
+    "f11_date_trunc_format" -> { (s, dir) =>
+      // date_trunc + string formatting + month arithmetic: each engine
+      // renders with its OWN format syntax (yyyy-MM vs %Y-%m) — the
+      // output strings, not the syntax, are the graded contract.
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+            .as("plus3m"),
+          last_day(col("o_orderdate")).cast("string").as("month_end"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "f10_generator" -> { (s, dir) =>
       // Generator/UDTF surface (SURVEY §2B UDF row: "UDTF → Generator/
       // flatMap"): a table-generating function on the graded path —
@@ -280,6 +296,16 @@ object Functions {
         |                    = CAST(json_extract(props, '$.k') AS BIGINT)
         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_agree
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f11_date_trunc_format" ->
+      """SELECT o_orderkey,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(o_orderdate, '%Y-%m') AS ym,
+        | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        | CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+        | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
 
     "f10_generator" ->
       """SELECT c_custkey,
