@@ -12,7 +12,10 @@ import graft.queries.Dx._
   * item restriction (q14), cumulative window-over-union comparison (q51),
   * deep multi-join year-over-year reports (q64), HAVING-frequent ×
   * scalar-threshold (q23), HAVING-band join-back (q34/q73), LEFT-join
-  * channel ratios (q78), and sales-netted-against-returns self-joins (q93)
+  * channel ratios (q78), sales-netted-against-returns self-joins (q93),
+  * per-channel sales-vs-returns ROLLUP profit reports (q77/q80),
+  * multi-supplier-order two-IN chains (q95), and cross-channel
+  * tolerance-equality reports (q58)
   * (`benchmarks/queries-tpcds/`). Re-expressed on the synthetic schema,
   * each combining several §2B rows in one plan.
   */
@@ -377,6 +380,123 @@ object Composite {
       }
       board("R", "returned").unionByName(board("N", "kept"))
         .orderBy(col("channel"), col("rnk"))
+    },
+
+    "c15_channel_profit_rollup" -> { (s, dir) =>
+      // q77 shape (`benchmarks/queries-tpcds/q77.sql`): per channel, a
+      // sales aggregate LEFT-joined to a returns aggregate on the
+      // channel's entity id (returns coalesced to 0, loss subtracted
+      // from profit), the three channel blocks UNION ALL'd, and the
+      // whole report summarized with ROLLUP(channel, id). Each block's
+      // two aggregates shuffle once on (id); the rollup input is already
+      // one row per (channel, id) — tiny at any corpus size. All money
+      // math stays in exact decimal until after the ROLLUP sums.
+      val l = Tables.load(s, dir, "lineitem")
+      def block(from: String, to: String, name: String): DataFrame = {
+        val slice = l.filter(col("l_shipdate") >= ts(from) &&
+          col("l_shipdate") < ts(to))
+        val sales = slice.filter(col("l_returnflag") =!= "R")
+          .groupBy(col("l_suppkey").as("id"))
+          .agg(sum(dec(col("l_extendedprice"))).as("sales"),
+            sum(discounted(col("l_extendedprice"), col("l_discount")))
+              .as("profit"))
+        val rets = slice.filter(col("l_returnflag") === "R")
+          .groupBy(col("l_suppkey").as("rid"))
+          .agg(sum(dec(col("l_extendedprice"))).as("returns"),
+            sum(discounted(col("l_extendedprice"), col("l_discount")))
+              .as("loss"))
+        sales.join(rets, col("id") === col("rid"), "left_outer")
+          .select(lit(name).as("channel"), col("id"),
+            col("sales"),
+            coalesce(col("returns"),
+              lit(BigDecimal(0)).cast("decimal(22,2)")).as("returns"),
+            (col("profit") - coalesce(col("loss"),
+              lit(BigDecimal(0)).cast("decimal(31,4)"))).as("profit"))
+      }
+      block("1996-01-01", "1997-01-01", "y1996")
+        .unionByName(block("1997-01-01", "1998-01-01", "y1997"))
+        .unionByName(block("1998-01-01", "1999-01-01", "y1998"))
+        .rollup(col("channel"), col("id"))
+        .agg(sum(col("sales")).cast("double").as("sales"),
+          sum(col("returns")).cast("double").as("returns"),
+          sum(col("profit")).cast("double").as("profit"))
+        .orderBy(col("channel").asc_nulls_first, col("id").asc_nulls_first)
+    },
+
+    "c16_multi_supplier_returns" -> { (s, dir) =>
+      // q95 shape (`benchmarks/queries-tpcds/q95.sql`): orders shipped in
+      // a window, restricted by two dimension attributes, that (a) span
+      // more than one supplier and (b) also have a returned line among
+      // the multi-supplier orders — q95's two IN-subqueries over the
+      // ws_wh self-join. The multi-supplier set is computed as a
+      // grouped count(distinct) rather than the reference's pairwise
+      // self-join: EXISTS(pair with a different supplier) ⇔
+      // count(distinct supplier) > 1, and the aggregate form shuffles
+      // lineitem once on orderkey with no pair fan-out at 100 TB.
+      val l = Tables.load(s, dir, "lineitem")
+      val multi = l.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+        .filter(col("nsupp") > 1).select(col("l_orderkey").as("mo"))
+      val retMulti = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("rko"))
+        .join(multi, col("rko") === col("mo"), "left_semi")
+      val o = Tables.load(s, dir, "orders")
+      val natSet = Tables.load(s, dir, "nation")
+        .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))
+      val custSet = Tables.load(s, dir, "customer")
+        .join(natSet, col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("c_custkey"))
+      val supSet = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 0).select(col("s_suppkey"))
+      l.filter(col("l_shipdate") >= ts("1996-05-01") &&
+          col("l_shipdate") < ts("1996-07-01"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custSet, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(supSet, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(multi, col("l_orderkey") === col("mo"), "left_semi")
+        .join(retMulti, col("l_orderkey") === col("rko"), "left_semi")
+        .agg(countDistinct(col("l_orderkey")).as("order_cnt"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_tax"), 8))
+            .cast("double").as("ship_cost"),
+          sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("net_profit"))
+    },
+
+    "c17_cross_channel_tolerance" -> { (s, dir) =>
+      // q58 shape (`benchmarks/queries-tpcds/q58.sql`): per-item revenue
+      // in three channels, inner-joined on the item key, keeping items
+      // whose revenue in EVERY channel lies within 90–110% of every
+      // other channel's, reporting each channel's deviation from the
+      // three-channel average. Three one-shuffle aggregates joined on
+      // the same key; the tolerance filter and deviations are computed
+      // in double on both engines (exact-decimal sums cast to double
+      // first, so the band compares identical bits).
+      val l = Tables.load(s, dir, "lineitem")
+      def chanRev(flag: String, key: String, out: String): DataFrame =
+        l.filter(col("l_returnflag") === flag)
+          .groupBy(col("l_partkey").as(key))
+          .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as(out))
+      def band(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        x.between(y * 0.9, y * 1.1)
+      val a = chanRev("A", "l_partkey", "a_rev")
+      val n = chanRev("N", "pk2", "n_rev")
+      val r = chanRev("R", "pk3", "r_rev")
+      val avg3 = (col("a_rev") + col("n_rev") + col("r_rev")) / lit(3)
+      a.join(n, col("l_partkey") === col("pk2"))
+        .join(r, col("l_partkey") === col("pk3"))
+        .filter(band(col("a_rev"), col("n_rev")) &&
+          band(col("a_rev"), col("r_rev")) &&
+          band(col("n_rev"), col("a_rev")) &&
+          band(col("n_rev"), col("r_rev")) &&
+          band(col("r_rev"), col("a_rev")) &&
+          band(col("r_rev"), col("n_rev")))
+        .select(col("l_partkey"),
+          col("a_rev"), (col("a_rev") / avg3 * 100).as("a_dev"),
+          col("n_rev"), (col("n_rev") / avg3 * 100).as("n_dev"),
+          col("r_rev"), (col("r_rev") / avg3 * 100).as("r_dev"),
+          avg3.as("average"))
+        .orderBy(col("l_partkey"))
     }
   )
 
@@ -628,6 +748,86 @@ object Composite {
         |SELECT CASE WHEN flag = 'R' THEN 'returned' ELSE 'kept' END AS channel,
         | rnk, l_partkey, rev
         |FROM ranked WHERE rnk <= 10
-        |ORDER BY channel, rnk""".stripMargin
+        |ORDER BY channel, rnk""".stripMargin,
+
+    "c15_channel_profit_rollup" ->
+      """WITH block AS (
+        | SELECT CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 'y1996'
+        |             WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 'y1997'
+        |             ELSE 'y1998' END AS channel,
+        |  l_suppkey, l_returnflag, l_extendedprice, l_discount
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1999-01-01'),
+        |sales AS (
+        | SELECT channel, l_suppkey AS id,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS profit
+        | FROM block WHERE l_returnflag <> 'R' GROUP BY 1, 2),
+        |rets AS (
+        | SELECT channel, l_suppkey AS rid,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS returns,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS loss
+        | FROM block WHERE l_returnflag = 'R' GROUP BY 1, 2),
+        |joined AS (
+        | SELECT sales.channel, id,
+        |  sales,
+        |  COALESCE(returns, CAST(0 AS DECIMAL(22,2))) AS returns,
+        |  profit - COALESCE(loss, CAST(0 AS DECIMAL(31,4))) AS profit
+        | FROM sales LEFT JOIN rets
+        |   ON sales.channel = rets.channel AND id = rid)
+        |SELECT channel, id,
+        | CAST(SUM(sales) AS DOUBLE) AS sales,
+        | CAST(SUM(returns) AS DOUBLE) AS returns,
+        | CAST(SUM(profit) AS DOUBLE) AS profit
+        |FROM joined
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST""".stripMargin,
+
+    "c16_multi_supplier_returns" ->
+      """WITH multi AS (
+        | SELECT l_orderkey FROM lineitem
+        | GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) > 1)
+        |SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS order_cnt,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS ship_cost,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS net_profit
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-05-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |                                          WHERE n_name = 'NATION_3'))
+        |  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
+        |  AND l_orderkey IN (SELECT l_orderkey FROM multi)
+        |  AND l_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     WHERE l_returnflag = 'R'
+        |                       AND l_orderkey IN (SELECT l_orderkey FROM multi))""".stripMargin,
+
+    "c17_cross_channel_tolerance" ->
+      """WITH a AS (
+        | SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS a_rev
+        | FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+        |n AS (
+        | SELECT l_partkey AS pk2,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS n_rev
+        | FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1),
+        |r AS (
+        | SELECT l_partkey AS pk3,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS r_rev
+        | FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT l_partkey,
+        | a_rev, a_rev / ((a_rev + n_rev + r_rev) / 3) * 100 AS a_dev,
+        | n_rev, n_rev / ((a_rev + n_rev + r_rev) / 3) * 100 AS n_dev,
+        | r_rev, r_rev / ((a_rev + n_rev + r_rev) / 3) * 100 AS r_dev,
+        | (a_rev + n_rev + r_rev) / 3 AS average
+        |FROM a JOIN n ON l_partkey = pk2 JOIN r ON l_partkey = pk3
+        |WHERE a_rev BETWEEN 0.9 * n_rev AND 1.1 * n_rev
+        |  AND a_rev BETWEEN 0.9 * r_rev AND 1.1 * r_rev
+        |  AND n_rev BETWEEN 0.9 * a_rev AND 1.1 * a_rev
+        |  AND n_rev BETWEEN 0.9 * r_rev AND 1.1 * r_rev
+        |  AND r_rev BETWEEN 0.9 * a_rev AND 1.1 * a_rev
+        |  AND r_rev BETWEEN 0.9 * n_rev AND 1.1 * n_rev
+        |ORDER BY l_partkey""".stripMargin
   )
 }
