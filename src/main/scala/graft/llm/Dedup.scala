@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -46,6 +47,29 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Iteration barrier for the label-propagation loop: truncates lineage
+    * so each round's plan stays O(1) instead of doubling per round.
+    *
+    * Default = `localCheckpoint` (executor-local blocks): fastest, right
+    * for local/CI, but lineage is truncated WITHOUT a replayable copy —
+    * at cluster scale an executor loss mid-iteration kills the job. The
+    * reference survives this by holding completed-stage state on the
+    * scheduler and retrying (`scheduler/src/state/execution_graph.rs:106`).
+    * Setting `graft.cc.checkpointDir` (an HDFS/S3 path on a real cluster)
+    * switches every round's labels to a reliable `checkpoint`: one
+    * distributed write per round buys executor-churn tolerance — the
+    * 100 TB-correct configuration for a long CC job.
+    */
+  private def barrier(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.cc.checkpointDir")
+      .filter(_.nonEmpty) match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
 
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     // The test-SF documents parquet is a single row group => the scan is
@@ -122,7 +146,14 @@ object Dedup {
         .select(col("doc_id"), col("source"),
           array_distinct(col("__th")).as("tset"),
           sigArray(col("__th")).as("sig"))
-        .persist() // bounded: one row per doc (ids + int64 token hashes)
+        // Explicit MEMORY_AND_DISK: one row per doc (ids + int64 token
+        // hashes, ~2% of corpus text), it feeds THREE consumers (bands +
+        // both tset re-attach joins; recompute = 3× corpus md5), and SQL
+        // cache blocks are already compressed columnar batches — there is
+        // no cheaper "_SER" variant for DataFrames. Partitions that don't
+        // fit executor memory at 100 TB spill to local disk instead of
+        // evicting (re-hash) or OOMing.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = sig.select(col("doc_id"), col("source"),
         posexplode(col("sig")).as(Seq("band", "mh")))
       val a = bands.select(col("doc_id").as("da"), col("source"),
@@ -206,28 +237,28 @@ object Dedup {
       // fixpoint), and the near-dup clique-like components stop after
       // 2-3 rounds instead of burning a worst-case budget. The cap is a
       // runaway backstop (diameter > 64 would mean a 2^64-node chain).
-      // localCheckpoint = the iteration barrier: without it every round
-      // embeds the previous round's WHOLE plan (and the d03 subtree)
-      // twice, and the lineage grows 2^rounds — the optimizer, not the
-      // data, becomes the bottleneck. Checkpointed labels stay
-      // distributed (executor-local blocks); only the one scalar sum
-      // comes to the driver per round.
-      val pairs = queries("d03_minhash_lsh_pairs")(s, dir)
-        .select(col("da"), col("db")).localCheckpoint()
+      // `barrier` = the iteration barrier: without it every round embeds
+      // the previous round's WHOLE plan (and the d03 subtree) twice, and
+      // the lineage grows 2^rounds — the optimizer, not the data, becomes
+      // the bottleneck. Labels stay distributed (executor-local blocks,
+      // or a reliable checkpoint dir when graft.cc.checkpointDir is set —
+      // see [[barrier]] for the fault-tolerance tradeoff); only the one
+      // scalar sum comes to the driver per round.
+      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+        .select(col("da"), col("db")))
       val edges = pairs
         .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
         .toDF("src", "dst")
       val nodes = edges.select(col("src").as("id")).distinct()
-      var lab = nodes.withColumn("lbl", col("id")).localCheckpoint()
+      var lab = barrier(nodes.withColumn("lbl", col("id")))
       var prevSum = lab.agg(sum(col("lbl"))).head().getLong(0)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 64) {
         val prop = edges.join(lab, col("src") === col("id"))
           .select(col("dst").as("id"), col("lbl"))
-        lab = lab.unionByName(prop)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
+        lab = barrier(lab.unionByName(prop)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
         val curSum = lab.agg(sum(col("lbl"))).head().getLong(0)
         converged = curSum == prevSum
         prevSum = curSum

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * Result is row-identical to the serial `OVER (ORDER BY ...)` plan for
   * ROWS BETWEEN `preceding` PRECEDING AND CURRENT ROW frames, provided
   * every bucket holds at least `preceding` rows (pick
-  * nBuckets ≲ n / (10·preceding)).
+  * nBuckets ≲ n / (10·preceding)). The precondition is enforced at
+  * runtime: a bucket with fewer than `preceding` rows raises
+  * IllegalArgumentException instead of returning a silently truncated
+  * rolling aggregate.
   */
 object ParallelWindow {
 
@@ -51,6 +54,23 @@ object ParallelWindow {
       acc + when(col(orderCol) > c, 1).otherwise(0)
     }
     val bucketed = df.withColumn("__bucket", bucketExpr)
+
+    // Fail-fast precondition guard (one tiny job: ≤ nBuckets grouped
+    // counts to the driver — approxQuantile above is already an action).
+    // Every bucket below the highest occupied one must donate `preceding`
+    // halo rows to its successor; a smaller (or empty — duplicate cuts
+    // under key skew) bucket would silently truncate cross-boundary
+    // lookback. Better a loud error than a wrong rolling aggregate.
+    val sizes = bucketed.groupBy(col("__bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (sizes.nonEmpty) (0 until sizes.keys.max).foreach { b =>
+      val c = sizes.getOrElse(b, 0L)
+      require(c >= preceding,
+        s"ParallelWindow precondition violated: bucket $b holds $c rows " +
+          s"but the ROWS frame needs $preceding lookback rows per bucket; " +
+          s"lower nBuckets (pick nBuckets <= n / (10*preceding)) or run " +
+          s"the serial window")
+    }
 
     // halo: last `preceding` rows of each bucket, re-tagged into the next.
     val wTail = Window.partitionBy(col("__bucket"))

@@ -51,6 +51,20 @@ class ConfigLegsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reliable-checkpoint leg: d06 identical with graft.cc.checkpointDir") {
+    // The d06 iteration barrier defaults to localCheckpoint (executor-
+    // local, not fault-tolerant); graft.cc.checkpointDir switches it to a
+    // reliable checkpoint per round. Same fixpoint either way.
+    val baseline = runOnce("d06_dup_clusters")
+    assert(baseline.nonEmpty)
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val got = withConfs(Map("graft.cc.checkpointDir" -> dir))(
+      runOnce("d06_dup_clusters"))
+    assert(got == baseline,
+      s"d06 differs under reliable checkpoint (${got.size} vs ${baseline.size} rows)")
+  }
+
   flagships.foreach { name =>
     test(s"config legs agree: $name") {
       val baseline = runOnce(name)
