@@ -14,8 +14,10 @@ import graft.queries.Dx._
   * scalar-threshold (q23), HAVING-band join-back (q34/q73), LEFT-join
   * channel ratios (q78), sales-netted-against-returns self-joins (q93),
   * per-channel sales-vs-returns ROLLUP profit reports (q77/q80),
-  * multi-supplier-order two-IN chains (q95), and cross-channel
-  * tolerance-equality reports (q58)
+  * multi-supplier-order two-IN chains (q95), cross-channel
+  * tolerance-equality reports (q58), weekly day-of-week pivot
+  * year-over-year ratios (q2/q59), channel-overlap FULL-OUTER counts
+  * (q97), and per-customer cross-channel growth comparison (q4/q11)
   * (`benchmarks/queries-tpcds/`). Re-expressed on the synthetic schema,
   * each combining several §2B rows in one plan.
   */
@@ -497,6 +499,95 @@ object Composite {
           col("r_rev"), (col("r_rev") / avg3 * 100).as("r_dev"),
           avg3.as("average"))
         .orderBy(col("l_partkey"))
+    },
+
+    "c18_weekly_dow_ratio" -> { (s, dir) =>
+      // q2/q59 shape (`benchmarks/queries-tpcds/q2.sql`, `q59.sql`):
+      // weekly revenue pivoted to day-of-week columns via conditional
+      // aggregation, the week series self-joined against the same week
+      // one year later, reporting the per-day ratios. Week/day keys are
+      // derived by integer day arithmetic from a fixed Monday anchor —
+      // identical in both engines (calendar week functions differ at
+      // year boundaries across engines). One groupBy(week) shuffle, then
+      // a self-join of two ~|weeks|-row aggregates — trivial at any SF.
+      val o = Tables.load(s, dir, "orders")
+      val anchor = to_date(lit("1994-12-26")) // Monday before data start
+      val base = o.withColumn("d", datediff(to_date(col("o_orderdate")), anchor))
+        .withColumn("wk", floor(col("d") / 7).cast("long"))
+        .withColumn("dow", (col("d") % 7).cast("int"))
+      val dows = 0 until 7
+      val aggs = dows.map(j =>
+        sum(when(col("dow") === j, dec(col("o_totalprice")))).as(s"s$j"))
+      val weekly = base.groupBy(col("wk")).agg(aggs.head, aggs.tail: _*)
+      val y1 = weekly
+      val y2 = weekly.select(col("wk").as("wk2") +:
+        dows.map(j => col(s"s$j").as(s"t$j")): _*)
+      val allPresent = dows.map(j =>
+        col(s"s$j").isNotNull && col(s"t$j").isNotNull)
+        .reduce(_ && _)
+      y1.join(y2, col("wk") + 52 === col("wk2"))
+        .filter(allPresent)
+        .select(col("wk") +: dows.map(j =>
+          (col(s"t$j").cast("double") / col(s"s$j").cast("double"))
+            .as(s"r$j")): _*)
+        .orderBy(col("wk"))
+    },
+
+    "c19_channel_overlap" -> { (s, dir) =>
+      // q97 shape (`benchmarks/queries-tpcds/q97.sql`): distinct
+      // (customer, part) pairs in two channel slices, FULL OUTER joined
+      // on the pair key, counting pairs seen only in the first channel,
+      // only in the second, and in both. Two distincts + one full-outer
+      // merge join on the same key — each a single shuffle, no fan-out.
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      def pairs(year: Int, ck: String, pk: String): DataFrame =
+        lo.filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+          .select(col("o_custkey").as(ck), col("l_partkey").as(pk))
+          .distinct()
+      pairs(1996, "ck1", "pk1")
+        .join(pairs(1997, "ck2", "pk2"),
+          col("ck1") === col("ck2") && col("pk1") === col("pk2"),
+          "full_outer")
+        .agg(
+          sum(when(col("ck1").isNotNull && col("ck2").isNull, 1)
+            .otherwise(0)).cast("long").as("only_1996"),
+          sum(when(col("ck1").isNull && col("ck2").isNotNull, 1)
+            .otherwise(0)).cast("long").as("only_1997"),
+          sum(when(col("ck1").isNotNull && col("ck2").isNotNull, 1)
+            .otherwise(0)).cast("long").as("both_years"))
+    },
+
+    "c20_growth_compare" -> { (s, dir) =>
+      // q4/q11 shape (`benchmarks/queries-tpcds/q4.sql`, `q11.sql`):
+      // per-customer year-over-year spend growth computed separately in
+      // two channels, keeping customers whose growth in the "returned"
+      // channel exceeds their growth in the "kept" channel. All four
+      // period×channel aggregates come from ONE conditional-aggregation
+      // pass over the joined fact (one shuffle on custkey), not four
+      // scans — the Spark-first fix for q4's quadruple CTE scan.
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+      def spend(yr: Int, flag: String): org.apache.spark.sql.Column =
+        sum(when(col("yr") === yr && col("l_returnflag") === flag,
+          discounted(col("l_extendedprice"), col("l_discount"))))
+      val g = lo.groupBy(col("o_custkey"))
+        .agg(spend(1996, "N").as("s96n"), spend(1997, "N").as("s97n"),
+          spend(1996, "R").as("s96r"), spend(1997, "R").as("s97r"))
+        .filter(col("s96n").isNotNull && col("s97n").isNotNull &&
+          col("s96r").isNotNull && col("s97r").isNotNull)
+      g.select(col("o_custkey"),
+          col("s96n").cast("double").as("s96n"),
+          col("s97n").cast("double").as("s97n"),
+          col("s96r").cast("double").as("s96r"),
+          col("s97r").cast("double").as("s97r"))
+        .withColumn("growth_r", col("s97r") / col("s96r"))
+        .withColumn("growth_n", col("s97n") / col("s96n"))
+        .filter(col("growth_r") > col("growth_n"))
+        .orderBy(col("o_custkey"))
     }
   )
 
@@ -828,6 +919,70 @@ object Composite {
         |  AND n_rev BETWEEN 0.9 * r_rev AND 1.1 * r_rev
         |  AND r_rev BETWEEN 0.9 * a_rev AND 1.1 * a_rev
         |  AND r_rev BETWEEN 0.9 * n_rev AND 1.1 * n_rev
-        |ORDER BY l_partkey""".stripMargin
+        |ORDER BY l_partkey""".stripMargin,
+
+    "c18_weekly_dow_ratio" -> {
+      val sums = (0 until 7).map(j =>
+        s"SUM(CASE WHEN dow = $j THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS s$j")
+        .mkString(",\n        |  ")
+      val ratios = (0 until 7).map(j =>
+        s"CAST(y2.s$j AS DOUBLE) / CAST(y1.s$j AS DOUBLE) AS r$j")
+        .mkString(",\n        | ")
+      val present = (0 until 7).map(j =>
+        s"y1.s$j IS NOT NULL AND y2.s$j IS NOT NULL").mkString(" AND ")
+      s"""WITH base AS (
+        | SELECT DATE_DIFF('day', DATE '1994-12-26', CAST(o_orderdate AS DATE)) AS d,
+        |  o_totalprice FROM orders),
+        |weekly AS (
+        | SELECT CAST(FLOOR(d / 7) AS BIGINT) AS wk,
+        |  $sums
+        | FROM (SELECT d, d % 7 AS dow, o_totalprice FROM base)
+        | GROUP BY 1)
+        |SELECT y1.wk,
+        | $ratios
+        |FROM weekly y1 JOIN weekly y2 ON y1.wk + 52 = y2.wk
+        |WHERE $present
+        |ORDER BY y1.wk""".stripMargin
+    },
+
+    "c19_channel_overlap" ->
+      """WITH p96 AS (
+        | SELECT DISTINCT o_custkey AS ck1, l_partkey AS pk1
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE year(o_orderdate) = 1996),
+        |p97 AS (
+        | SELECT DISTINCT o_custkey AS ck2, l_partkey AS pk2
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE year(o_orderdate) = 1997)
+        |SELECT
+        | CAST(SUM(CASE WHEN ck1 IS NOT NULL AND ck2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1996,
+        | CAST(SUM(CASE WHEN ck1 IS NULL AND ck2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1997,
+        | CAST(SUM(CASE WHEN ck1 IS NOT NULL AND ck2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_years
+        |FROM p96 FULL OUTER JOIN p97 ON ck1 = ck2 AND pk1 = pk2""".stripMargin,
+
+    "c20_growth_compare" ->
+      """WITH g AS (
+        | SELECT o_custkey,
+        |  SUM(CASE WHEN year(o_orderdate) = 1996 AND l_returnflag = 'N'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) END) AS s96n,
+        |  SUM(CASE WHEN year(o_orderdate) = 1997 AND l_returnflag = 'N'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) END) AS s97n,
+        |  SUM(CASE WHEN year(o_orderdate) = 1996 AND l_returnflag = 'R'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) END) AS s96r,
+        |  SUM(CASE WHEN year(o_orderdate) = 1997 AND l_returnflag = 'R'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) END) AS s97r
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_custkey
+        | HAVING s96n IS NOT NULL AND s97n IS NOT NULL
+        |    AND s96r IS NOT NULL AND s97r IS NOT NULL)
+        |SELECT o_custkey,
+        | CAST(s96n AS DOUBLE) AS s96n, CAST(s97n AS DOUBLE) AS s97n,
+        | CAST(s96r AS DOUBLE) AS s96r, CAST(s97r AS DOUBLE) AS s97r,
+        | CAST(s97r AS DOUBLE) / CAST(s96r AS DOUBLE) AS growth_r,
+        | CAST(s97n AS DOUBLE) / CAST(s96n AS DOUBLE) AS growth_n
+        |FROM g
+        |WHERE CAST(s97r AS DOUBLE) / CAST(s96r AS DOUBLE)
+        |    > CAST(s97n AS DOUBLE) / CAST(s96n AS DOUBLE)
+        |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -19,6 +19,9 @@ import org.apache.spark.sql.types._
   * Scale shape: schema is read from one footer on the driver; the file
   * list parallelizes across the cluster and each task streams record
   * batches from its files (one allocator per task, closed on completion).
+  * The write side mirrors the reference's file-per-partition shuffle
+  * writer (`core/src/execution_plans/mod.rs:93-126`): every task streams
+  * its own partition to `part-NNNNN.arrow` in bounded record batches.
   * Supported logical types: Int32/Int64, Float32/64, Utf8, Bool — the
   * primitive core the reference's own test exercises.
   */
@@ -96,12 +99,8 @@ object ArrowIpcSource {
     spark.createDataFrame(rows, schema)
   }
 
-  /** Test-scale writer: one IPC file from a (small) DataFrame — the
-    * roundtrip half of the reference's write-read checks. */
-  def write(df: DataFrame, path: String): Unit = {
-    val rows = df.collect()
-    val sparkSchema = df.schema
-    val fields = sparkSchema.fields.map { sf =>
+  private def arrowFields(sparkSchema: StructType): Seq[Field] =
+    sparkSchema.fields.toSeq.map { sf =>
       val at: ArrowType = sf.dataType match {
         case LongType    => new ArrowType.Int(64, true)
         case IntegerType => new ArrowType.Int(32, true)
@@ -113,33 +112,83 @@ object ArrowIpcSource {
       }
       new Field(sf.name, new FieldType(sf.nullable, at, null), null)
     }
+
+  private def setCell(v: FieldVector, i: Int, r: Row, c: Int): Unit =
+    if (r.isNullAt(c)) v match {
+      case x: BaseFixedWidthVector    => x.setNull(i)
+      case x: BaseVariableWidthVector => x.setNull(i)
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
+    else v match {
+      case x: BigIntVector  => x.setSafe(i, r.getLong(c))
+      case x: IntVector     => x.setSafe(i, r.getInt(c))
+      case x: Float8Vector  => x.setSafe(i, r.getDouble(c))
+      case x: Float4Vector  => x.setSafe(i, r.getFloat(c))
+      case x: VarCharVector => x.setSafe(i, r.getString(c).getBytes("UTF-8"))
+      case x: BitVector     => x.setSafe(i, if (r.getBoolean(c)) 1 else 0)
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
+
+  /** Stream `rows` into one IPC file in bounded record batches — runs
+    * inside a task: one allocator per file, O(batchSize) memory, never
+    * the whole partition. */
+  private def writeFile(schema: StructType, path: String,
+                        rows: Iterator[Row], batchSize: Int): Long = {
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(
-      new ArrowSchema(fields.toList.asJava), alloc)
+      new ArrowSchema(arrowFields(schema).toList.asJava), alloc)
+    val out = new FileOutputStream(path)
+    val w = new ArrowFileWriter(root, null, out.getChannel)
+    var n = 0L
     try {
-      root.allocateNew()
-      rows.zipWithIndex.foreach { case (r, i) =>
-        root.getFieldVectors.asScala.zipWithIndex.foreach { case (v, c) =>
-          if (r.isNullAt(c)) v match {
-            case x: BaseFixedWidthVector    => x.setNull(i)
-            case x: BaseVariableWidthVector => x.setNull(i)
-            case other => throw new UnsupportedOperationException(other.toString)
-          }
-          else v match {
-            case x: BigIntVector  => x.setSafe(i, r.getLong(c))
-            case x: IntVector     => x.setSafe(i, r.getInt(c))
-            case x: Float8Vector  => x.setSafe(i, r.getDouble(c))
-            case x: Float4Vector  => x.setSafe(i, r.getFloat(c))
-            case x: VarCharVector => x.setSafe(i, r.getString(c).getBytes("UTF-8"))
-            case x: BitVector     => x.setSafe(i, if (r.getBoolean(c)) 1 else 0)
-            case other => throw new UnsupportedOperationException(other.toString)
-          }
+      w.start()
+      while (rows.hasNext) {
+        root.allocateNew()
+        val vs = root.getFieldVectors.asScala
+        var i = 0
+        while (i < batchSize && rows.hasNext) {
+          val r = rows.next()
+          var c = 0
+          while (c < vs.size) { setCell(vs(c), i, r, c); c += 1 }
+          i += 1
         }
+        root.setRowCount(i); n += i
+        w.writeBatch()
       }
-      root.setRowCount(rows.length)
-      val out = new FileOutputStream(path)
-      val w = new ArrowFileWriter(root, null, out.getChannel)
-      w.start(); w.writeBatch(); w.end(); w.close(); out.close()
-    } finally { root.close(); alloc.close() }
+      w.end()
+    } finally { w.close(); out.close(); root.close(); alloc.close() }
+    n
+  }
+
+  /** Distributed writer: one IPC file per partition under `dir` — the
+    * Spark-side mirror of the reference's file-per-partition shuffle
+    * write (`core/src/execution_plans/mod.rs:93-126`). Each task streams
+    * its partition in `batchSize` record batches with its own allocator;
+    * nothing is materialized on the driver. Local/shared-FS path
+    * semantics, matching the read side. */
+  def writeDir(df: DataFrame, dir: String, batchSize: Int = 4096): Unit = {
+    val schema = df.schema
+    new File(dir).mkdirs()
+    df.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.hasNext)
+        Iterator.single(
+          writeFile(schema, f"$dir/part-$idx%05d.arrow", it, batchSize))
+      else Iterator.empty
+    }.count()
+  }
+
+  /** Single-file writer (test/roundtrip surface): funnels through the
+    * same task-side batch writer via coalesce(1) — no driver collect. */
+  def write(df: DataFrame, path: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-arrow-w")
+    writeDir(df.coalesce(1), tmp.toString)
+    val part = tmp.resolve("part-00000.arrow")
+    // An empty DataFrame writes no part file; emit a schema-only file so
+    // the roundtrip still carries the schema.
+    if (!java.nio.file.Files.exists(part))
+      writeFile(df.schema, part.toString, Iterator.empty, 1)
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.deleteIfExists(tmp)
   }
 }

@@ -55,6 +55,22 @@ class ArrowIpcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() > 0)
   }
 
+  test("distributed writer: one file per partition, batched, dir roundtrip") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(4)
+    val dir = s"$tmp/dist"
+    // batchSize 256 → ~10 record batches per file: exercises the
+    // bounded-batch loop, not just one writeBatch.
+    ArrowIpcSource.writeDir(df, dir, batchSize = 256)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 4, s"expected 4 part files, got ${files.length}")
+    val back = ArrowIpcSource.read(spark, dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum(col("k"))).head.getLong(0) == 50005000L)
+  }
+
   test("directory of arrow files reads as one table") {
     val s = spark; import s.implicits._
     val dir = Files.createDirectory(

@@ -41,7 +41,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // multi-join report, q47 window-over-aggregate self-join, TF-IDF
     // top-k, hash-stratified sampling (WindowGroupLimit shape).
     "c06_channel_intersect", "c08_deep_report", "c13_monthly_deviation",
-    "t08_tfidf_terms", "d08_stratified_sample")
+    "t08_tfidf_terms", "d08_stratified_sample",
+    // round-4: the q77-shape ROLLUP composite freezes the grouping-set
+    // Expand/Exchange shape — the one §2B operator family (grouping
+    // sets) not previously under a golden.
+    "c15_channel_profit_rollup")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
