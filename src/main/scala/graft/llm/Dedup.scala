@@ -7,7 +7,9 @@ import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Deduplication operators over `documents` — exact, MinHash+LSH banding,
-  * SimHash, and n-gram Jaccard. Extension surface beyond the reference
+  * SimHash, n-gram Jaccard, duplicate clustering, canonical-doc
+  * selection, chunk-level (paragraph) dedup, stratified sampling, and
+  * benchmark decontamination. Extension surface beyond the reference
   * (which is bounded-relational only, SURVEY.md §1) for training-data
   * pipelines.
   *
@@ -292,6 +294,36 @@ object Dedup {
         .orderBy(col("sa"), col("sb"))
     },
 
+    "d10_chunk_dedup" -> { (s, dir) =>
+      // Cross-document CHUNK-level dedup (paragraph dedup à la FineWeb's
+      // line dedup, at t06's 50-token chunk grid): chunks are
+      // content-addressed with md5, the canonical copy of each hash is
+      // the smallest (doc_id, chunk_start) — encoded as one int64 so the
+      // arg-min is a plain MIN — and every other occurrence is a
+      // duplicate. ONE shuffle on the (uniform, unskewable) hash plus a
+      // per-doc count; linear in corpus size at 100 TB. Per-doc
+      // duplicate-chunk fractions are exact-integer ratios.
+      val C = 50
+      val S = 40
+      val tk = split(col("text"), " ")
+      val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)), lit(S))
+      val chunks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"), explode(starts).as("idx"))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          md5(array_join(slice(col("tk"), col("idx") + 1, lit(C)), " ")
+            .cast("binary")).as("h"))
+        .withColumn("key", col("doc_id") * 100000L + col("idx"))
+      val canon = chunks.groupBy(col("h")).agg(min(col("key")).as("ck"))
+      chunks.join(canon, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("key") =!= col("ck"), 1).otherwise(0)).cast("long")
+            .as("n_dup"))
+        .withColumn("dup_frac",
+          col("n_dup").cast("double") / col("n_chunks"))
+        .orderBy(col("doc_id"))
+    },
+
     "d08_stratified_sample" -> { (s, dir) =>
       // Deterministic stratified sampling — how a 100 TB pipeline samples
       // training data reproducibly: per stratum (lang), keep the k docs
@@ -425,6 +457,26 @@ object Dedup {
           | COUNT(DISTINCT a.doc_id) AS n_docs_a
           |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
           |GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin,
+
+      "d10_chunk_dedup" ->
+        """WITH d AS (
+          | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |c AS (
+          | SELECT doc_id, tk,
+          |  unnest(range(0, greatest(len(tk) - 1, 0) + 1, 40)) AS idx
+          | FROM d),
+          |ch AS (
+          | SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+          |  md5(array_to_string(list_slice(tk, idx + 1, idx + 50), ' ')) AS h,
+          |  doc_id * 100000 + idx AS key
+          | FROM c),
+          |canon AS (SELECT h, MIN(key) AS ck FROM ch GROUP BY h)
+          |SELECT ch.doc_id,
+          | COUNT(*) AS n_chunks,
+          | CAST(SUM(CASE WHEN key <> ck THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          | CAST(SUM(CASE WHEN key <> ck THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+          |FROM ch JOIN canon ON ch.h = canon.h
+          |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
 
       "d08_stratified_sample" ->
         """WITH h AS (

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Text-analysis operators over `documents`: language-ID heuristics,
-  * quality scoring, token counting (whitespace + regex tokenizers), and
-  * positional document fingerprinting. Training-data-pipeline extension
-  * surface (not in the bounded-relational reference).
+  * quality scoring, token counting (whitespace + regex tokenizers),
+  * positional document fingerprinting, chunking, the FineWeb-style
+  * keep/drop filter chain, TF-IDF terms, and Gopher-style repetition
+  * signals. Training-data-pipeline extension surface (not in the
+  * bounded-relational reference).
   *
   * All scores are ratios of exact integers (token/char counts), so the
   * doubles are bit-identical across engines — no rounding tolerance needed.
@@ -177,6 +179,31 @@ object TextAnalysis {
           (col("reason") === "kept").cast("long"))
         .select(col("doc_id"), col("n_toks"), col("reason"), col("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    "t09_repetition_filter" -> { (s, dir) =>
+      // Gopher-style REPETITION signals: within-doc duplicate-token and
+      // duplicate-3-gram fractions (the boilerplate/spam gates of the
+      // Gopher/FineWeb filter batteries). Pure per-row array work
+      // (sequence/transform/array_distinct — all codegen, no shuffle,
+      // no UDF); fractions are exact-integer ratios so the doubles and
+      // the keep decision are bit-identical across engines.
+      val tk = toks
+      val grams = transform(
+        sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+        i => array_join(slice(tk, i + 1, lit(3)), " "))
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), tk.as("tk"), grams.as("g3"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_toks"),
+          (lit(1.0) - size(array_distinct(col("tk"))).cast("double")
+            / size(col("tk"))).as("dup_tok_frac"),
+          (lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+            / size(col("g3"))).as("dup_3gram_frac"))
+        .withColumn("keep",
+          (col("dup_tok_frac") <= 0.7 && col("dup_3gram_frac") <= 0.2)
+            .cast("long"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -295,6 +322,26 @@ object TextAnalysis {
          | FROM e)
          |SELECT doc_id, n_toks, reason,
          | CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t09_repetition_filter" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        | WHERE doc_id < 200),
+        |g AS (
+        | SELECT doc_id, tk,
+        |  list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+        |   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) AS g3
+        | FROM d),
+        |f AS (
+        | SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_toks,
+        |  1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_tok_frac,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac
+        | FROM g)
+        |SELECT doc_id, n_toks, dup_tok_frac, dup_3gram_frac,
+        | CAST(CASE WHEN dup_tok_frac <= 0.7 AND dup_3gram_frac <= 0.2
+        |      THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }
