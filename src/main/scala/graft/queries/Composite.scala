@@ -17,7 +17,9 @@ import graft.queries.Dx._
   * multi-supplier-order two-IN chains (q95), cross-channel
   * tolerance-equality reports (q58), weekly day-of-week pivot
   * year-over-year ratios (q2/q59), channel-overlap FULL-OUTER counts
-  * (q97), and per-customer cross-channel growth comparison (q4/q11)
+  * (q97), per-customer cross-channel growth comparison (q4/q11),
+  * IN-restricted channel-union totals (q33/q56/q60), and
+  * INTERSECT/EXCEPT retention counts (q38/q87)
   * (`benchmarks/queries-tpcds/`). Re-expressed on the synthetic schema,
   * each combining several §2B rows in one plan.
   */
@@ -588,6 +590,51 @@ object Composite {
         .withColumn("growth_n", col("s97n") / col("s96n"))
         .filter(col("growth_r") > col("growth_n"))
         .orderBy(col("o_custkey"))
+    },
+
+    "c21_restricted_channel_total" -> { (s, dir) =>
+      // q33/q56/q60 shape (`benchmarks/queries-tpcds/q33.sql`, `q56.sql`,
+      // `q60.sql`): per-channel revenue for items restricted by an
+      // IN-subquery over a dimension attribute (small parts), UNION ALL'd
+      // and re-aggregated to a grand total per brand. The restriction is
+      // a semi-join on the (broadcastable, dimension-sized) part subset;
+      // each channel aggregates before the union so the re-aggregate
+      // input is |brands|×3 rows.
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val target = p.filter(col("p_size") < 10).select(col("p_partkey"))
+      def chan(flag: String): DataFrame =
+        l.filter(col("l_returnflag") === flag &&
+            col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1997-01-01"))
+          .join(target, col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .as("rev"))
+      chan("A").unionByName(chan("N")).unionByName(chan("R"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("rev")).cast("double").as("total_rev"),
+          count(lit(1)).as("n_channels"))
+        .orderBy(col("total_rev").desc, col("p_brand"))
+    },
+
+    "c22_customer_retention_setops" -> { (s, dir) =>
+      // q38/q87 shape (`benchmarks/queries-tpcds/q38.sql`, `q87.sql`):
+      // COUNT over a chain of set operations on DISTINCT customer keys
+      // across three consecutive years — INTERSECT for the three-year
+      // loyal set (q38), EXCEPT for the churned set (q87). Set ops on the
+      // key only: three distincts + semi/anti merges, each one shuffle of
+      // |customers| keys, then two 1-row aggregates cross-joined.
+      val o = Tables.load(s, dir, "orders")
+      def custs(yr: Int): DataFrame =
+        o.filter(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey")).distinct()
+      val loyal = custs(1996).intersect(custs(1997)).intersect(custs(1998))
+        .agg(count(lit(1)).as("n_all_three"))
+      val churned = custs(1996).except(custs(1997)).except(custs(1998))
+        .agg(count(lit(1)).as("n_churned_96"))
+      loyal.crossJoin(churned)
     }
   )
 
@@ -983,6 +1030,38 @@ object Composite {
         |FROM g
         |WHERE CAST(s97r AS DOUBLE) / CAST(s96r AS DOUBLE)
         |    > CAST(s97n AS DOUBLE) / CAST(s96n AS DOUBLE)
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "c21_restricted_channel_total" ->
+      """WITH chan AS (
+        | SELECT l_returnflag AS flag, p_brand,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_returnflag IN ('A', 'N', 'R')
+        |   AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+        | GROUP BY 1, 2)
+        |SELECT p_brand,
+        | CAST(SUM(rev) AS DOUBLE) AS total_rev,
+        | COUNT(*) AS n_channels
+        |FROM chan
+        |GROUP BY p_brand
+        |ORDER BY total_rev DESC, p_brand""".stripMargin,
+
+    "c22_customer_retention_setops" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM (
+        |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |   INTERSECT
+        |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |   INTERSECT
+        |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)) AS n_all_three,
+        | (SELECT COUNT(*) FROM (
+        |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |   EXCEPT
+        |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |   EXCEPT
+        |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)) AS n_churned_96""".stripMargin
   )
 }
