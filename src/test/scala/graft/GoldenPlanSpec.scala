@@ -44,8 +44,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t08_tfidf_terms", "d08_stratified_sample",
     // round-4: the q77-shape ROLLUP composite freezes the grouping-set
     // Expand/Exchange shape — the one §2B operator family (grouping
-    // sets) not previously under a golden.
-    "c15_channel_profit_rollup")
+    // sets) not previously under a golden; the q95-shape two-IN chain
+    // freezes its semi-join cascade; the q4/q11-shape freezes the
+    // single-pass conditional aggregation (a regression to four scans
+    // would show up here).
+    "c15_channel_profit_rollup", "c16_multi_supplier_returns",
+    "c20_growth_compare")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
