@@ -20,6 +20,9 @@ import graft.Tables
   *    because the hyperplanes derive from exact integer arithmetic.
   *  - v03: embedding-cosine near-duplicate pairs inside LSH buckets
   *    (bucket join, never all-pairs).
+  *  - v07: the recall@k evaluation harness — exact top-k as ground truth
+  *    vs the bucket-restricted answer at two bucket widths, the
+  *    recall-vs-candidate-cost sweep used to size an LSH index.
   *
   * Cosine is the custom Catalyst expression `cosine_sim`
   * (graft.functions.CosineSimilarity, codegen'd); the DuckDB oracle
@@ -162,6 +165,47 @@ object Similarity {
         .join(pairs, col("vec_id") === col("vb"), "left_anti")
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
+    },
+
+    "v07_ann_recall" -> { (s, dir) =>
+      // ANN QUALITY EVALUATION — the recall-vs-cost sweep a production
+      // ANN deployment runs before trusting an index: exact brute-force
+      // top-5 (bounded query set) as ground truth, the LSH
+      // bucket-restricted top-5 as the approximate answer at TWO bucket
+      // widths (4-bit = 1/16 of the corpus per probe, 2-bit = 1/4),
+      // hits counted per query by joining on (query, neighbor). Recall
+      // is an exact integer ratio (hits / 5) so the doubles are
+      // bit-identical across engines; both rankings tie-break on the
+      // neighbor id. On this near-uniform synthetic corpus the sweep
+      // correctly surfaces near-chance recall rising with bucket
+      // coarseness — exactly the signal this harness exists to measure.
+      val eb = withBucket(Tables.load(s, dir, "embeddings"))
+        .withColumn("bucket2", col("bucket") % 4) // first 2 hyperplane bits
+      val q = eb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket"), col("bucket2"))
+      val c = eb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("bucket").as("cb"),
+        col("bucket2").as("cb2"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      def approx(cond: Column): DataFrame =
+        q.join(c, cond && col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val truth = queries("v01_knn_brute")(s, dir)
+        .select(col("q_id"), col("c_id"))
+      def hits(a: DataFrame, n: String): DataFrame =
+        truth.join(a, Seq("q_id", "c_id"), "left_outer")
+          .groupBy(col("q_id")).agg(count(col("hit")).as(n))
+      hits(approx(col("bucket") === col("cb")), "hits_4bit")
+        .join(hits(approx(col("bucket2") === col("cb2")), "hits_2bit"),
+          "q_id")
+        .withColumn("recall_4bit", col("hits_4bit").cast("double") / 5.0)
+        .withColumn("recall_2bit", col("hits_2bit").cast("double") / 5.0)
+        .orderBy(col("q_id"))
     }
   )
 
@@ -283,6 +327,51 @@ object Similarity {
          | WHERE ${cos("a.embedding", "b.embedding")} > 0.4)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT vb FROM dropped)
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    "v07_ann_recall" ->
+      s"""WITH withb AS (
+         | SELECT vec_id, embedding, $duckBucket AS bucket,
+         |  ($duckBucket) % 4 AS bucket2
+         | FROM embeddings),
+         |tpairs AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |truth AS (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+         |  FROM tpairs) WHERE rnk <= 5),
+         |a4 AS (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+         |  FROM withb q JOIN withb c
+         |   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20) WHERE rnk <= 5),
+         |a2 AS (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+         |  FROM withb q JOIN withb c
+         |   ON q.bucket2 = c.bucket2 AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20) WHERE rnk <= 5),
+         |h4 AS (
+         | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_4bit
+         | FROM truth t LEFT JOIN a4 a
+         |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id),
+         |h2 AS (
+         | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_2bit
+         | FROM truth t LEFT JOIN a2 a
+         |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id)
+         |SELECT h4.q_id, hits_4bit, hits_2bit,
+         | CAST(hits_4bit AS DOUBLE) / 5.0 AS recall_4bit,
+         | CAST(hits_2bit AS DOUBLE) / 5.0 AS recall_2bit
+         |FROM h4 JOIN h2 ON h4.q_id = h2.q_id
+         |ORDER BY h4.q_id""".stripMargin
   )
 }
