@@ -47,6 +47,17 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements(n.orderBy("n_nationkey").collect()))
   }
 
+  test("orc write + read roundtrip") {
+    // Spark ships ORC natively — source breadth beyond the reference's
+    // CSV/Parquet/JSON/Arrow listing formats, same scan surface.
+    val n = Tables.load(spark, sf, "nation")
+    n.write.mode(SaveMode.Overwrite).orc(s"$tmp/nation_orc")
+    val back = spark.read.orc(s"$tmp/nation_orc")
+    assert(back.schema == n.schema)
+    assert(back.orderBy("n_nationkey").collect()
+      .sameElements(n.orderBy("n_nationkey").collect()))
+  }
+
   test("json write + read roundtrip") {
     val r = Tables.load(spark, sf, "region")
     r.write.mode(SaveMode.Overwrite).json(s"$tmp/region_json")
