@@ -65,6 +65,24 @@ class ConfigLegsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d06 differs under reliable checkpoint (${got.size} vs ${baseline.size} rows)")
   }
 
+  test("AQE skew-split leg: h15 identical under forced skew handling") {
+    // The 100 TB skew story: AQE splits oversized shuffle partitions of
+    // a sort-merge join into multiple tasks. Forcing the split (tiny
+    // thresholds + forceOptimizeSkewedJoin) must not change results —
+    // the invariant that makes skew handling safe to leave on.
+    val baseline = runOnce("h15_join_big")
+    assert(baseline.nonEmpty)
+    val got = withConfs(Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true"))(
+      runOnce("h15_join_big"))
+    assert(got == baseline,
+      s"h15 differs under skew-split leg (${got.size} vs ${baseline.size} rows)")
+  }
+
   flagships.foreach { name =>
     test(s"config legs agree: $name") {
       val baseline = runOnce(name)

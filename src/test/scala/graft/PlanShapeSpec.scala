@@ -71,6 +71,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan reads unneeded columns: $readSchema")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the probe-side scan volume of a selective fact-dim
+    // shuffle join is the cost driver; Spark's runtime row-level filter
+    // injects a bloom_filter_agg on the (small, filtered) build side and
+    // a might_contain predicate on the probe scan — the runtime-filter
+    // analogue of the reference's stats-driven planning. Pin that the
+    // injection fires when enabled.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val df = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val p = df.queryExecution.optimizedPlan.toString().toLowerCase
+      assert(p.contains("bloom"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no CartesianProduct anywhere in the inventory") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
