@@ -18,8 +18,8 @@ import graft.queries.Dx._
   * tolerance-equality reports (q58), weekly day-of-week pivot
   * year-over-year ratios (q2/q59), channel-overlap FULL-OUTER counts
   * (q97), per-customer cross-channel growth comparison (q4/q11),
-  * IN-restricted channel-union totals (q33/q56/q60), and
-  * INTERSECT/EXCEPT retention counts (q38/q87)
+  * IN-restricted channel-union totals (q33/q56/q60), INTERSECT/EXCEPT
+  * retention counts (q38/q87), and buy-return-resell funnels (q17/q29)
   * (`benchmarks/queries-tpcds/`). Re-expressed on the synthetic schema,
   * each combining several §2B rows in one plan.
   */
@@ -635,6 +635,43 @@ object Composite {
       val churned = custs(1996).except(custs(1997)).except(custs(1998))
         .agg(count(lit(1)).as("n_churned_96"))
       loyal.crossJoin(churned)
+    },
+
+    "c23_buy_return_resell" -> { (s, dir) =>
+      // q17/q29 shape (`benchmarks/queries-tpcds/q17.sql`, `q29.sql`):
+      // the buy → return → re-sell funnel — (customer, part) pairs where
+      // the customer bought (period 1) AND returned the same part
+      // (period 1), restricted to parts the market re-absorbed (sold
+      // again to anyone in period 2 — q29's cross-channel re-purchase
+      // step at the item grain, since the synthetic corpus has no
+      // same-customer 3-step chains). Each step aggregates the fact to
+      // its join grain BEFORE the chain joins (the same no-fan-out rule
+      // as c12); quantities stay decimal until the final per-brand sums.
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val p = Tables.load(s, dir, "part")
+      val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+      def custStep(flag: String, ck: String, pk: String,
+                   q: String): DataFrame =
+        lo.filter(col("yr") <= 1996 && col("l_returnflag") === flag)
+          .groupBy(col("o_custkey").as(ck), col("l_partkey").as(pk))
+          .agg(sum(dec(col("l_quantity"))).as(q))
+      val bought = custStep("N", "ck1", "pk1", "q_bought")
+      val returned = custStep("R", "ck2", "pk2", "q_ret")
+      val resold = lo.filter(col("yr") >= 1997 && col("l_returnflag") === "N")
+        .groupBy(col("l_partkey").as("pk3"))
+        .agg(sum(dec(col("l_quantity"))).as("q_resold"))
+      bought
+        .join(returned, col("ck1") === col("ck2") && col("pk1") === col("pk2"))
+        .join(resold, col("pk1") === col("pk3"))
+        .join(p, col("pk1") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("q_bought")).cast("double").as("bought_qty"),
+          sum(col("q_ret")).cast("double").as("ret_qty"),
+          sum(col("q_resold")).cast("double").as("resold_qty"))
+        .orderBy(col("p_brand"))
     }
   )
 
@@ -1062,6 +1099,32 @@ object Composite {
         |   EXCEPT
         |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
         |   EXCEPT
-        |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)) AS n_churned_96""".stripMargin
+        |   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)) AS n_churned_96""".stripMargin,
+
+    "c23_buy_return_resell" ->
+      """WITH lo AS (
+        | SELECT o_custkey AS ck, l_partkey AS pk, l_returnflag AS flag,
+        |  year(o_orderdate) AS yr, l_quantity
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |bought AS (
+        | SELECT ck, pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q_bought
+        | FROM lo WHERE yr <= 1996 AND flag = 'N' GROUP BY 1, 2),
+        |returned AS (
+        | SELECT ck, pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q_ret
+        | FROM lo WHERE yr <= 1996 AND flag = 'R' GROUP BY 1, 2),
+        |resold AS (
+        | SELECT pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q_resold
+        | FROM lo WHERE yr >= 1997 AND flag = 'N' GROUP BY 1)
+        |SELECT p_brand,
+        | COUNT(*) AS n_pairs,
+        | CAST(SUM(q_bought) AS DOUBLE) AS bought_qty,
+        | CAST(SUM(q_ret) AS DOUBLE) AS ret_qty,
+        | CAST(SUM(q_resold) AS DOUBLE) AS resold_qty
+        |FROM bought
+        | JOIN returned USING (ck, pk)
+        | JOIN resold USING (pk)
+        | JOIN part ON pk = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
   )
 }
