@@ -19,7 +19,8 @@ import graft.queries.Dx._
   * year-over-year ratios (q2/q59), channel-overlap FULL-OUTER counts
   * (q97), per-customer cross-channel growth comparison (q4/q11),
   * IN-restricted channel-union totals (q33/q56/q60), INTERSECT/EXCEPT
-  * retention counts (q38/q87), and buy-return-resell funnels (q17/q29)
+  * retention counts (q38/q87), buy-return-resell funnels (q17/q29),
+  * and rank-within-ROLLUP-parent margin reports (q36)
   * (`benchmarks/queries-tpcds/`). Re-expressed on the synthetic schema,
   * each combining several §2B rows in one plan.
   */
@@ -672,6 +673,44 @@ object Composite {
           sum(col("q_ret")).cast("double").as("ret_qty"),
           sum(col("q_resold")).cast("double").as("resold_qty"))
         .orderBy(col("p_brand"))
+    },
+
+    "c24_rollup_rank_within_parent" -> { (s, dir) =>
+      // q36 shape (`benchmarks/queries-tpcds/q36.sql`): gross-margin
+      // ROLLUP over a (nation, brand) hierarchy with RANK computed
+      // WITHIN each grouping level, partitioned so each subtotal ranks
+      // among its siblings (rank-within-parent). A window over the
+      // Expand/aggregate output — the one shape combining grouping sets
+      // with post-aggregation windows. Margin ties are broken by the
+      // dimension values so the rank is fully deterministic.
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val p = Tables.load(s, dir, "part")
+      val base = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter(year(col("o_orderdate")) === 1996)
+      val agg = base.rollup(col("n_name"), col("p_brand"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("rev"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"),
+          (grouping(col("n_name")) + grouping(col("p_brand")))
+            .cast("long").as("lochierarchy"),
+          grouping(col("p_brand")).cast("long").as("g_brand"))
+        .withColumn("margin", col("qty") / col("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lochierarchy"),
+          when(col("g_brand") === 0, col("n_name")))
+        .orderBy(col("margin").desc,
+          col("n_name").asc_nulls_first, col("p_brand").asc_nulls_first)
+      agg.withColumn("rank_within_parent", rank().over(w).cast("long"))
+        .select(col("n_name"), col("p_brand"), col("rev"), col("margin"),
+          col("lochierarchy"), col("rank_within_parent"))
+        .orderBy(col("lochierarchy").desc,
+          col("n_name").asc_nulls_first, col("p_brand").asc_nulls_first)
     }
   )
 
@@ -1125,6 +1164,31 @@ object Composite {
         | JOIN resold USING (pk)
         | JOIN part ON pk = p_partkey
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+
+    "c24_rollup_rank_within_parent" ->
+      """WITH agg AS (
+        | SELECT n_name, p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS rev,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |  CAST(GROUPING(n_name) + GROUPING(p_brand) AS BIGINT) AS lochierarchy,
+        |  CAST(GROUPING(p_brand) AS BIGINT) AS g_brand
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        | WHERE year(o_orderdate) = 1996
+        | GROUP BY ROLLUP (n_name, p_brand)),
+        |m AS (SELECT *, qty / rev AS margin FROM agg)
+        |SELECT n_name, p_brand, rev, margin, lochierarchy,
+        | CAST(rank() OVER (
+        |   PARTITION BY lochierarchy,
+        |     CASE WHEN g_brand = 0 THEN n_name END
+        |   ORDER BY margin DESC, n_name ASC NULLS FIRST,
+        |     p_brand ASC NULLS FIRST) AS BIGINT) AS rank_within_parent
+        |FROM m
+        |ORDER BY lochierarchy DESC, n_name ASC NULLS FIRST,
+        | p_brand ASC NULLS FIRST""".stripMargin
   )
 }
