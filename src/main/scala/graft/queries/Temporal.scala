@@ -7,9 +7,10 @@ import graft.Tables
 import graft.operators.AsOfJoin
 import graft.queries.Dx._
 
-/** Temporal join shapes over `events`: as-of (point-in-time) join and
-  * banded range join — operators the reference lacks (bounded-relational
-  * only), composed Spark-first (no custom physical operator: one shuffle +
+/** Temporal join shapes over `events`: as-of (point-in-time) join,
+  * banded range join, sessionization, and event-sequence transition
+  * analysis — operators the reference lacks (bounded-relational only),
+  * composed Spark-first (no custom physical operator: one shuffle +
   * sort via window / SMJ). DuckDB's native ASOF JOIN is the oracle for
   * the as-of case.
   */
@@ -139,6 +140,32 @@ object Temporal {
         .groupBy(col("s_nationkey").as("nk"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
         .orderBy(col("nk"))
+    },
+
+    "p08_event_transitions" -> { (s, dir) =>
+      // Event-sequence TRANSITION matrix — the product-analytics "what
+      // happens next" report: per user, each event paired with its
+      // successor via lead(), transitions counted per (type, next_type)
+      // with total/mean gap. One shuffle on user_id for the window,
+      // then a bounded groupBy (|types|² rows at any corpus size). Gaps
+      // are exact integer microseconds: ts is long NANOS under the
+      // profile while DuckDB reads the parquet timestamp at µs, so both
+      // ordering and arithmetic run on the µs-truncated value (truncate
+      // FIRST, then diff — diff-then-divide rounds differently).
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .withColumn("gap_us", col("next_us") - col("ts_us"))
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap_us")).as("total_gap_us"),
+          (sum(col("gap_us")).cast("double") / count(lit(1)))
+            .as("avg_gap_us"))
+        .orderBy(col("event_type"), col("next_type"))
     }
   )
 
@@ -151,6 +178,19 @@ object Temporal {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "p08_event_transitions" ->
+      """WITH t AS (
+        | SELECT event_type,
+        |  lead(event_type) OVER w AS next_type,
+        |  epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type, next_type, COUNT(*) AS n,
+        | CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+        | CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p06_asof_forward" ->
       """SELECT l.event_id, l.user_id,
