@@ -106,6 +106,27 @@ object Multimodal {
         })
         .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
         .orderBy(col("doc_id"))
+    },
+
+    "m04_resize_reencode" -> { (s, dir) =>
+      import s.implicits._
+      // FAKE RESIZE: every 4th byte (4:1 downsample) re-emitted as a NEW
+      // binary payload — the binary-in/binary-out transform shape
+      // (decode → resize → re-encode) that m01–m03 don't cover. The
+      // resized payload is content-addressed (md5) as a real media
+      // pipeline would for dedup/caching; the new binary + metadata
+      // re-enter SQL-land like any column.
+      blobs(s, dir)
+        .mapPartitions(_.map { b =>   // codec + scaler init would live here
+          val out = new Array[Byte]((b.payload.length + 3) / 4)
+          var i = 0
+          while (i < out.length) { out(i) = b.payload(i * 4); i += 1 }
+          (b.doc_id, b.payload.length.toLong, out.length.toLong, out)
+        })
+        .toDF("doc_id", "orig_bytes", "resized_bytes", "resized")
+        .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -136,6 +157,17 @@ object Multimodal {
       s"""SELECT doc_id,
          | $bins
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "m04_resize_reencode" ->
+      """WITH r AS (
+        | SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
+        |  array_to_string(list_filter(string_split(text, ''),
+        |    (c, i) -> (i - 1) % 4 = 0), '') AS rs
+        | FROM documents)
+        |SELECT doc_id, orig_bytes,
+        | CAST(length(rs) AS BIGINT) AS resized_bytes,
+        | md5(rs) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }
