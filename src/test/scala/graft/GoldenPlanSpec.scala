@@ -49,7 +49,9 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // single-pass conditional aggregation (a regression to four scans
     // would show up here).
     "c15_channel_profit_rollup", "c16_multi_supplier_returns",
-    "c20_growth_compare")
+    "c20_growth_compare",
+    // q36 shape: rank window OVER the grouping-set Expand output.
+    "c24_rollup_rank_within_parent")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
