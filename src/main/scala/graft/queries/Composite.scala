@@ -20,7 +20,8 @@ import graft.queries.Dx._
   * (q97), per-customer cross-channel growth comparison (q4/q11),
   * IN-restricted channel-union totals (q33/q56/q60), INTERSECT/EXCEPT
   * retention counts (q38/q87), buy-return-resell funnels (q17/q29),
-  * and rank-within-ROLLUP-parent margin reports (q36)
+  * rank-within-ROLLUP-parent margin reports (q36), and 12-month pivot
+  * warehouse reports (q66)
   * (`benchmarks/queries-tpcds/`). Re-expressed on the synthetic schema,
   * each combining several §2B rows in one plan.
   */
@@ -711,6 +712,32 @@ object Composite {
           col("lochierarchy"), col("rank_within_parent"))
         .orderBy(col("lochierarchy").desc,
           col("n_name").asc_nulls_first, col("p_brand").asc_nulls_first)
+    },
+
+    "c25_monthly_pivot_report" -> { (s, dir) =>
+      // q66 shape (`benchmarks/queries-tpcds/q66.sql`): two channel
+      // slices UNION ALL'd, then per warehouse-analog (supplier) the
+      // year's revenue pivoted into 12 month columns by conditional
+      // aggregation, plus the total. One union (no row growth beyond
+      // the inputs), one shuffle on the supplier key; 12 conditional
+      // decimal sums ride the same aggregate. Months with no sales are
+      // reported as exact 0 (like q66's SUM(CASE ... ELSE 0)).
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+      def slice(flag: String): DataFrame =
+        l.filter(col("l_returnflag") === flag)
+          .select(col("l_suppkey"), month(col("l_shipdate")).as("mth"),
+            discounted(col("l_extendedprice"), col("l_discount")).as("rev"))
+      val z = lit(BigDecimal(0)).cast("decimal(21,4)")
+      val monthCols = (1 to 12).map(m =>
+        sum(when(col("mth") === m, col("rev")).otherwise(z))
+          .cast("double").as(f"rev_m$m%02d"))
+      val aggs = monthCols :+ sum(col("rev")).cast("double").as("rev_total")
+      slice("N").unionByName(slice("A"))
+        .groupBy(col("l_suppkey"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("l_suppkey"))
     }
   )
 
@@ -1189,6 +1216,25 @@ object Composite {
         |     p_brand ASC NULLS FIRST) AS BIGINT) AS rank_within_parent
         |FROM m
         |ORDER BY lochierarchy DESC, n_name ASC NULLS FIRST,
-        | p_brand ASC NULLS FIRST""".stripMargin
+        | p_brand ASC NULLS FIRST""".stripMargin,
+
+    "c25_monthly_pivot_report" -> {
+      val months = (1 to 12).map(m =>
+        f"CAST(SUM(CASE WHEN mth = $m THEN rev ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE) AS rev_m$m%02d")
+        .mkString(",\n        | ")
+      s"""WITH sliced AS (
+        | SELECT l_suppkey, month(l_shipdate) AS mth,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_returnflag IN ('N', 'A'))
+        |SELECT l_suppkey,
+        | $months,
+        | CAST(SUM(rev) AS DOUBLE) AS rev_total
+        |FROM sliced
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin
+    }
   )
 }
