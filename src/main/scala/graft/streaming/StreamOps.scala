@@ -91,6 +91,52 @@ object StreamOps {
       .select(col("doc_hash"), col("source"), col("ts"),
         col("label"), col("l_ts"))
 
+  /** An event carrying a type, for the transition stream. */
+  case class TEv(user_id: Long, ts: Timestamp, event_type: String)
+  case class Transition(user_id: Long, event_type: String,
+                        next_type: String, gap_ms: Long)
+  /** Per-key state: the last consumed event (public for the encoder). */
+  case class LastEv(ts: Long, typ: String)
+
+  /** Per-user event-transition stream (the incremental twin of the batch
+    * p08 lead() pairing): each arriving event pairs with its
+    * predecessor, emitting (type → next_type, gap). State is ONE row per
+    * user (the last event) — O(|users|) total, no growth with stream
+    * length and no timeout needed. Within a micro-batch events are
+    * processed in event-time order; a straggler older than the already-
+    * consumed state is dropped (consuming it would require buffering
+    * the full horizon — the watermark bounds how late that can happen).
+    */
+  def transitionStream(events: Dataset[TEv],
+                       watermark: String = "10 minutes")
+      : Dataset[Transition] = {
+    import events.sparkSession.implicits._
+
+    def update(uid: Long, evs: Iterator[TEv],
+               state: GroupState[LastEv]): Iterator[Transition] = {
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      var last = state.getOption
+      val out = Seq.newBuilder[Transition]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        last match {
+          case Some(l) if t >= l.ts =>
+            out += Transition(uid, l.typ, e.event_type, t - l.ts)
+            last = Some(LastEv(t, e.event_type))
+          case Some(_) => // straggler older than consumed state: dropped
+          case None => last = Some(LastEv(t, e.event_type))
+        }
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of silence per user (event-time; the timeout fires
     * when the watermark passes last_ts + gap). Emits one row per CLOSED

@@ -130,6 +130,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transition stream pairs events across micro-batches; matches batch lead()") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.TEv
+    val events = Seq(
+      TEv(1, ts(0), "view"), TEv(1, ts(5), "click"), TEv(2, ts(3), "view"),
+      // second micro-batch continues both users' sequences: the
+      // cross-batch pairs exercise the per-user LastEv state.
+      TEv(1, ts(12), "purchase"), TEv(2, ts(9), "click"), TEv(2, ts(15), "view"))
+    val input = MemoryStream[TEv]
+    val q = StreamOps.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(3): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("transitions")
+        .select(col("user_id"), col("event_type"), col("next_type"),
+          col("gap_ms"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      // batch twin: lead() over the full event set
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val exp = events.toDF()
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("next_type"),
+          (col("next_ts").cast("long") - col("ts").cast("long")) * 1000)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(got == exp, s"got=$got exp=$exp")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival, drops within-watermark dupes") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
