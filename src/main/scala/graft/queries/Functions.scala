@@ -193,6 +193,22 @@ object Functions {
         .select(col("c_custkey"), col("pos").cast("long").as("pos"),
           col("part"))
         .orderBy(col("c_custkey"), col("pos"))
+    },
+
+    "f12_bitops" -> { (s, dir) =>
+      // Bitwise scalar surface (AND/OR/XOR, shifts, popcount) — exact
+      // int64 semantics on both engines, no rounding concerns.
+      Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor"),
+          col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
+          col("l_orderkey").bitwiseOR(col("l_suppkey")).as("bor"),
+          shiftleft(col("l_suppkey"), 3).as("shl"),
+          shiftright(col("l_orderkey"), 2).as("shr"),
+          bit_count(col("l_orderkey")).cast("long").as("popcnt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
     }
   )
 
@@ -312,6 +328,17 @@ object Functions {
         | CAST(generate_subscripts(string_split(c_name, '#'), 1) - 1 AS BIGINT) AS pos,
         | unnest(string_split(c_name, '#')) AS part
         |FROM customer WHERE c_custkey < 100
-        |ORDER BY c_custkey, pos""".stripMargin
+        |ORDER BY c_custkey, pos""".stripMargin,
+
+    "f12_bitops" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | xor(l_orderkey, l_partkey) AS bxor,
+        | l_orderkey & l_partkey AS band,
+        | l_orderkey | l_suppkey AS bor,
+        | l_suppkey << 3 AS shl,
+        | l_orderkey >> 2 AS shr,
+        | CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
   )
 }
