@@ -331,6 +331,32 @@ object Dedup {
       chunkDedup(Tables.load(s, dir, "documents"))
     },
 
+    "d11_minhash_calibration" -> { (s, dir) =>
+      // Estimator CALIBRATION for the MinHash dedup path — the text twin
+      // of v07's ANN recall harness: for every verified near-dup pair
+      // (d03), compare the banding-side similarity ESTIMATE (fraction of
+      // matching MinHash values, exact quarters) against the TRUE token
+      // Jaccard, reporting the absolute error per pair. How one decides
+      // whether k=4 signatures are enough before trusting the banding at
+      // corpus scale. Deterministic: jac is the same double both engines
+      // compute, est is an exact integer ratio, and no doubles are
+      // re-aggregated.
+      val pairs = queries("d03_minhash_lsh_pairs")(s, dir)
+      val m = queries("d02_minhash_sig")(s, dir)
+      val a = m.select(col("doc_id").as("ma"), col("mh0").as("a0"),
+        col("mh1").as("a1"), col("mh2").as("a2"), col("mh3").as("a3"))
+      val b = m.select(col("doc_id").as("mb"), col("mh0").as("b0"),
+        col("mh1").as("b1"), col("mh2").as("b2"), col("mh3").as("b3"))
+      val matches = (0 until 4).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+      pairs.join(a, col("da") === col("ma"))
+        .join(b, col("db") === col("mb"))
+        .withColumn("est_sim", matches.cast("double") / 4.0)
+        .select(col("da"), col("db"), col("jac"), col("est_sim"),
+          abs(col("jac") - col("est_sim")).as("abs_err"))
+        .orderBy(col("da"), col("db"))
+    },
+
     "d08_stratified_sample" -> { (s, dir) =>
       // Deterministic stratified sampling — how a 100 TB pipeline samples
       // training data reproducibly: per stratum (lang), keep the k docs
@@ -464,6 +490,26 @@ object Dedup {
           | COUNT(DISTINCT a.doc_id) AS n_docs_a
           |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
           |GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin,
+
+      "d11_minhash_calibration" ->
+        s"""WITH $lshPairCtes,
+           |m AS (
+           | SELECT doc_id,
+           |  $mhExprs
+           | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t)
+           |SELECT da, db, jac,
+           | ((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END)) / 4.0 AS est_sim,
+           | abs(jac - ((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END)) / 4.0) AS abs_err
+           |FROM dup_pairs
+           | JOIN m a ON da = a.doc_id
+           | JOIN m b ON db = b.doc_id
+           |ORDER BY da, db""".stripMargin,
 
       "d10_chunk_dedup" ->
         """WITH d AS (
