@@ -51,7 +51,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "c15_channel_profit_rollup", "c16_multi_supplier_returns",
     "c20_growth_compare",
     // q36 shape: rank window OVER the grouping-set Expand output.
-    "c24_rollup_rank_within_parent")
+    "c24_rollup_rank_within_parent",
+    // chunk dedup (one shuffle on the content hash) and the event
+    // transition window — the newest pipeline shapes.
+    "d10_chunk_dedup", "p08_event_transitions")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
