@@ -14,8 +14,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
 
-    def runOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    // Steady-state protocol (VERDICT r4): some operators persist
+    // intermediates they cannot unpersist under the lazy per-query
+    // contract (d03's signature table, ParallelWindow's bucketed input).
+    // Without a flush, those tables accumulate across the 170+ queries
+    // sharing this JVM and the d-family timings measure cache pressure,
+    // not the operator. Clear between queries so each timing starts from
+    // an empty cache.
+    def runOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
 
     // Dev aid: SPARK_GRAFT_ONLY=q1_agg,d03_... limits the run (driver unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -20,8 +20,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        // Per-query persists (d03 signatures, ParallelWindow input) have
+        // no in-query unpersist point under the lazy contract; flush
+        // between queries so 170+ of them don't accumulate in one JVM.
+        spark.catalog.clearCache()
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -76,14 +76,18 @@ object Dedup {
   /** Cross-document CHUNK-level dedup (paragraph dedup à la FineWeb's
     * line dedup, at t06's 50-token chunk grid): chunks are
     * content-addressed with md5, the canonical copy of each hash is the
-    * smallest (doc_id, chunk_start) — encoded as one int64 so the
-    * arg-min is a plain MIN — and every other occurrence is a
-    * duplicate. ONE shuffle on the (uniform, unskewable) hash plus a
-    * per-doc count; linear in corpus size at 100 TB. Per-doc
-    * duplicate-chunk fractions are exact-integer ratios. Input needs
-    * (doc_id, text); d10's graded entry runs it on `documents`, and
-    * `DedupPropSpec` property-checks it against an in-memory brute
-    * force on arbitrary corpora. */
+    * smallest (doc_id, chunk_start) — MIN over a two-field struct, which
+    * both Spark and DuckDB order lexicographically. (Round 4 packed the
+    * pair into one int64 as doc_id*100000+idx, which silently collides
+    * for documents with ≥100k tokens — plausible for book-length docs at
+    * 100 TB; the struct arg-min has no overflow edge at any doc length
+    * or doc_id range. `DedupPropSpec` pins a >=100k-token regression.)
+    * Every non-canonical occurrence is a duplicate. ONE shuffle on the
+    * (uniform, unskewable) hash plus a per-doc count; linear in corpus
+    * size at 100 TB. Per-doc duplicate-chunk fractions are exact-integer
+    * ratios. Input needs (doc_id, text); d10's graded entry runs it on
+    * `documents`, and `DedupPropSpec` property-checks it against an
+    * in-memory brute force on arbitrary corpora. */
   def chunkDedup(docs: DataFrame, chunk: Int = 50,
                  stride: Int = 40): DataFrame = {
     val tk = split(col("text"), " ")
@@ -94,7 +98,7 @@ object Dedup {
       .select(col("doc_id"), col("idx").cast("long").as("idx"),
         md5(array_join(slice(col("tk"), col("idx") + 1, lit(chunk)), " ")
           .cast("binary")).as("h"))
-      .withColumn("key", col("doc_id") * 100000L + col("idx"))
+      .withColumn("key", struct(col("doc_id"), col("idx")))
     val canon = chunks.groupBy(col("h")).agg(min(col("key")).as("ck"))
     chunks.join(canon, "h")
       .groupBy(col("doc_id"))
@@ -188,6 +192,10 @@ object Dedup {
         // no cheaper "_SER" variant for DataFrames. Partitions that don't
         // fit executor memory at 100 TB spill to local disk instead of
         // evicting (re-hash) or OOMing.
+        // Lifecycle: the lazy per-query contract leaves no in-query
+        // unpersist point (the caller's action happens after we return),
+        // so long-lived sessions running many queries must flush between
+        // them — Bench/Verify call spark.catalog.clearCache() per query.
         .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = sig.select(col("doc_id"), col("source"),
         posexplode(col("sig")).as(Seq("band", "mh")))
@@ -521,7 +529,7 @@ object Dedup {
           |ch AS (
           | SELECT doc_id, CAST(idx AS BIGINT) AS idx,
           |  md5(array_to_string(list_slice(tk, idx + 1, idx + 50), ' ')) AS h,
-          |  doc_id * 100000 + idx AS key
+          |  {'doc_id': doc_id, 'idx': CAST(idx AS BIGINT)} AS key
           | FROM c),
           |canon AS (SELECT h, MIN(key) AS ck FROM ch GROUP BY h)
           |SELECT ch.doc_id,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Parallel global bounded window — the analogue of the reference's
   * `PartitionedBoundedWindowAggExec`
@@ -45,18 +46,28 @@ object ParallelWindow {
   def rollingAgg(df: DataFrame, orderCol: String, tieCol: String,
                  agg: Column, preceding: Int, nBuckets: Int,
                  out: String): DataFrame = {
+    // The input feeds FOUR consumers (quantile sample, guard counts, the
+    // halo branch, the main branch — the last two are both live in the
+    // returned plan's union). Persist once so the operator costs one
+    // input computation instead of four; MEMORY_AND_DISK so oversized
+    // partitions spill rather than evict at 100 TB. Lifecycle: the lazy
+    // contract leaves no in-query unpersist point; long-lived sessions
+    // flush via spark.catalog.clearCache() between queries (Bench/Verify
+    // do).
+    val in = df.persist(StorageLevel.MEMORY_AND_DISK)
+
     // 1. range cuts (driver-side: K-1 doubles, like RangePartitioner).
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val cuts = df.stat.approxQuantile(orderCol, probs, 0.001)
+    val cuts = in.stat.approxQuantile(orderCol, probs, 0.001)
 
     // 2. deterministic bucket id: #cuts strictly below the key.
     val bucketExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col(orderCol) > c, 1).otherwise(0)
     }
-    val bucketed = df.withColumn("__bucket", bucketExpr)
+    val bucketed = in.withColumn("__bucket", bucketExpr)
 
-    // Fail-fast precondition guard (one tiny job: ≤ nBuckets grouped
-    // counts to the driver — approxQuantile above is already an action).
+    // Fail-fast precondition guard (reads the persisted input: a
+    // map-side-combined count per bucket, ≤ nBuckets rows to the driver).
     // Every bucket below the highest occupied one must donate `preceding`
     // halo rows to its successor; a smaller (or empty — duplicate cuts
     // under key skew) bucket would silently truncate cross-boundary

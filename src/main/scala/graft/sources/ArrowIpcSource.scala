@@ -5,8 +5,9 @@ import scala.collection.JavaConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -22,20 +23,29 @@ import org.apache.spark.sql.types._
   * The write side mirrors the reference's file-per-partition shuffle
   * writer (`core/src/execution_plans/mod.rs:93-126`): every task streams
   * its own partition to `part-NNNNN.arrow` in bounded record batches.
-  * Supported logical types: Int32/Int64, Float32/64, Utf8, Bool — the
-  * primitive core the reference's own test exercises.
+  * Supported logical types: Int32/Int64, Float32/64, Utf8, Bool, plus
+  * the non-primitive core the reference's Arrow surface carries
+  * (`context_checks.rs:1319`, datafusion-proto's type matrix):
+  * Date32↔DateType, Decimal128↔DecimalType, List↔ArrayType (of any
+  * supported element type, recursively).
   */
 object ArrowIpcSource {
 
-  private def toSparkType(t: ArrowType): DataType = t match {
+  private def toSparkType(f: Field): DataType = f.getType match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-    case f: ArrowType.FloatingPoint
-        if f.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-    case f: ArrowType.FloatingPoint
-        if f.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
     case _: ArrowType.Utf8 => StringType
     case _: ArrowType.Bool => BooleanType
+    case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
+    case d: ArrowType.Decimal if d.getBitWidth == 128 =>
+      DecimalType(d.getPrecision, d.getScale)
+    case _: ArrowType.List =>
+      val elem = f.getChildren.get(0)
+      ArrayType(toSparkType(elem), elem.isNullable)
     case other => throw new UnsupportedOperationException(
       s"arrow type not supported by ArrowIpcSource: $other")
   }
@@ -47,7 +57,7 @@ object ArrowIpcSource {
       val reader = new ArrowFileReader(in.getChannel, alloc)
       val fields = reader.getVectorSchemaRoot.getSchema.getFields.asScala
       StructType(fields.map(f =>
-        StructField(f.getName, toSparkType(f.getType), f.isNullable)).toSeq)
+        StructField(f.getName, toSparkType(f), f.isNullable)).toSeq)
     } finally { in.close(); alloc.close() }
   }
 
@@ -60,6 +70,13 @@ object ArrowIpcSource {
       case x: Float4Vector  => x.get(i)
       case x: VarCharVector => new String(x.get(i), "UTF-8")
       case x: BitVector     => x.get(i) == 1
+      case x: DateDayVector =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      case x: DecimalVector => x.getObject(i) // java.math.BigDecimal
+      case x: ListVector =>
+        val dv = x.getDataVector.asInstanceOf[FieldVector]
+        (x.getElementStartIndex(i) until x.getElementEndIndex(i))
+          .map(j => cell(dv, j))
       case other => throw new UnsupportedOperationException(
         s"vector not supported: ${other.getClass.getSimpleName}")
     }
@@ -99,35 +116,65 @@ object ArrowIpcSource {
     spark.createDataFrame(rows, schema)
   }
 
-  private def arrowFields(sparkSchema: StructType): Seq[Field] =
-    sparkSchema.fields.toSeq.map { sf =>
-      val at: ArrowType = sf.dataType match {
+  private def toArrowField(name: String, dt: DataType,
+                           nullable: Boolean): Field = dt match {
+    case ArrayType(et, elemNullable) =>
+      // List carries its element type as a child field (Arrow's "item").
+      new Field(name, new FieldType(nullable, new ArrowType.List(), null),
+        List(toArrowField("item", et, elemNullable)).asJava)
+    case scalar =>
+      val at: ArrowType = scalar match {
         case LongType    => new ArrowType.Int(64, true)
         case IntegerType => new ArrowType.Int(32, true)
         case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
         case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
         case StringType  => new ArrowType.Utf8()
         case BooleanType => new ArrowType.Bool()
+        case DateType    => new ArrowType.Date(DateUnit.DAY)
+        case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
         case other => throw new UnsupportedOperationException(s"$other")
       }
-      new Field(sf.name, new FieldType(sf.nullable, at, null), null)
+      new Field(name, new FieldType(nullable, at, null), null)
+  }
+
+  private def arrowFields(sparkSchema: StructType): Seq[Field] =
+    sparkSchema.fields.toSeq.map(sf =>
+      toArrowField(sf.name, sf.dataType, sf.nullable))
+
+  /** Value-typed setter so list elements route through the same code as
+    * top-level cells (the recursion mirrors `cell`'s read side). */
+  private def setValue(v: FieldVector, i: Int, value: Any): Unit =
+    if (value == null) v match {
+      case x: BaseFixedWidthVector    => x.setNull(i)
+      case x: BaseVariableWidthVector => x.setNull(i)
+      case x: ListVector              => x.setNull(i)
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
+    else (v, value) match {
+      case (x: BigIntVector, n: java.lang.Long)     => x.setSafe(i, n)
+      case (x: IntVector, n: java.lang.Integer)     => x.setSafe(i, n)
+      case (x: Float8Vector, n: java.lang.Double)   => x.setSafe(i, n)
+      case (x: Float4Vector, n: java.lang.Float)    => x.setSafe(i, n)
+      case (x: VarCharVector, s: String)            => x.setSafe(i, s.getBytes("UTF-8"))
+      case (x: BitVector, b: java.lang.Boolean)     => x.setSafe(i, if (b) 1 else 0)
+      case (x: DateDayVector, d: java.sql.Date)     =>
+        x.setSafe(i, d.toLocalDate.toEpochDay.toInt)
+      case (x: DateDayVector, d: java.time.LocalDate) =>
+        x.setSafe(i, d.toEpochDay.toInt)
+      case (x: DecimalVector, d: java.math.BigDecimal) =>
+        x.setSafe(i, d.setScale(x.getScale))
+      case (x: ListVector, s: scala.collection.Seq[_]) =>
+        val start = x.startNewValue(i)
+        val dv = x.getDataVector.asInstanceOf[FieldVector]
+        var j = 0
+        s.foreach { e => setValue(dv, start + j, e); j += 1 }
+        x.endValue(i, j)
+      case (other, vl) => throw new UnsupportedOperationException(
+        s"${other.getClass.getSimpleName} <- ${vl.getClass.getSimpleName}")
     }
 
   private def setCell(v: FieldVector, i: Int, r: Row, c: Int): Unit =
-    if (r.isNullAt(c)) v match {
-      case x: BaseFixedWidthVector    => x.setNull(i)
-      case x: BaseVariableWidthVector => x.setNull(i)
-      case other => throw new UnsupportedOperationException(other.toString)
-    }
-    else v match {
-      case x: BigIntVector  => x.setSafe(i, r.getLong(c))
-      case x: IntVector     => x.setSafe(i, r.getInt(c))
-      case x: Float8Vector  => x.setSafe(i, r.getDouble(c))
-      case x: Float4Vector  => x.setSafe(i, r.getFloat(c))
-      case x: VarCharVector => x.setSafe(i, r.getString(c).getBytes("UTF-8"))
-      case x: BitVector     => x.setSafe(i, if (r.getBoolean(c)) 1 else 0)
-      case other => throw new UnsupportedOperationException(other.toString)
-    }
+    setValue(v, i, r.get(c))
 
   /** Stream `rows` into one IPC file in bounded record batches — runs
     * inside a task: one allocator per file, O(batchSize) memory, never

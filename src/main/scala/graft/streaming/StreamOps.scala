@@ -91,21 +91,28 @@ object StreamOps {
       .select(col("doc_hash"), col("source"), col("ts"),
         col("label"), col("l_ts"))
 
-  /** An event carrying a type, for the transition stream. */
-  case class TEv(user_id: Long, ts: Timestamp, event_type: String)
+  /** An event carrying a type, for the transition stream. `event_id` is
+    * the unique ordering tiebreaker — the batch twin (p08) orders its
+    * lead() window by (ts, event_id), so the stream must too or
+    * equal-timestamp events would pair nondeterministically. */
+  case class TEv(user_id: Long, ts: Timestamp, event_type: String,
+                 event_id: Long)
   case class Transition(user_id: Long, event_type: String,
                         next_type: String, gap_ms: Long)
-  /** Per-key state: the last consumed event (public for the encoder). */
-  case class LastEv(ts: Long, typ: String)
+  /** Per-key state: the last consumed event (public for the encoder);
+    * carries the tiebreaker so cross-batch equal-ts events keep p08's
+    * (ts, event_id) total order. */
+  case class LastEv(ts: Long, eid: Long, typ: String)
 
   /** Per-user event-transition stream (the incremental twin of the batch
     * p08 lead() pairing): each arriving event pairs with its
     * predecessor, emitting (type → next_type, gap). State is ONE row per
     * user (the last event) — O(|users|) total, no growth with stream
     * length and no timeout needed. Within a micro-batch events are
-    * processed in event-time order; a straggler older than the already-
-    * consumed state is dropped (consuming it would require buffering
-    * the full horizon — the watermark bounds how late that can happen).
+    * processed in (event-time, event_id) order — p08's window order; a
+    * straggler ordered before the already-consumed state is dropped
+    * (consuming it would require buffering the full horizon — the
+    * watermark bounds how late that can happen).
     */
   def transitionStream(events: Dataset[TEv],
                        watermark: String = "10 minutes")
@@ -114,17 +121,17 @@ object StreamOps {
 
     def update(uid: Long, evs: Iterator[TEv],
                state: GroupState[LastEv]): Iterator[Transition] = {
-      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var last = state.getOption
       val out = Seq.newBuilder[Transition]
       sorted.foreach { e =>
         val t = e.ts.getTime
         last match {
-          case Some(l) if t >= l.ts =>
+          case Some(l) if t > l.ts || (t == l.ts && e.event_id >= l.eid) =>
             out += Transition(uid, l.typ, e.event_type, t - l.ts)
-            last = Some(LastEv(t, e.event_type))
+            last = Some(LastEv(t, e.event_id, e.event_type))
           case Some(_) => // straggler older than consumed state: dropped
-          case None => last = Some(LastEv(t, e.event_type))
+          case None => last = Some(LastEv(t, e.event_id, e.event_type))
         }
       }
       last.foreach(state.update)

@@ -71,6 +71,40 @@ class ArrowIpcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(sum(col("k"))).head.getLong(0) == 50005000L)
   }
 
+  test("date/decimal/array columns roundtrip (Date32, Decimal128, List)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "2024-03-01", "12.34", Seq(1.5f, -2.5f), Seq("a", "b")),
+      (2L, "1969-12-31", "-0.07", Seq.empty[Float], Seq("c")),
+      (3L, "2001-09-09", "99999.99", Seq(0.0f), Seq.empty[String])
+    ).toDF("id", "d", "m", "vec", "tags")
+      .withColumn("d", to_date(col("d")))
+      .withColumn("m", col("m").cast("decimal(12,2)"))
+      // null date / null decimal / null array all on row 2
+      .withColumn("d", when(col("id") === 2, lit(null)).otherwise(col("d")))
+      .withColumn("m", when(col("id") === 2, lit(null)).otherwise(col("m")))
+      .withColumn("vec", when(col("id") === 2, lit(null)).otherwise(col("vec")))
+    ArrowIpcSource.write(df, s"$tmp/typed.arrow")
+    val back = ArrowIpcSource.read(spark, s"$tmp/typed.arrow")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getDate(1).toString == "2024-03-01")
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    assert(rows(0).getDecimal(2).compareTo(new java.math.BigDecimal("12.34")) == 0)
+    assert(rows(2).getDecimal(2).compareTo(new java.math.BigDecimal("99999.99")) == 0)
+    assert(rows(0).getSeq[Float](3) == Seq(1.5f, -2.5f))
+    assert(rows(2).getSeq[Float](3) == Seq(0.0f))
+    assert(rows(0).getSeq[String](4) == Seq("a", "b"))
+    assert(rows(2).getSeq[String](4) == Seq.empty[String])
+    // the arrow table still queries like any table (rows 1 and 3 pass
+    // the date filter; row 2's null date is excluded)
+    assert(ArrowIpcSource.read(spark, s"$tmp/typed.arrow")
+      .filter(col("d") > lit("2000-01-01"))
+      .agg(sum(col("m")).as("t")).head
+      .getDecimal(0).compareTo(new java.math.BigDecimal("100012.33")) == 0)
+  }
+
   test("directory of arrow files reads as one table") {
     val s = spark; import s.implicits._
     val dir = Files.createDirectory(

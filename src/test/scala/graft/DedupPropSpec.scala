@@ -27,7 +27,7 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  /** In-memory reference: same chunk grid, canonical = min encoded
+  /** In-memory reference: same chunk grid, canonical = lexicographic min
     * (doc_id, chunk_start) per chunk TEXT (md5 is injective wlog). */
   private def brute(docs: Seq[(Long, String)], chunk: Int,
                     stride: Int): Map[Long, (Long, Long)] = {
@@ -39,10 +39,10 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     val canon = chunks.groupBy(_._3)
-      .map { case (txt, cs) => txt -> cs.map(c => c._1 * 100000 + c._2).min }
+      .map { case (txt, cs) => txt -> cs.map(c => (c._1, c._2)).min }
     docs.map { case (id, _) =>
       val mine = chunks.filter(_._1 == id)
-      val nDup = mine.count(c => canon(c._3) != c._1 * 100000 + c._2)
+      val nDup = mine.count(c => canon(c._3) != ((c._1, c._2)))
       id -> (mine.size.toLong, nDup.toLong)
     }.toMap
   }
@@ -72,5 +72,30 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = ScTest.check(
       ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("book-length (>=100k-token) docs: chunk offsets past 100000 " +
+    "cannot alias into the next doc_id (r4 int64-packing regression)") {
+    val s = spark
+    import s.implicits._
+    // doc 0 is 100_051 tokens of filler EXCEPT a 50-token window at
+    // offset 100_000 that exactly duplicates doc 1's first chunk. Under
+    // the round-4 packing (doc_id*100000+idx) doc 0's offset-100000 key
+    // collided with doc 1's offset-0 key: the MIN tie made BOTH copies
+    // "canonical", so the one true duplicate went uncounted. The struct
+    // arg-min keeps (0, 100000) < (1, 0): doc 1's copy is the duplicate.
+    val shared = (0 until 50).map(i => s"shared$i")
+    val doc0 = ((0 until 100000).map(i => s"w${i % 7}_$i") ++ shared ++ Seq("tail"))
+      .mkString(" ")
+    val doc1 = (shared ++ (0 until 30).map(i => s"other$i")).mkString(" ")
+    val got = Dedup.chunkDedup(
+        Seq((0L, doc0), (1L, doc1)).toDF("doc_id", "text"),
+        chunk = 50, stride = 50)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == brute(Seq((0L, doc0), (1L, doc1)), 50, 50))
+    // the duplicate lands on doc 1, not doc 0
+    assert(got(0L)._2 == 0L, s"doc 0 must own the canonical copy: $got")
+    assert(got(1L)._2 == 1L, s"doc 1's shared chunk must be the dup: $got")
   }
 }

@@ -136,27 +136,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     import graft.streaming.StreamOps.TEv
     val events = Seq(
-      TEv(1, ts(0), "view"), TEv(1, ts(5), "click"), TEv(2, ts(3), "view"),
+      TEv(1, ts(0), "view", 10), TEv(1, ts(5), "click", 11),
+      // user 2: two SAME-timestamp events — the (ts, event_id) tiebreak
+      // must order view(id 20) before click(id 21), exactly like p08's
+      // lead() window; ts-only ordering paired these nondeterministically.
+      TEv(2, ts(3), "view", 20), TEv(2, ts(3), "click", 21),
       // second micro-batch continues both users' sequences: the
       // cross-batch pairs exercise the per-user LastEv state.
-      TEv(1, ts(12), "purchase"), TEv(2, ts(9), "click"), TEv(2, ts(15), "view"))
+      TEv(1, ts(12), "purchase", 12), TEv(2, ts(9), "click", 22),
+      TEv(2, ts(15), "view", 23))
     val input = MemoryStream[TEv]
     val q = StreamOps.transitionStream(input.toDS())
       .writeStream.format("memory").queryName("transitions")
       .outputMode("append").start()
     try {
-      input.addData(events.take(3): _*)
+      input.addData(events.take(4): _*)
       q.processAllAvailable()
-      input.addData(events.drop(3): _*)
+      input.addData(events.drop(4): _*)
       q.processAllAvailable()
       val got = spark.table("transitions")
         .select(col("user_id"), col("event_type"), col("next_type"),
           col("gap_ms"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3))).toSet
-      // batch twin: lead() over the full event set
+      // batch twin: lead() over the full event set, p08's window order
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val exp = events.toDF()
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .withColumn("next_ts", lead(col("ts"), 1).over(w))
