@@ -142,6 +142,61 @@ object Dedup {
   private val tokHashSqlDuck =
     "(('0x' || substr(md5(%s),1,15))::BIGINT %% 2147483647)"
 
+  /** Document-frequency cap for d04's shingle-bucket candidate join: a
+    * shingle appearing in more than this many documents (within one
+    * source) is dropped from candidate generation. Without it, ONE
+    * corpus-common 3-gram shared by f documents makes f^2 candidate rows
+    * in a single shuffle partition — quadratic AND skewed at 100 TB (the
+    * round-5 verdict's scale-killer). A true near-dup pair shares many
+    * shingles, so discovery only needs one of them to be rare. */
+  private[graft] val ShingleDfCap = 50L
+
+  /** 3-gram shingle Jaccard with a document-frequency cap — d04.
+    *
+    * Shape: per-doc DISTINCT shingle-hash sets (int64 md5-prefix, the
+    * same cross-engine token hash as MinHash) computed once; shingle DF
+    * pre-aggregated per (source, shingle); shingles with DF > dfCap are
+    * dropped from the CANDIDATE join only. The Jaccard itself is exact,
+    * computed on the full re-attached shingle sets (the d03 shape — the
+    * pair-distinct shuffle carries only (da, db) ids, never the sets).
+    * Input needs (doc_id, source, toks). */
+  private[graft] def ngramJaccardOn(docs: DataFrame,
+                                    dfCap: Long): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => tokHash(array_join(slice(col("toks"), i + 1, lit(3)), " "))))
+          .as("shs"))
+      // Feeds the explode AND both set re-attach joins; one row per doc
+      // of int64 hashes (~2% of corpus text). Same lifecycle note as
+      // d03's sig persist: Bench/Verify clearCache() between queries.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("doc_id"), col("source"),
+      explode(col("shs")).as("h"))
+    val dfreq = ex.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+    val rare = ex.join(dfreq.filter(col("df") <= dfCap), Seq("source", "h"))
+    val a = rare.select(col("doc_id").as("da"), col("source"), col("h"))
+    val b = rare.select(col("doc_id").as("db"), col("source").as("sb"),
+      col("h").as("hb"))
+    val cand = a.join(b, col("source") === col("sb") &&
+        col("h") === col("hb") && col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val sets = base.select(col("doc_id"), col("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("shs").as("sb2")), "db")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb2"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        ((size(col("sa")) + size(col("sb2"))).cast("long") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("jac"))
+      .orderBy(col("jac").desc, col("da"), col("db"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> { (s, dir) =>
       // Exact dedup: content-hash groupBy (the 100 TB-scale primitive —
@@ -224,28 +279,7 @@ object Dedup {
     },
 
     "d04_ngram_jaccard" -> { (s, dir) =>
-      // 3-gram shingle Jaccard via shingle-bucket join within source.
-      val sh = docsWithTokens(s, dir)
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(transform(
-            sequence(lit(0), size(col("toks")) - 3),
-            i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))).as("sh"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val a = sh.select(col("doc_id").as("da"), col("source"), col("sh"))
-      val b = sh.select(col("doc_id").as("db"), col("source").as("sb"),
-        col("sh").as("shb"))
-      val common = a.join(b, col("source") === col("sb") &&
-          col("sh") === col("shb") && col("da") < col("db"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
-        .withColumn("jac",
-          col("c").cast("double") / (col("na") + col("nb") - col("c")))
-        .filter(col("jac") >= 0.5)
-        .select(col("da"), col("db"), col("jac"))
-        .orderBy(col("jac").desc, col("da"), col("db"))
-        .limit(100)
+      ngramJaccardOn(docsWithTokens(s, dir), ShingleDfCap)
     },
 
     "d05_simhash" -> { (s, dir) =>
@@ -577,21 +611,36 @@ object Dedup {
            |SELECT cluster, doc_id AS kept_doc, n_toks, n_members
            |FROM ranked WHERE rnk = 1 ORDER BY cluster""".stripMargin,
 
-      "d04_ngram_jaccard" ->
-        """WITH sh AS (
-          | SELECT doc_id, source, unnest(list_distinct(list_transform(
-          |   range(len(string_split(text,' ')) - 2),
-          |   i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]))) AS sh
-          | FROM documents),
-          |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
-          |common AS (
-          | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-          | FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
-          | GROUP BY 1, 2)
-          |SELECT da, db, CAST(c AS DOUBLE) / (x.nsh + y.nsh - c) AS jac
-          |FROM common JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
-          |WHERE CAST(c AS DOUBLE) / (x.nsh + y.nsh - c) >= 0.5
-          |ORDER BY jac DESC, da, db LIMIT 100""".stripMargin,
+      "d04_ngram_jaccard" -> {
+        val shHash = tokHashSqlDuck.format(
+          "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")
+        s"""WITH d AS (
+           | SELECT doc_id, source, string_split(text, ' ') AS toks
+           | FROM documents),
+           |shs AS (
+           | SELECT doc_id, source,
+           |  list_distinct(list_transform(range(len(toks) - 2),
+           |    i -> $shHash)) AS shs
+           | FROM d),
+           |ex AS (SELECT doc_id, source, unnest(shs) AS h FROM shs),
+           |dfreq AS (
+           | SELECT source, h, COUNT(*) AS df FROM ex GROUP BY source, h),
+           |rare AS (
+           | SELECT e.doc_id, e.source, e.h FROM ex e
+           | JOIN dfreq f ON e.source = f.source AND e.h = f.h
+           | WHERE f.df <= $ShingleDfCap),
+           |cand AS (
+           | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           | FROM rare a JOIN rare b
+           |  ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id)
+           |SELECT da, db,
+           | CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+           |   (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jac
+           |FROM cand JOIN shs x ON da = x.doc_id JOIN shs y ON db = y.doc_id
+           |WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+           |   (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.5
+           |ORDER BY jac DESC, da, db LIMIT 100""".stripMargin
+      },
 
       "d05_simhash" ->
         s"""WITH ex AS (

@@ -98,4 +98,35 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0L)._2 == 0L, s"doc 0 must own the canonical copy: $got")
     assert(got(1L)._2 == 1L, s"doc 1's shared chunk must be the dup: $got")
   }
+
+  test("d04 DF cap: a corpus-hot shingle is dropped from candidate " +
+    "generation; rare-shingle near-dups still surface") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    // 10 docs consist of EXACTLY the same single 3-gram (true pairwise
+    // jac = 1.0) — the degenerate hot bucket that makes f^2 candidate
+    // rows in one shuffle partition. 2 more docs are near-dups through
+    // RARE shingles (DF = 2).
+    val hot = (0 until 10).map(i => (100L + i, "web", "aa bb cc"))
+    val dup = Seq(
+      (1L, "web", "xx yy zz ww vv uu tt ss"),
+      (2L, "web", "xx yy zz ww vv uu tt rr"))
+    val docs = (hot ++ dup).toDF("doc_id", "source", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val capped = Dedup.ngramJaccardOn(docs, dfCap = 5L).collect()
+    // Discovery through rare shingles survives the cap (exact jac 5/7).
+    assert(capped.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"rare-shingle near-dup pair lost under the cap: ${capped.toSeq}")
+    // The hot shingle (DF 10 > 5) is dropped BEFORE the pair join: none
+    // of the 45 jac-1.0 hot pairs may appear — candidate work from that
+    // bucket is zero, not f^2.
+    assert(!capped.exists(r => r.getLong(0) >= 100L),
+      s"hot-shingle bucket leaked pairs past the DF cap: ${capped.toSeq}")
+    // Sanity: with the cap lifted, the same corpus yields all 45 pairs.
+    val uncapped = Dedup.ngramJaccardOn(docs, dfCap = 1000L).collect()
+    assert(uncapped.count(r => r.getLong(0) >= 100L) == 45,
+      s"expected 45 hot pairs uncapped, got ${uncapped.toSeq}")
+    spark.catalog.clearCache()
+  }
 }
