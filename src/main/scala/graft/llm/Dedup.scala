@@ -50,28 +50,11 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Iteration barrier for the label-propagation loop: truncates lineage
-    * so each round's plan stays O(1) instead of doubling per round.
-    *
-    * Default = `localCheckpoint` (executor-local blocks): fastest, right
-    * for local/CI, but lineage is truncated WITHOUT a replayable copy —
-    * at cluster scale an executor loss mid-iteration kills the job. The
-    * reference survives this by holding completed-stage state on the
-    * scheduler and retrying (`scheduler/src/state/execution_graph.rs:106`).
-    * Setting `graft.cc.checkpointDir` (an HDFS/S3 path on a real cluster)
-    * switches every round's labels to a reliable `checkpoint`: one
-    * distributed write per round buys executor-churn tolerance — the
-    * 100 TB-correct configuration for a long CC job.
-    */
+  // The label-propagation loop and its iteration barrier live in
+  // operators/ConnectedComponents.scala since round 6 (pointer-jumping
+  // upgrade); d06 below is a thin wrapper over it.
   private def barrier(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("graft.cc.checkpointDir")
-      .filter(_.nonEmpty) match {
-      case Some(d) =>
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-        df.checkpoint()
-      case None => df.localCheckpoint()
-    }
+    graft.operators.ConnectedComponents.barrier(df)
 
   /** Cross-document CHUNK-level dedup (paragraph dedup à la FineWeb's
     * line dedup, at t06's 50-token chunk grid): chunks are
@@ -304,43 +287,20 @@ object Dedup {
       // Duplicate CLUSTERING — the step a real pipeline runs after pair
       // mining: connected components over the d03 near-dup pairs, cluster
       // id = min doc_id in the component (then "keep one per cluster").
-      // Min-label propagation TO CONVERGENCE: each round is one shuffle
-      // join + one min-aggregate, the standard iterative CC at cluster
-      // scale (labels only, never adjacency in driver memory). Labels
-      // only ever decrease, so sum(lbl) is strictly decreasing until the
-      // fixpoint — an O(|nodes|) aggregate per round detects convergence
-      // exactly. No fixed round budget: a component of ANY diameter
-      // converges (the DuckDB recursive-CTE oracle computes the same
-      // fixpoint), and the near-dup clique-like components stop after
-      // 2-3 rounds instead of burning a worst-case budget. The cap is a
-      // runaway backstop (diameter > 64 would mean a 2^64-node chain).
-      // `barrier` = the iteration barrier: without it every round embeds
-      // the previous round's WHOLE plan (and the d03 subtree) twice, and
-      // the lineage grows 2^rounds — the optimizer, not the data, becomes
-      // the bottleneck. Labels stay distributed (executor-local blocks,
-      // or a reliable checkpoint dir when graft.cc.checkpointDir is set —
-      // see [[barrier]] for the fault-tolerance tradeoff); only the one
-      // scalar sum comes to the driver per round.
+      // Delegates to operators/ConnectedComponents: min-label propagation
+      // TO CONVERGENCE with pointer jumping (path halving), so rounds are
+      // O(log diameter) instead of O(diameter) — the round-5 verdict's
+      // large-star/small-star item. Labels stay distributed (executor-
+      // local blocks, or a reliable checkpoint dir when
+      // graft.cc.checkpointDir is set); only one scalar sum reaches the
+      // driver per round. Same fixpoint as the DuckDB recursive-CTE
+      // oracle; DedupPropSpec pins jump-vs-plain round counts on a chain.
       val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
         .select(col("da"), col("db")))
       val edges = pairs
         .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
         .toDF("src", "dst")
-      val nodes = edges.select(col("src").as("id")).distinct()
-      var lab = barrier(nodes.withColumn("lbl", col("id")))
-      var prevSum = lab.agg(sum(col("lbl"))).head().getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 64) {
-        val prop = edges.join(lab, col("src") === col("id"))
-          .select(col("dst").as("id"), col("lbl"))
-        lab = barrier(lab.unionByName(prop)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
-        val curSum = lab.agg(sum(col("lbl"))).head().getLong(0)
-        converged = curSum == prevSum
-        prevSum = curSum
-        rounds += 1
-      }
+      val (lab, _) = graft.operators.ConnectedComponents.run(edges)
       lab.select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy(col("doc_id"))
     },

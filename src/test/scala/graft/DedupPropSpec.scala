@@ -99,6 +99,32 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._2 == 1L, s"doc 1's shared chunk must be the dup: $got")
   }
 
+  test("pointer-jumping CC: same labels as plain propagation on a chain, " +
+    "in O(log d) rounds instead of O(d)") {
+    val s = spark
+    import s.implicits._
+    // A 24-node path graph is the adversarial diameter case: plain
+    // min-label propagation moves label 0 one hop per round (~23 rounds);
+    // path halving must reach the same fixpoint in ~log2(24) rounds.
+    val n = 24
+    val fwd = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val (plainLab, plainRounds) =
+      graft.operators.ConnectedComponents.run(edges, pointerJump = false)
+    val (jumpLab, jumpRounds) =
+      graft.operators.ConnectedComponents.run(edges, pointerJump = true)
+    val p = plainLab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val j = jumpLab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == j, "jump and plain CC disagree on labels")
+    assert(p.size == n && p.values.forall(_ == 0L),
+      s"chain must collapse to cluster 0: $p")
+    assert(jumpRounds < plainRounds,
+      s"pointer jumping took $jumpRounds rounds vs plain $plainRounds — " +
+        "no speedup on the diameter-bound case")
+    assert(plainRounds >= n - 2, s"plain propagation finished in " +
+      s"$plainRounds rounds — the chain case is not exercising diameter")
+  }
+
   test("d04 DF cap: a corpus-hot shingle is dropped from candidate " +
     "generation; rare-shingle near-dups still surface") {
     val s = spark
