@@ -83,6 +83,28 @@ class ConfigLegsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"h15 differs under skew-split leg (${got.size} vs ${baseline.size} rows)")
   }
 
+  test("shuffle-partition sweep leg: identical rows at 16/64/256") {
+    // The analogue of the reference's max_partitions_per_task CI matrix
+    // (.github/workflows/tpcds.yml:76-77): results must be invariant to
+    // the shuffle fan-out. Exercises hash partitioning of every
+    // aggregate/join key and the window/sort exchanges across a
+    // representative slice (the same order-stable flagship set the other
+    // legs use).
+    val slice = Seq("q1_agg", "q5_join6", "q18_large_orders",
+      "w10_topn_per_group", "a11_rollup", "d03_minhash_lsh_pairs")
+    slice.foreach { name =>
+      val baseline = runOnce(name)
+      assert(baseline.nonEmpty, s"$name returned no rows")
+      Seq("16", "64", "256").foreach { np =>
+        val got = withConfs(
+          Map("spark.sql.shuffle.partitions" -> np))(runOnce(name))
+        assert(got == baseline,
+          s"$name differs at shuffle.partitions=$np " +
+            s"(${got.size} vs ${baseline.size} rows)")
+      }
+    }
+  }
+
   flagships.foreach { name =>
     test(s"config legs agree: $name") {
       val baseline = runOnce(name)
