@@ -59,5 +59,31 @@ object GraftExtensions {
           s"kll_quantile: capacity must be >= 8, got $cap")
         graft.functions.KllQuantile(children(0), q, cap)
       }))
+    e.injectFunction((
+      FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchAgg].getName,
+        "kll_sketch"),
+      (children: Seq[Expression]) => {
+        if (children.isEmpty || children.size > 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "kll_sketch", "expectedNum" -> "1 or 2",
+              "actualNum" -> children.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val cap = if (children.size == 2) {
+          val e = children(1)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"kll_sketch: capacity must be a literal, got ${e.sql}")
+          e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"kll_sketch: non-numeric capacity literal $other")
+          }
+        } else 8192
+        if (cap < 8) throw new IllegalArgumentException(
+          s"kll_sketch: capacity must be >= 8, got $cap")
+        graft.functions.KllSketchAgg(children(0), cap)
+      }))
   }
 }

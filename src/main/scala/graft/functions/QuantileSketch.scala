@@ -31,6 +31,14 @@ final class KllState(val capacity: Int) {
     ArrayBuffer(ArrayBuffer.empty[Double])
   private var parity: Int = 0
 
+  /** Cumulative worst-case rank perturbation: halving level i shifts any
+    * value's weighted rank by at most 2^i (the alternating-parity
+    * survivor keeps weighted ranks within one item-weight of exact), so
+    * the sum over all compactions bounds the error of [[countUpTo]].
+    * Zero means the sketch never compacted — every count it reports is
+    * EXACT (the regime a capacity-sized input stays in). */
+  var rankErr: Long = 0L
+
   def totalItems: Int = levels.map(_.length).sum
 
   def insert(v: Double): Unit = {
@@ -55,7 +63,32 @@ final class KllState(val capacity: Int) {
       j += 2
     }
     levels(i).clear()
+    rankErr += 1L << i
     true
+  }
+
+  /** Total weight = number of inserted items represented. */
+  def totalWeight: Long = {
+    var t = 0L
+    var i = 0
+    while (i < levels.length) {
+      t += (1L << i) * levels(i).length
+      i += 1
+    }
+    t
+  }
+
+  /** Weighted count of represented items <= v — exact when rankErr == 0,
+    * otherwise within +-rankErr of the true input count. */
+  def countUpTo(v: Double): Long = {
+    var t = 0L
+    var i = 0
+    while (i < levels.length) {
+      val w = 1L << i
+      levels(i).foreach(x => if (x <= v) t += w)
+      i += 1
+    }
+    t
   }
 
   private def shrink(): Unit = {
@@ -65,6 +98,7 @@ final class KllState(val capacity: Int) {
   def merge(other: KllState): Unit = {
     while (levels.length < other.levels.length)
       levels += ArrayBuffer.empty[Double]
+    rankErr += other.rankErr
     var i = 0
     while (i < other.levels.length) {
       levels(i) ++= other.levels(i)
@@ -102,6 +136,7 @@ final class KllState(val capacity: Int) {
     val out = new DataOutputStream(bos)
     out.writeInt(capacity)
     out.writeInt(parity)
+    out.writeLong(rankErr)
     out.writeInt(levels.length)
     levels.foreach { lvl =>
       out.writeInt(lvl.length)
@@ -117,6 +152,7 @@ object KllState {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val st = new KllState(in.readInt())
     val parity = in.readInt()
+    st.rankErr = in.readLong()
     val nLevels = in.readInt()
     st.levels = ArrayBuffer.fill(nLevels)(ArrayBuffer.empty[Double])
     var i = 0
@@ -185,4 +221,59 @@ case class KllQuantile(
     copy(child = newChildren.head)
 
   override def prettyName: String = "kll_quantile"
+}
+
+/** `kll_sketch(col[, capacity])` — same mergeable KLL aggregation, but
+  * returning the SERIALIZED sketch (binary) instead of one quantile, so a
+  * caller can derive many quantiles AND rank/count bounds from a single
+  * input pass. This is how [[graft.operators.ParallelWindow]] sources its
+  * range cuts and its precondition guard from one aggregation — the
+  * analogue of the reference feeding sketch cuts to its range
+  * repartitioner (`core/src/execution_plans/runtime_stats.rs:877`). */
+case class KllSketchAgg(
+    child: Expression,
+    capacity: Int = 8192,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllState] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllState = new KllState(capacity)
+
+  override def update(buffer: KllState, input: InternalRow): KllState = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => other.toString.toDouble
+    })
+    buffer
+  }
+
+  override def merge(buffer: KllState, input: KllState): KllState = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: KllState): Any = buffer.serialize()
+
+  override def serialize(buffer: KllState): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KllState =
+    KllState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "kll_sketch"
 }
