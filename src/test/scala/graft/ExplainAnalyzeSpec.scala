@@ -32,6 +32,27 @@ class ExplainAnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(render.nonEmpty)
   }
 
+  test("stage table reports shuffle read/write bytes and records per stage") {
+    // A join + aggregation forces at least two materialized shuffle
+    // stages under AQE; the stage table must surface their write AND
+    // read counters — the per-stage view the reference renders in
+    // DistributedExplainAnalyzeExec.
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val c = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .hint("merge", Seq.empty[String]: _*)
+    val df = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val t = graft.plans.ExplainAnalyze.stageTable(spark, df)
+    assert(t.columns.toSeq == Seq("stage_id", "stage",
+      "shuffle_records_written", "shuffle_bytes_written",
+      "shuffle_records_read", "shuffle_bytes_read", "data_size_bytes"))
+    val rows = t.collect()
+    assert(rows.length >= 2, s"expected >=2 stages, got ${rows.toSeq}")
+    assert(rows.exists(_.getLong(2) > 0), s"no stage wrote records: ${rows.toSeq}")
+    assert(rows.exists(_.getLong(3) > 0), s"no stage wrote bytes: ${rows.toSeq}")
+    assert(rows.exists(_.getLong(4) > 0), s"no stage read records: ${rows.toSeq}")
+  }
+
   test("observe() collects named runtime metrics on the query path") {
     // The reference ships per-operator metric sets to the client over
     // proto (ballista.proto:439-494); Spark's user-facing analogue for
