@@ -93,6 +93,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus PARAGRAPH dedup with reassembly (the MassiveText /
+    * FineWeb "remove duplicated lines across the corpus" TRANSFORM —
+    * d10 only reports duplicate fractions; this one emits the cleaned
+    * text): documents split into disjoint `para`-token blocks, each
+    * block content-addressed with md5, and only the corpus-wide FIRST
+    * occurrence (arg-min over the (doc_id, idx) struct — d10's
+    * collision-free canonical rule) of each distinct block survives.
+    * Survivors re-assemble in original order into the cleaned text, so
+    * boilerplate repeated across documents is kept exactly once,
+    * within-document repeats included.
+    *
+    * Scale shape: ONE shuffle on the uniform md5 block hash (canonical
+    * selection — unskewable key) + ONE groupBy(doc_id) for reassembly;
+    * both linear in corpus size. The reassembly collect_list is bounded
+    * by a single document's block count, never by the corpus. */
+  def paragraphDedup(docs: DataFrame, para: Int = 20): DataFrame = {
+    val tk = split(col("text"), " ")
+    val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)), lit(para))
+    val paras = docs
+      .select(col("doc_id"), tk.as("tk"), explode(starts).as("idx"))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        array_join(slice(col("tk"), col("idx") + 1, lit(para)), " ").as("p"))
+      .withColumn("h", md5(col("p").cast("binary")))
+      .withColumn("key", struct(col("doc_id"), col("idx")))
+    val canon = paras.groupBy(col("h")).agg(min(col("key")).as("ck"))
+    paras.join(canon, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("key") === col("ck"), 1).otherwise(0)).cast("long")
+          .as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("key") === col("ck"), struct(col("idx"), col("p"))))),
+          x => x.getField("p")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     // The test-SF documents parquet is a single row group => the scan is
     // ONE task, which would serialize the md5-per-token hash stage below.
@@ -333,6 +369,10 @@ object Dedup {
       chunkDedup(Tables.load(s, dir, "documents"))
     },
 
+    "d12_paragraph_dedup" -> { (s, dir) =>
+      paragraphDedup(Tables.load(s, dir, "documents"))
+    },
+
     "d11_minhash_calibration" -> { (s, dir) =>
       // Estimator CALIBRATION for the MinHash dedup path — the text twin
       // of v07's ANN recall harness: for every verified near-dup pair
@@ -532,6 +572,27 @@ object Dedup {
           | CAST(SUM(CASE WHEN key <> ck THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
           |FROM ch JOIN canon ON ch.h = canon.h
           |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+      "d12_paragraph_dedup" ->
+        """WITH d AS (
+          | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |c AS (
+          | SELECT doc_id, tk,
+          |  unnest(range(0, greatest(len(tk) - 1, 0) + 1, 20)) AS idx
+          | FROM d),
+          |ph AS (
+          | SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+          |  array_to_string(list_slice(tk, idx + 1, idx + 20), ' ') AS p,
+          |  md5(array_to_string(list_slice(tk, idx + 1, idx + 20), ' ')) AS h,
+          |  {'doc_id': doc_id, 'idx': CAST(idx AS BIGINT)} AS key
+          | FROM c),
+          |canon AS (SELECT h, MIN(key) AS ck FROM ph GROUP BY h)
+          |SELECT ph.doc_id,
+          | COUNT(*) AS n_paras,
+          | CAST(SUM(CASE WHEN key = ck THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          | COALESCE(string_agg(CASE WHEN key = ck THEN p END, ' ' ORDER BY idx), '') AS clean_text
+          |FROM ph JOIN canon ON ph.h = canon.h
+          |GROUP BY ph.doc_id ORDER BY ph.doc_id""".stripMargin,
 
       "d08_stratified_sample" ->
         """WITH h AS (

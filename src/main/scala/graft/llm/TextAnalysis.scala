@@ -27,6 +27,26 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(StopWords.map(lit): _*)))
       .cast("long")
 
+  /** PII patterns shared by the graded t10 query, [[piiRedact]], and the
+    * unit spec. Hyphen-only phone grammar on purpose: allowing dots
+    * would let the phone pattern bite into dotted IPv4 octets.
+    * Both engines get the same source strings (Java regex and DuckDB's
+    * RE2 agree on this subset: classes, bounded repeats, \b, \d). */
+  private[graft] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val Ipv4Re =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: emails → [EMAIL], then dotted IPv4 → [IP], then
+    * hyphenated phones → [PHONE]. Most-specific-first so a narrower
+    * pattern never bites a fragment of a wider one. Pure codegen'd
+    * projection (regexp_replace ×3), no shuffle — the shape a 100 TB
+    * scrub pass needs: linear scan, trivially partitionable. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_stats" -> { (s, dir) =>
       // Language-profile stats: per tagged lang, stopword-hit ratio of an
@@ -204,6 +224,33 @@ object TextAnalysis {
           (col("dup_tok_frac") <= 0.7 && col("dup_3gram_frac") <= 0.2)
             .cast("long"))
         .orderBy(col("doc_id"))
+    },
+
+    "t10_pii_redaction" -> { (s, dir) =>
+      // PII detection + redaction over documents. The synthetic corpus
+      // carries no PII, so each doc gets a deterministic contact block
+      // derived from (doc_id, source), repeated 1-3 times — counts vary
+      // per row and the DuckDB oracle reproduces the same raw strings
+      // bit-for-bit. The graded artifact is the regex surface itself:
+      // per-pattern occurrence counts plus the redacted text. The unit
+      // spec (PiiSpec) exercises real-world positives/negatives and
+      // idempotence on a hand corpus.
+      val contact = concat(
+        lit(" contact "), col("source"), lit("_"),
+        col("doc_id").cast("string"), lit("@example.com tel 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+        (expr("doc_id div 256") % 256).cast("string"), lit(".7"))
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .withColumn("raw",
+          concat(col("text"), repeat(contact, (col("doc_id") % 3 + 1).cast("int"))))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+          regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
+          piiRedact(col("raw")).as("clean_text"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -342,6 +389,27 @@ object TextAnalysis {
         |SELECT doc_id, n_toks, dup_tok_frac, dup_3gram_frac,
         | CAST(CASE WHEN dup_tok_frac <= 0.7 AND dup_3gram_frac <= 0.2
         |      THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t10_pii_redaction" ->
+      s"""WITH raw AS (
+         | SELECT doc_id,
+         |  text || repeat(
+         |   ' contact ' || source || '_' || CAST(doc_id AS VARCHAR) ||
+         |   '@example.com tel 555-' ||
+         |   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |   lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ||
+         |   ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |   CAST((doc_id // 256) % 256 AS VARCHAR) || '.7',
+         |   CAST(doc_id % 3 + 1 AS INT)) AS raw
+         | FROM documents WHERE doc_id < 200)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(raw, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         | regexp_replace(regexp_replace(regexp_replace(raw,
+         |  '$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'),
+         |  '$PhoneRe', '[PHONE]', 'g') AS clean_text
+         |FROM raw ORDER BY doc_id""".stripMargin
   )
 }

@@ -74,6 +74,71 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  /** In-memory reference for d12: disjoint para-token blocks, keep a
+    * block iff it is the corpus-wide first occurrence of its text. */
+  private def bruteParas(docs: Seq[(Long, String)],
+                         para: Int): Map[Long, (Long, Long, String)] = {
+    val blocks = docs.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      (0 to math.max(toks.length - 1, 0) by para).map { st =>
+        (id, st.toLong, toks.slice(st, st + para).mkString(" "))
+      }
+    }
+    val canon = blocks.groupBy(_._3)
+      .map { case (txt, bs) => txt -> bs.map(b => (b._1, b._2)).min }
+    docs.map { case (id, _) =>
+      val mine = blocks.filter(_._1 == id).sortBy(_._2)
+      val kept = mine.filter(b => canon(b._3) == ((b._1, b._2)))
+      id -> (mine.size.toLong, kept.size.toLong,
+        kept.map(_._3).mkString(" "))
+    }.toMap
+  }
+
+  test("distributed paragraph dedup (d12) equals in-memory brute force, " +
+    "reassembled text included") {
+    val s = spark
+    import s.implicits._
+    val genCase = for {
+      nDocs <- Gen.choose(3, 12)
+      para <- Gen.choose(2, 6)
+      docs <- Gen.sequence[Seq[(Long, String)], (Long, String)](
+        (0 until nDocs).map { id =>
+          for {
+            n <- Gen.choose(1, 40)
+            toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+          } yield (id.toLong, toks.mkString(" "))
+        })
+    } yield (docs, para)
+
+    val prop = Prop.forAll(genCase) { case (docs, para) =>
+      val got = Dedup.paragraphDedup(docs.toDF("doc_id", "text"), para)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getString(3))).toMap
+      got == bruteParas(docs, para)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("paragraph dedup keeps exactly one copy of cross-doc boilerplate " +
+    "and drops within-doc repeats") {
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one 8-tok block
+    val docs = Seq(
+      (1L, boiler + " " + boiler),           // within-doc repeat
+      (2L, boiler),                          // cross-doc repeat
+      (3L, (1 to 8).map(i => s"u$i").mkString(" "))) // unique survives
+    val got = Dedup.paragraphDedup(docs.toDF("doc_id", "text"), 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 1L, boiler))) // first copy kept, repeat gone
+    assert(got(2L)._2 == 0L && got(2L)._3 == "") // all boilerplate
+    assert(got(3L)._2 == 1L)
+  }
+
   test("book-length (>=100k-token) docs: chunk offsets past 100000 " +
     "cannot alias into the next doc_id (r4 int64-packing regression)") {
     val s = spark

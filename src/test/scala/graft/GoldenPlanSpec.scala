@@ -54,7 +54,19 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "c24_rollup_rank_within_parent",
     // chunk dedup (one shuffle on the content hash) and the event
     // transition window — the newest pipeline shapes.
-    "d10_chunk_dedup", "p08_event_transitions")
+    "d10_chunk_dedup", "p08_event_transitions",
+    // round-6 scale-hardening shapes: the banded+capped embedding
+    // near-dup miner (v03/v06 must keep the bucket-cap anti-join and
+    // bare-id pair shuffle), the DF-capped shingle Jaccard (d04 must
+    // keep the rare-shingle candidate join), and the trained-IVF
+    // codebook assignment (v09's integer k-means must stay a join+argmin
+    // aggregate, no driver-side loops beyond the two Lloyd rounds).
+    "v03_neardup_embed", "v06_semdedup", "d04_ngram_jaccard",
+    "v09_ivf_trained",
+    // round-6 new pipeline ops: paragraph dedup must keep its
+    // two-shuffle (hash-canonical + per-doc reassembly) shape; the PII
+    // scrub must stay a single codegen'd projection over the scan.
+    "d12_paragraph_dedup", "t10_pii_redaction")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
