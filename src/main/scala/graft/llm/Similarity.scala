@@ -453,8 +453,173 @@ object Similarity {
           col("recall_fx"), col("n_cand_tr"), col("hits_tr"),
           col("recall_tr"))
         .orderBy(col("q_id"))
+    },
+
+    "v10_pq_codes" -> { (s, dir) =>
+      // PRODUCT-QUANTIZATION encode — the stored artifact of the
+      // memory-bound billion-vector ANN path (IVF-PQ's second half):
+      // each 64-dim float vector compresses to M=4 sub-space codes of
+      // K=8 centroids (4 bytes vs 256 — 64x), trained per subspace with
+      // one integer Lloyd iteration from md5-seeded sub-vectors (v09's
+      // arithmetic at subspace granularity, so the oracle reproduces
+      // the codebooks and every code bit-for-bit). Encode is linear in
+      // the corpus: the 32-row codebook broadcasts, each vector does
+      // M x K integer sub-distances; nothing corpus-sized shuffles.
+      val (_, _, _, codes) = pqEncode(s, dir)
+      val wide = (0 until PqM).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"code$m"))
+      codes.groupBy(col("vec_id")).agg(wide.head, wide.tail: _*)
+        .orderBy(col("vec_id"))
+    },
+
+    "v11_pq_adc" -> { (s, dir) =>
+      // PQ ASYMMETRIC-DISTANCE search (ADC) harness over held-out
+      // queries (vec_id 100..119, disjoint from the md5 seed set with
+      // overwhelming probability — and the oracle recomputes the same
+      // seeds, so even an overlap grades identically): per query build
+      // the M x K distance TABLE once (640 rows total — broadcast),
+      // then score every stored code by 4 table lookups + adds — the
+      // scan never touches float payloads, which is the whole point of
+      // PQ at 100 TB (codes are 64x smaller than vectors, so the scan
+      // is memory-bandwidth-cheap and embarrassingly parallel). Graded
+      // output: ADC top-5 vs exact-cosine top-5 hits/recall plus the
+      // integer ADC mass of the chosen 5 (adds hash signal beyond the
+      // hit count).
+      val (_, subs, cb, codes) = pqEncode(s, dir)
+      val isQ = col("vec_id") >= 100 && col("vec_id") < 120
+      val qsubs = subs.filter(isQ)
+        .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+      val dtab = qsubs.join(broadcast(cb), "m")
+        .select(col("q_id"), col("m"), col("code"),
+          intSqDist(col("qsub"), col("cv")).as("d"))
+      val adc = codes.join(broadcast(dtab), Seq("m", "code"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adc_dist"))
+      val wa = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+      val short = adc.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") <= PqShortlist)
+      val top5 = short.filter(col("rn") <= 5)
+      val e = Tables.load(s, dir, "embeddings")
+      val qe = e.filter(isQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wt = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val truth = qe
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wt))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      // Exact-cosine re-rank of the ADC shortlist — the second half of
+      // the production PQ pipeline: the code scan prunes the corpus to
+      // PqShortlist rows per query, and only those touch float payloads.
+      val rr5 = short
+        .select(col("q_id"), col("vec_id").as("c_id"))
+        .join(qe, "q_id")
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), "c_id")
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rrk", row_number().over(wt))
+        .filter(col("rrk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val hits = truth
+        .join(top5.select(col("q_id"), col("vec_id").as("c_id"),
+          lit(1L).as("hit")), Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id")).agg(count(col("hit")).as("hits_adc"))
+      val hitsRr = truth
+        .join(rr5.withColumn("hit", lit(1L)),
+          Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id")).agg(count(col("hit")).as("hits_rr"))
+      val adcsum = top5.groupBy(col("q_id"))
+        .agg(sum(col("adc_dist")).as("adc_top5"))
+      hits.join(hitsRr, "q_id").join(adcsum, "q_id")
+        .select(col("q_id"), col("hits_adc"),
+          (col("hits_adc").cast("double") / 5.0).as("recall_adc"),
+          col("hits_rr"),
+          (col("hits_rr").cast("double") / 5.0).as("recall_rr"),
+          col("adc_top5"))
+        .orderBy(col("q_id"))
     }
   )
+
+  private val PqM = 8   // subspaces
+  private val PqK = 8   // centroids per subspace
+  private val PqSub = 8 // dims per subspace (64 / PqM)
+  private val PqShortlist = 20 // ADC candidates kept for exact re-rank
+
+  /** Exact integer squared L2 over equal-length int64 arrays. */
+  private def intSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** L2-normalized int64-quantized vectors — v09's integer scheme
+    * (round(x/||x||*1000)): exact enough to rank, deterministic enough
+    * to hash-compare across engines. */
+  private def normQuant(e: DataFrame): DataFrame = e
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ed"))
+    .withColumn("nrm", sqrt(aggregate(
+      zip_with(col("ed"), col("ed"), (x, w) => x * w),
+      lit(0.0), (acc, v) => acc + v)))
+    .select(col("vec_id"),
+      transform(col("ed"), x =>
+        when(col("nrm") === 0.0, lit(0L))
+          .otherwise(round(x / col("nrm") * 1000).cast("long")))
+        .as("qv"))
+
+  /** PQ train + encode shared by v10/v11: returns (qvAll, long-form
+    * sub-vectors, trained codebook (m, code, cv), codes (vec_id, m,
+    * code)). Training = one integer Lloyd iteration per subspace from
+    * the PqK vectors with smallest md5(vec_id) (a TakeOrdered top-k,
+    * not a scan prefix); the centroid update is a plain floor-mean —
+    * sub-vectors are not directions, so PQ's per-subspace k-means is
+    * Euclidean (no sphere re-projection, unlike v09's whole-vector
+    * spherical step). Seeds are data points, so no cluster is ever
+    * empty after one update. Codes are DENSE 0..PqK-1 (the byte a
+    * production index stores), not raw seed vec_ids. */
+  private def pqEncode(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val qvAll = normQuant(Tables.load(s, dir, "embeddings"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def subSlices(src: Column): Column =
+      array((0 until PqM).map(m =>
+        slice(src, m * PqSub + 1, PqSub)): _*)
+    val subs = qvAll.select(col("vec_id"),
+      posexplode(subSlices(col("qv"))).as(Seq("m", "sub")))
+    val mk = md5(col("vec_id").cast("string").cast("binary"))
+    val seed8 = qvAll.orderBy(mk, col("vec_id")).limit(PqK)
+    // row_number over PqK rows (post-TakeOrdered), not the corpus.
+    val seeds = seed8.withColumn("code",
+      (row_number().over(Window.orderBy(mk, col("vec_id"))) - 1)
+        .cast("long"))
+    val seedSub = seeds.select(col("code"),
+      posexplode(subSlices(col("qv"))).as(Seq("m", "cv")))
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("code"))
+      subs.join(broadcast(cb), "m")
+        .withColumn("dist", intSqDist(col("sub"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("sub"), col("code"))
+    }
+    val cb = assign(seedSub)
+      .select(col("m"), col("code"),
+        posexplode(col("sub")).as(Seq("dim", "v")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("mval"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mval"))))
+        .as("mv"))
+      .select(col("m"), col("code"),
+        transform(col("mv"), st => st.getField("mval")).as("cv"))
+    val codes = assign(cb).select(col("vec_id"), col("m"), col("code"))
+    (qvAll, subs, cb, codes)
+  }
 
   /** Banded-LSH near-duplicate pairs (va < vb, cosine > 0.4) — the pair
     * miner behind v03 (report) and v06 (survivorship).
@@ -830,6 +995,125 @@ object Similarity {
          | JOIN h_tr ON h_fx.q_id = h_tr.q_id
          | JOIN ncand_tr ON h_fx.q_id = ncand_tr.q_id
          |ORDER BY h_fx.q_id""".stripMargin
-    }
+    },
+
+    "v10_pq_codes" -> {
+      val codeCols = (0 until PqM).map(m =>
+        s"MAX(CASE WHEN m = $m THEN code END) AS code$m")
+        .mkString(",\n ")
+      s"""WITH $pqCtes
+         |SELECT vec_id,
+         | $codeCols
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    "v11_pq_adc" -> s"""WITH $pqCtes,
+      |qsubs AS (
+      | SELECT vec_id AS q_id, m, sub FROM subs
+      | WHERE vec_id >= 100 AND vec_id < 120),
+      |dtab AS (
+      | SELECT q.q_id, q.m, c.code,
+      |  CAST(${pqDist("q.sub", "c.cv")} AS BIGINT) AS d
+      | FROM qsubs q JOIN cb c ON q.m = c.m),
+      |adc AS (
+      | SELECT d.q_id, k.vec_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
+      | FROM codes k JOIN dtab d ON k.m = d.m AND k.code = d.code
+      | WHERE d.q_id <> k.vec_id GROUP BY d.q_id, k.vec_id),
+      |short AS (
+      | SELECT q_id, vec_id, adc_dist, rn FROM (
+      |  SELECT q_id, vec_id, adc_dist,
+      |   row_number() OVER (PARTITION BY q_id
+      |     ORDER BY adc_dist, vec_id) AS rn
+      |  FROM adc) t WHERE rn <= $PqShortlist),
+      |top5 AS (SELECT q_id, vec_id, adc_dist FROM short WHERE rn <= 5),
+      |tpairs AS (
+      | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |  ${cos("q.embedding", "c.embedding")} AS sim
+      | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      | WHERE q.vec_id >= 100 AND q.vec_id < 120),
+      |truth AS (
+      | SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id,
+      |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+      |  FROM tpairs) t WHERE rnk <= 5),
+      |rr5 AS (
+      | SELECT q_id, c_id FROM (
+      |  SELECT s.q_id, s.vec_id AS c_id,
+      |   row_number() OVER (PARTITION BY s.q_id ORDER BY
+      |     ${cos("qe.embedding", "ce.embedding")} DESC, s.vec_id) AS rrk
+      |  FROM short s
+      |   JOIN embeddings qe ON s.q_id = qe.vec_id
+      |   JOIN embeddings ce ON s.vec_id = ce.vec_id) t WHERE rrk <= 5),
+      |h AS (
+      | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_adc
+      | FROM truth t LEFT JOIN
+      |  (SELECT q_id, vec_id AS c_id FROM top5) a
+      |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id),
+      |hr AS (
+      | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_rr
+      | FROM truth t LEFT JOIN rr5 a
+      |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id),
+      |asum AS (
+      | SELECT q_id, CAST(SUM(adc_dist) AS BIGINT) AS adc_top5
+      | FROM top5 GROUP BY q_id)
+      |SELECT h.q_id, hits_adc,
+      | CAST(hits_adc AS DOUBLE) / 5.0 AS recall_adc,
+      | hits_rr, CAST(hits_rr AS DOUBLE) / 5.0 AS recall_rr, adc_top5
+      |FROM h JOIN hr ON h.q_id = hr.q_id
+      | JOIN asum ON h.q_id = asum.q_id ORDER BY h.q_id""".stripMargin
   )
+
+  /** Exact integer squared L2 over a PqSub-dim DuckDB list pair. */
+  private def pqDist(a: String, b: String): String =
+    s"list_sum(list_transform(range($PqSub), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+
+  /** DuckDB twin of [[pqEncode]]: normalized int64 vectors, per-subspace
+    * md5-seeded codebooks, one floor-mean Lloyd iteration, dense codes. */
+  private def pqCtes: String =
+    s"""q AS (
+       | SELECT vec_id,
+       |  list_transform(ed, x -> CASE WHEN nrm = 0
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+       | FROM (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+       |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |        CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings) tq),
+       |ms AS (SELECT unnest(range($PqM)) AS m),
+       |subs AS (
+       | SELECT vec_id, m,
+       |  list_slice(qv, m * $PqSub + 1, m * $PqSub + $PqSub) AS sub
+       | FROM q CROSS JOIN ms),
+       |seed8 AS (
+       | SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS mk FROM q
+       | ORDER BY mk, vec_id LIMIT $PqK),
+       |seeds AS (
+       | SELECT vec_id, qv,
+       |  CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS BIGINT) AS code
+       | FROM seed8),
+       |seedsub AS (
+       | SELECT code, m,
+       |  list_slice(qv, m * $PqSub + 1, m * $PqSub + $PqSub) AS cv
+       | FROM seeds CROSS JOIN ms),
+       |a1 AS (
+       | SELECT vec_id, m, sub, code FROM (
+       |  SELECT s.vec_id, s.m, s.sub, c.code,
+       |   row_number() OVER (PARTITION BY s.vec_id, s.m
+       |     ORDER BY ${pqDist("s.sub", "c.cv")}, c.code) AS rn
+       |  FROM subs s JOIN seedsub c ON s.m = c.m) t WHERE rn = 1),
+       |u1 AS (
+       | SELECT m, code, dim,
+       |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+       | FROM (SELECT m, code, generate_subscripts(sub, 1) AS dim,
+       |        unnest(sub) AS v FROM a1) t
+       | GROUP BY m, code, dim),
+       |cb AS (SELECT m, code, list(mval ORDER BY dim) AS cv
+       |       FROM u1 GROUP BY m, code),
+       |codes AS (
+       | SELECT vec_id, m, code FROM (
+       |  SELECT s.vec_id, s.m, c.code,
+       |   row_number() OVER (PARTITION BY s.vec_id, s.m
+       |     ORDER BY ${pqDist("s.sub", "c.cv")}, c.code) AS rn
+       |  FROM subs s JOIN cb c ON s.m = c.m) t WHERE rn = 1)""".stripMargin
 }

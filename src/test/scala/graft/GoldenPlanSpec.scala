@@ -65,8 +65,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v09_ivf_trained",
     // round-6 new pipeline ops: paragraph dedup must keep its
     // two-shuffle (hash-canonical + per-doc reassembly) shape; the PII
-    // scrub must stay a single codegen'd projection over the scan.
-    "d12_paragraph_dedup", "t10_pii_redaction")
+    // scrub must stay a single codegen'd projection over the scan; the
+    // PQ encode must keep its broadcast-codebook argmin (codes join a
+    // 64-row broadcast, never shuffle the corpus against it).
+    "d12_paragraph_dedup", "t10_pii_redaction", "v10_pq_codes",
+    "v11_pq_adc")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()

@@ -98,4 +98,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("q8_csv") =!= col("expect_csv")).count()
     assert(diff == 0)
   }
+
+  test("PQ codes are dense bytes: every vector gets 8 codes in [0, 8)") {
+    val codes = graft.llm.Similarity.queries("v10_pq_codes")(spark, sf)
+    val codeCols = (0 until 8).map(m => col(s"code$m"))
+    val bad = codes.filter(codeCols.map(c =>
+      c.isNull || c < 0L || c >= 8L).reduce(_ || _)).count()
+    assert(bad == 0, s"$bad vectors with missing/out-of-range PQ codes")
+    val n = codes.count()
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(n == nVecs, s"encoded $n of $nVecs vectors")
+  }
+
+  test("PQ exact re-rank dominates raw ADC@5 per query (shortlist " +
+    "superset property)") {
+    // rr5 re-ranks the ADC shortlist by TRUE cosine, and truth items are
+    // the global cosine top-5, so every truth hit in adc-top5 (a subset
+    // of the shortlist) must survive re-ranking: hits_rr >= hits_adc.
+    val r = graft.llm.Similarity.queries("v11_pq_adc")(spark, sf)
+    val bad = r.filter(col("hits_rr") < col("hits_adc")).count()
+    assert(bad == 0, s"$bad queries where re-rank lost raw-ADC hits")
+  }
 }
