@@ -251,6 +251,32 @@ object TextAnalysis {
           regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
           piiRedact(col("raw")).as("clean_text"))
         .orderBy(col("doc_id"))
+    },
+
+    "t11_vocab_profile" -> { (s, dir) =>
+      // Doc-level corpus-frequency profile — the document-granularity
+      // complement of t08's term-level TF-IDF: per doc, the document
+      // frequency of its rarest token (min_df — low means the doc uses
+      // vocabulary few other docs touch), total and mean DF mass, and
+      // distinct-token width. The quality-filter shape that ranks docs
+      // by vocabulary specificity. Two shuffles, both on uniform keys
+      // (token for the DF aggregate, doc_id for the profile); the
+      // re-attach join fans out per OCCURRENCE (row-wise, no bucket
+      // blowup) — linear at corpus scale. All outputs are exact
+      // integers or ratios of exact integers.
+      val ex = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dfreq = ex.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      ex.join(dfreq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          countDistinct(col("tok")).as("n_distinct"),
+          min(col("df")).as("min_df"),
+          sum(col("df")).as("df_mass"))
+        .withColumn("avg_df",
+          col("df_mass").cast("double") / col("n_toks"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -410,6 +436,22 @@ object TextAnalysis {
          | regexp_replace(regexp_replace(regexp_replace(raw,
          |  '$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'),
          |  '$PhoneRe', '[PHONE]', 'g') AS clean_text
-         |FROM raw ORDER BY doc_id""".stripMargin
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "t11_vocab_profile" ->
+      """WITH ex AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |dfreq AS (
+        | SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        | FROM ex GROUP BY tok)
+        |SELECT ex.doc_id,
+        | COUNT(*) AS n_toks,
+        | CAST(COUNT(DISTINCT ex.tok) AS BIGINT) AS n_distinct,
+        | CAST(MIN(df) AS BIGINT) AS min_df,
+        | CAST(SUM(df) AS BIGINT) AS df_mass,
+        | CAST(SUM(df) AS DOUBLE) / COUNT(*) AS avg_df
+        |FROM ex JOIN dfreq ON ex.tok = dfreq.tok
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
   )
 }

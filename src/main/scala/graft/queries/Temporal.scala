@@ -166,6 +166,49 @@ object Temporal {
           (sum(col("gap_us")).cast("double") / count(lit(1)))
             .as("avg_gap_us"))
         .orderBy(col("event_type"), col("next_type"))
+    },
+
+    "p09_funnel" -> { (s, dir) =>
+      // Ordered event FUNNEL with a conversion window — the product-
+      // analytics step sequence (view -> click -> purchase within 7
+      // days of the first view), per-user stage reached plus exact
+      // integer step latencies. Each step is a groupBy(user) min over
+      // an inequality-filtered equi-join on user_id: three shuffles,
+      // all on the SAME key, so at scale the exchanges reuse one
+      // partitioning (no recluster between steps). All comparisons run
+      // on µs-truncated timestamps (the p08 rule: DuckDB's parquet
+      // reader sees µs) and latencies are sums of exact int64 µs.
+      val wUs = 7L * 86400 * 1000 * 1000 // 7-day window, µs
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+      val firstClick = views
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts")), "user_id")
+        .filter(col("c_ts") > col("v_us") &&
+          col("c_ts") <= col("v_us") + wUs)
+        .groupBy(col("user_id"), col("v_us"))
+        .agg(min(col("c_ts")).as("c_us"))
+      val firstPurchase = firstClick
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_ts")), "user_id")
+        .filter(col("p_ts") > col("c_us") &&
+          col("p_ts") <= col("v_us") + wUs)
+        .groupBy(col("user_id"))
+        .agg(min(col("p_ts")).as("p_us"))
+      views
+        .join(firstClick.select(col("user_id"), col("c_us")),
+          Seq("user_id"), "left_outer")
+        .join(firstPurchase, Seq("user_id"), "left_outer")
+        .withColumn("stage",
+          lit(1L) + when(col("c_us").isNotNull, 1L).otherwise(0L)
+            + when(col("p_us").isNotNull, 1L).otherwise(0L))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("c_us") - col("v_us")).as("total_click_lag_us"),
+          sum(col("p_us") - col("c_us")).as("total_purchase_lag_us"))
+        .orderBy(col("stage"))
     }
   )
 
@@ -191,6 +234,34 @@ object Temporal {
         | CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
         |FROM t WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p09_funnel" ->
+      """WITH v AS (
+        | SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (
+        | SELECT e.user_id, v.v_us, MIN(epoch_us(e.ts)) AS c_us
+        | FROM events e JOIN v ON e.user_id = v.user_id
+        | WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+        |  AND epoch_us(e.ts) <= v.v_us + 604800000000
+        | GROUP BY e.user_id, v.v_us),
+        |fp AS (
+        | SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        | FROM events e JOIN fc ON e.user_id = fc.user_id
+        | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.c_us
+        |  AND epoch_us(e.ts) <= fc.v_us + 604800000000
+        | GROUP BY e.user_id),
+        |staged AS (
+        | SELECT v.user_id, v.v_us, fc.c_us, fp.p_us,
+        |  CAST(1 + CASE WHEN fc.c_us IS NOT NULL THEN 1 ELSE 0 END +
+        |       CASE WHEN fp.p_us IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS stage
+        | FROM v LEFT JOIN fc ON v.user_id = fc.user_id
+        |  LEFT JOIN fp ON v.user_id = fp.user_id)
+        |SELECT stage, COUNT(*) AS n_users,
+        | CAST(SUM(c_us - v_us) AS BIGINT) AS total_click_lag_us,
+        | CAST(SUM(p_us - c_us) AS BIGINT) AS total_purchase_lag_us
+        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
 
     "p06_asof_forward" ->
       """SELECT l.event_id, l.user_id,

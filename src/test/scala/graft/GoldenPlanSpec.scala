@@ -69,7 +69,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // PQ encode must keep its broadcast-codebook argmin (codes join a
     // 64-row broadcast, never shuffle the corpus against it).
     "d12_paragraph_dedup", "t10_pii_redaction", "v10_pq_codes",
-    "v11_pq_adc")
+    "v11_pq_adc",
+    // vocab-profile (two uniform-key shuffles + occurrence re-attach)
+    // and the 3-step funnel (all three exchanges on user_id).
+    "t11_vocab_profile", "p09_funnel")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
