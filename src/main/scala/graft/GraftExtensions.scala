@@ -28,6 +28,27 @@ object GraftExtensions {
         CosineSimilarity(children(0), children(1))
       }))
     e.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSig].getName,
+        "hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "hyperplane_sig", "expectedNum" -> "2",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        val nExpr = children(1)
+        if (!nExpr.foldable) throw new IllegalArgumentException(
+          s"hyperplane_sig: nPlanes must be a literal, got ${nExpr.sql}")
+        val n = nExpr.eval() match {
+          case num: java.lang.Number => num.intValue()
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sig: non-numeric nPlanes literal $other")
+        }
+        graft.functions.HyperplaneSig(children(0), n)
+      }))
+    e.injectFunction((
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName,
         "kll_quantile"),

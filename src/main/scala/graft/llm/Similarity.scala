@@ -41,27 +41,19 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component w(i, j) in [-1, 1] —
-    * exact integer arithmetic, identical in Spark and DuckDB SQL. */
-  private def wSpark(i: Column, j: Int): Column =
-    (((i + 1) * (j + 7) * 2654435761L) % 1000003L - 500001L)
-      .cast("double") / 500001.0
+  // The deterministic hyperplane family w(i, p) lives in the codegen'd
+  // functions.HyperplaneSig expression (and, unrolled, in the DuckDB
+  // oracle SQL below) — exact integer arithmetic, identical in both.
 
   /** 4-bit LSH bucket from hyperplane dot-product signs — the PROBE-side
     * index used by v02/v07: per-query candidate cost is a constant
     * fraction of the corpus (1/16), linear overall for a bounded query
     * set. NOT used for all-pairs mining (that is [[withBandKeys]], whose
-    * bucket population is capped). */
-  private def withBucket(df: DataFrame): DataFrame = {
-    val planes = (0 until 4).map { j =>
-      val wvec = transform(sequence(lit(0), lit(63)), i => wSpark(i, j))
-      val dot = aggregate(
-        zip_with(col("embedding"), wvec, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    df.withColumn("bucket", planes.reduce(_ + _))
-  }
+    * bucket population is capped). The sign bits come from the codegen'd
+    * `hyperplane_sig` expression (functions.HyperplaneSig — one fused
+    * pass over the integer-exact plane family, no per-row arrays). */
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", expr("hyperplane_sig(embedding, 4)"))
 
   private val NumBands = 4
   private val BandBits = 8
@@ -76,21 +68,21 @@ object Similarity {
     * population (see [[neardupPairsOn]]) so candidate work stays
     * partition-bounded at any corpus size. */
   private def withBandKeys(df: DataFrame): DataFrame = {
+    // All NumBands*BandBits sign bits in ONE codegen'd pass (the HOF
+    // per-plane composition this replaces was ~8× slower per row and is
+    // the full-corpus scan cost of the miner); band j's key is bits
+    // j*BandBits .. j*BandBits+BandBits-1 of the packed signature.
+    val sig = expr(s"hyperplane_sig(embedding, ${NumBands * BandBits})")
     val bands = (0 until NumBands).map { b =>
-      val bits = (0 until BandBits).map { i =>
-        val p = b * BandBits + i
-        val wvec = transform(sequence(lit(0), lit(63)), k => wSpark(k, p))
-        val dot = aggregate(
-          zip_with(col("embedding"), wvec, (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("bkey"))
+      struct(lit(b).as("band"),
+        shiftright(col("__sig"), b * BandBits)
+          .bitwiseAND((1L << BandBits) - 1).as("bkey"))
     }
-    df.withColumn("__bb", explode(array(bands: _*)))
+    df.withColumn("__sig", sig)
+      .withColumn("__bb", explode(array(bands: _*)))
       .withColumn("band", col("__bb.band"))
       .withColumn("bkey", col("__bb.bkey"))
-      .drop("__bb")
+      .drop("__sig", "__bb")
   }
 
   /** Int8-quantized embeddings with the codes as a true `array<long>`
