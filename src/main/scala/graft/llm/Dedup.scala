@@ -452,6 +452,39 @@ object Dedup {
         .select(col("cluster"), col("doc_id").as("kept_doc"),
           col("n_toks"), col("n_members"))
         .orderBy(col("cluster"))
+    },
+
+    "d13_mix_quota" -> { (s, dir) =>
+      // Data-MIXTURE construction under a per-source token budget — how
+      // a pretraining run draws "X tokens of web, Y of code" from a far
+      // larger pool, reproducibly: per source, docs are ranked by
+      // content hash (no RNG — retries and engines agree), a running
+      // token total accumulates in hash order, and a doc is kept while
+      // the budget is not yet exhausted BEFORE it (so the quota is
+      // slightly overshot by at most one doc, never undershot — the
+      // greedy prefix rule). One window per source partition (single
+      // shuffle on source, then partition-local sort + running sum);
+      // the per-source summary is a bounded groupBy. At 100 TB the
+      // window is the textbook distributed shape: each source's docs
+      // sort within their own partitions after ONE exchange, and only
+      // |sources| summary rows reach the result.
+      val quota = 40000L // tokens per source
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_toks"))
+            .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .withColumn("keep", (col("cum_before") < quota).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pool"),
+          sum(col("keep")).as("n_kept"),
+          sum(col("keep") * col("n_toks")).as("tokens_kept"),
+          sum(col("n_toks")).as("tokens_pool"))
+        .orderBy(col("source"))
     }
   )
 
@@ -603,6 +636,24 @@ object Dedup {
           | FROM h)
           |SELECT lang, rnk, doc_id, h FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
+
+      "d13_mix_quota" ->
+        """WITH h AS (
+          | SELECT doc_id, source, md5(text) AS h,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          | FROM documents),
+          |c AS (
+          | SELECT source, n_toks,
+          |  COALESCE(SUM(n_toks) OVER (PARTITION BY source
+          |    ORDER BY h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS cum_before
+          | FROM h)
+          |SELECT source, COUNT(*) AS n_pool,
+          | CAST(SUM(CASE WHEN cum_before < 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          | CAST(SUM(CASE WHEN cum_before < 40000 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+          | CAST(SUM(n_toks) AS BIGINT) AS tokens_pool
+          |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

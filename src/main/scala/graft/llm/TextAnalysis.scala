@@ -277,6 +277,30 @@ object TextAnalysis {
         .withColumn("avg_df",
           col("df_mass").cast("double") / col("n_toks"))
         .orderBy(col("doc_id"))
+    },
+
+    "t12_bpe_pairs" -> { (s, dir) =>
+      // Adjacent-pair frequency statistics — the counting kernel of BPE
+      // tokenizer training (each merge round picks the most frequent
+      // adjacent pair; ≙ the reference's agg pipeline over unnested
+      // lists, `datafusion/.../aggregates/row_hash.rs` shape). Per doc:
+      // zip the token list with its own tail (array ops in codegen, no
+      // UDF), explode once (~1 pair row per token), then ONE shuffle
+      // with map-side partial counts; the global top-20 compiles to
+      // TakeOrderedAndProject — only 20 rows per partition cross the
+      // final exchange. At 100 TB this is the exact shape of a corpus
+      // pair-count job: linear scan, single uniform-key shuffle, O(k)
+      // driver result.
+      val tk = split(col("text"), " ")
+      Tables.load(s, dir, "documents")
+        .select(explode(
+          zip_with(
+            slice(tk, lit(1), size(tk) - 1),
+            slice(tk, lit(2), size(tk) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     }
   )
 
@@ -452,6 +476,20 @@ object TextAnalysis {
         | CAST(SUM(df) AS BIGINT) AS df_mass,
         | CAST(SUM(df) AS DOUBLE) / COUNT(*) AS avg_df
         |FROM ex JOIN dfreq ON ex.tok = dfreq.tok
-        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
+
+    "t12_bpe_pairs" ->
+      """WITH tk AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ex AS (
+        | SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+        | FROM tk),
+        |p AS (
+        | SELECT tok AS a,
+        |  lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        | FROM ex)
+        |SELECT a || ' ' || b AS pair, COUNT(*) AS n
+        |FROM p WHERE b IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }

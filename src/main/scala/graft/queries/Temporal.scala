@@ -209,6 +209,32 @@ object Temporal {
           sum(col("c_us") - col("v_us")).as("total_click_lag_us"),
           sum(col("p_us") - col("c_us")).as("total_purchase_lag_us"))
         .orderBy(col("stage"))
+    },
+
+    "p10_retention_cohorts" -> { (s, dir) =>
+      // Retention COHORT matrix — the growth-analytics staple: users
+      // bucketed by first-seen week (cohort), then counted as active in
+      // each later week, as (cohort_week, week_offset) → distinct
+      // users. Week buckets are exact integer µs divisions (the p08
+      // rule: truncate to µs FIRST, then all arithmetic in int64).
+      // Two shuffles, BOTH on user_id — the first-seen aggregate and
+      // the re-attach join cluster on the same key, so at scale the
+      // second exchange reuses the first's partitioning — then a
+      // bounded (|weeks|²) matrix aggregate. No window needed: min()
+      // beats a row_number pass when only the first event matters.
+      val weekUs = 7L * 86400 * 1000 * 1000
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("first_us"))
+      ev.join(first, "user_id")
+        .select(col("user_id"),
+          expr(s"first_us div $weekUs").as("cohort_week"),
+          (expr(s"ts_us div $weekUs") - expr(s"first_us div $weekUs"))
+            .as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 
@@ -262,6 +288,20 @@ object Temporal {
         | CAST(SUM(c_us - v_us) AS BIGINT) AS total_click_lag_us,
         | CAST(SUM(p_us - c_us) AS BIGINT) AS total_purchase_lag_us
         |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "p10_retention_cohorts" ->
+      """WITH f AS (
+        | SELECT user_id, MIN(epoch_us(ts)) AS first_us
+        | FROM events GROUP BY user_id),
+        |a AS (
+        | SELECT e.user_id,
+        |  f.first_us // 604800000000 AS cohort_week,
+        |  epoch_us(e.ts) // 604800000000
+        |    - f.first_us // 604800000000 AS week_offset
+        | FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_offset,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "p06_asof_forward" ->
       """SELECT l.event_id, l.user_id,

@@ -72,7 +72,14 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v11_pq_adc",
     // vocab-profile (two uniform-key shuffles + occurrence re-attach)
     // and the 3-step funnel (all three exchanges on user_id).
-    "t11_vocab_profile", "p09_funnel")
+    "t11_vocab_profile", "p09_funnel",
+    // BPE pair counting must stay explode → ONE shuffle with partial
+    // aggregation → TakeOrderedAndProject (a sort of the full pair
+    // table would show here); the mixture quota must keep its single
+    // per-source window (one exchange, running sum in-partition); the
+    // cohort matrix must keep the stats-driven broadcast of the
+    // per-user first-seen aggregate and its map-side partial distinct.
+    "t12_bpe_pairs", "d13_mix_quota", "p10_retention_cohorts")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
