@@ -485,6 +485,34 @@ object Dedup {
           sum(col("keep") * col("n_toks")).as("tokens_kept"),
           sum(col("n_toks")).as("tokens_pool"))
         .orderBy(col("source"))
+    },
+
+    "d14_epoch_shards" -> { (s, dir) =>
+      // Deterministic EPOCH SHUFFLE — how a training run re-orders a
+      // 100 TB corpus per epoch without ever materializing a global
+      // random permutation: shard = hash(doc_id ‖ epoch-seed) mod S.
+      // Changing the seed re-deals every doc to a new shard (a fresh
+      // pseudo-random order), while the same seed reproduces the epoch
+      // bit-for-bit on retry — the determinism RNG-based shuffles lose.
+      // The graded output is the per-shard balance report (doc/token
+      // counts per shard — what one checks before trusting S readers to
+      // get equal work); the write-side twin is a partitionBy(shard)
+      // sink. One codegen'd projection + a bounded (S-key) groupBy with
+      // map-side partials: a single linear pass at any corpus size.
+      val seed = "ep1"
+      val h = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":" + seed))
+          .cast("binary")), 1, 15), 16, 10).cast("long")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          (h % 32).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -654,6 +682,19 @@ object Dedup {
           | CAST(SUM(CASE WHEN cum_before < 40000 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
           | CAST(SUM(n_toks) AS BIGINT) AS tokens_pool
           |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+      "d14_epoch_shards" ->
+        """WITH h AS (
+          | SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep1'), 1, 15))::BIGINT
+          |    % 32 AS shard
+          | FROM documents)
+          |SELECT shard, COUNT(*) AS n_docs,
+          | CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          | CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+          | CAST(MAX(doc_id) AS BIGINT) AS max_doc
+          |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -534,6 +534,33 @@ object Similarity {
           (col("hits_rr").cast("double") / 5.0).as("recall_rr"),
           col("adc_top5"))
         .orderBy(col("q_id"))
+    },
+
+    "v12_dim_stats" -> { (s, dir) =>
+      // Per-DIMENSION calibration report over the v05 int8 codes — what
+      // one inspects before trusting symmetric quantization at corpus
+      // scale: per-dim count/sum/sum-of-squares (exact int64), mean,
+      // variance, and the saturation count (|q| = 127 ⇒ the dim is
+      // clipping and needs per-dim scales). Variance is the exact
+      // integer numerator (n·Σq² − (Σq)²) over n² — ONE double division,
+      // no accumulated float error, bit-identical across engines (the
+      // int64 numerator overflows only past ~7·10⁸ rows; beyond that,
+      // per-partition pre-aggregation into HUGEINT-style split sums
+      // would be the move). Shape: one posexplode (64 rows per vector)
+      // into a 64-key groupBy with map-side partials — the per-dim
+      // reduce is the cheapest possible full-corpus pass.
+      quantizeInt8(s, dir)
+        .select(posexplode(col("q8")).as(Seq("dim", "q")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sum_q"),
+          sum(col("q") * col("q")).as("sumsq_q"),
+          sum(when(abs(col("q")) === 127L, 1L).otherwise(0L)).as("n_sat"))
+        .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
+        .withColumn("var_q",
+          (col("n") * col("sumsq_q") - col("sum_q") * col("sum_q"))
+            .cast("double") / (col("n") * col("n")).cast("double"))
+        .orderBy(col("dim"))
     }
   )
 
@@ -1052,7 +1079,35 @@ object Similarity {
       | CAST(hits_adc AS DOUBLE) / 5.0 AS recall_adc,
       | hits_rr, CAST(hits_rr AS DOUBLE) / 5.0 AS recall_rr, adc_top5
       |FROM h JOIN hr ON h.q_id = hr.q_id
-      | JOIN asum ON h.q_id = asum.q_id ORDER BY h.q_id""".stripMargin
+      | JOIN asum ON h.q_id = asum.q_id ORDER BY h.q_id""".stripMargin,
+
+    "v12_dim_stats" ->
+      """WITH m AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x))) AS max_abs
+        | FROM embeddings),
+        |sc AS (
+        | SELECT vec_id, ed,
+        |  CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale
+        | FROM m),
+        |q AS (
+        | SELECT vec_id,
+        |  list_transform(ed, x -> CAST(round(x * scale) AS BIGINT)) AS q8
+        | FROM sc),
+        |ex AS (
+        | SELECT CAST(generate_subscripts(q8, 1) - 1 AS BIGINT) AS dim,
+        |  unnest(q8) AS qv
+        | FROM q)
+        |SELECT dim, COUNT(*) AS n,
+        | CAST(SUM(qv) AS BIGINT) AS sum_q,
+        | CAST(SUM(qv * qv) AS BIGINT) AS sumsq_q,
+        | CAST(SUM(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_sat,
+        | CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_q,
+        | CAST(COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv) AS DOUBLE)
+        |   / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS var_q
+        |FROM ex GROUP BY dim ORDER BY dim""".stripMargin
   )
 
   /** Exact integer squared L2 over a PqSub-dim DuckDB list pair. */

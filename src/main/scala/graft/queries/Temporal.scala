@@ -235,6 +235,38 @@ object Temporal {
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    "p11_rolling_anomaly" -> { (s, dir) =>
+      // Rolling-baseline ANOMALY flags — the monitoring query a pipeline
+      // runs over its own event volume: per (event_type, day), the daily
+      // value total vs the trailing-7-day average, flagging days that
+      // exceed 2× their own baseline. Day buckets are exact integer µs
+      // divisions; daily sums are exact DECIMAL (the Dx rule — a double
+      // fold would flake the gate); and the spike test cross-multiplies
+      // (n·day > 2·trail_sum) so the COMPARISON is exact integer/decimal
+      // arithmetic too — doubles appear only in the reported columns.
+      // Shape: one groupBy to the (type, day) grain — tiny after
+      // aggregation — then a RANGE window per type: the window input is
+      // days, not events, so the sort is negligible at any corpus size.
+      val dayUs = 86400L * 1000 * 1000
+      val daily = Tables.load(s, dir, "events")
+        .withColumn("day", expr(s"(ts div 1000) div $dayUs"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("dv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-7, -1)
+      daily
+        .withColumn("tsum", sum(col("dv")).over(w))
+        .withColumn("tn", count(col("dv")).over(w))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("dv").cast("double").as("day_value"),
+          (col("tsum").cast("double") / col("tn")).as("trail_avg"),
+          when(col("tn") > 0 &&
+            col("tn") * col("dv") > lit(2) * col("tsum"), 1L)
+            .otherwise(0L).as("is_spike"))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 
@@ -302,6 +334,26 @@ object Temporal {
         |SELECT cohort_week, week_offset,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "p11_rolling_anomaly" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(12,2))) AS dv
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, day, n_events, dv,
+        |  SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tsum,
+        |  COUNT(dv) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tn
+        | FROM daily)
+        |SELECT event_type, day, n_events,
+        | CAST(dv AS DOUBLE) AS day_value,
+        | CAST(tsum AS DOUBLE) / tn AS trail_avg,
+        | CAST(CASE WHEN tn > 0 AND tn * dv > 2 * tsum
+        |   THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        |FROM w ORDER BY event_type, day""".stripMargin,
 
     "p06_asof_forward" ->
       """SELECT l.event_id, l.user_id,

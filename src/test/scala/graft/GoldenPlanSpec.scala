@@ -79,7 +79,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-source window (one exchange, running sum in-partition); the
     // cohort matrix must keep the stats-driven broadcast of the
     // per-user first-seen aggregate and its map-side partial distinct.
-    "t12_bpe_pairs", "d13_mix_quota", "p10_retention_cohorts")
+    "t12_bpe_pairs", "d13_mix_quota", "p10_retention_cohorts",
+    // dim stats must stay ONE explode into a 64-key partial-aggregated
+    // groupBy; epoch sharding ONE projection + bounded groupBy (no
+    // window, no per-doc shuffle); the rolling monitor must aggregate
+    // to the (type, day) grain BEFORE its RANGE window.
+    "v12_dim_stats", "d14_epoch_shards", "p11_rolling_anomaly")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
