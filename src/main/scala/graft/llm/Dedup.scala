@@ -462,22 +462,46 @@ object Dedup {
       // token total accumulates in hash order, and a doc is kept while
       // the budget is not yet exhausted BEFORE it (so the quota is
       // slightly overshot by at most one doc, never undershot — the
-      // greedy prefix rule). One window per source partition (single
-      // shuffle on source, then partition-local sort + running sum);
-      // the per-source summary is a bounded groupBy. At 100 TB the
-      // window is the textbook distributed shape: each source's docs
-      // sort within their own partitions after ONE exchange, and only
-      // |sources| summary rows reach the result.
+      // greedy prefix rule).
+      //
+      // Scale design: a single window PARTITION BY source would put one
+      // source's ENTIRE corpus slice into one sequential window
+      // partition — the per-source prefix sum is the scale-killer, not
+      // the semantics. So the prefix is computed at two grains, exactly
+      // the ParallelWindow cut-table trick (operators/ParallelWindow
+      // .scala): docs bucket by the first hash byte (256 buckets per
+      // source, order-compatible with the (h, doc_id) ranking since the
+      // bucket IS a prefix of h); bucket token totals cumulate in a
+      // BOUNDED window (≤256 rows per source); each doc then only needs
+      // the within-BUCKET running sum — a window over 1/256 of the
+      // source, parallel across 256·|sources| partitions. cum_before =
+      // bucket prefix + in-bucket prefix, identical to the one-window
+      // answer (the DuckDB oracle IS the one-window form). Deeper
+      // prefixes (2 bytes → 65 536 buckets) scale the same trick.
       val quota = 40000L // tokens per source
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-      Tables.load(s, dir, "documents")
+      val base = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           md5(col("text").cast("binary")).as("h"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val wBucketCut = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Long.MinValue, -1)
+      val cuts = base.groupBy(col("source"), col("bucket"))
+        .agg(sum(col("n_toks")).as("bucket_toks"))
+        .withColumn("cum_bucket_before",
+          coalesce(sum(col("bucket_toks")).over(wBucketCut), lit(0L)))
+        .select(col("source"), col("bucket"), col("cum_bucket_before"))
+      val wInBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Long.MinValue, -1)
+      base
+        .withColumn("cum_in_bucket",
+          coalesce(sum(col("n_toks")).over(wInBucket), lit(0L)))
+        .join(cuts, Seq("source", "bucket"))
         .withColumn("cum_before",
-          coalesce(sum(col("n_toks"))
-            .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+          col("cum_bucket_before") + col("cum_in_bucket"))
         .withColumn("keep", (col("cum_before") < quota).cast("long"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_pool"),

@@ -75,10 +75,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t11_vocab_profile", "p09_funnel",
     // BPE pair counting must stay explode → ONE shuffle with partial
     // aggregation → TakeOrderedAndProject (a sort of the full pair
-    // table would show here); the mixture quota must keep its single
-    // per-source window (one exchange, running sum in-partition); the
-    // cohort matrix must keep the stats-driven broadcast of the
-    // per-user first-seen aggregate and its map-side partial distinct.
+    // table would show here); the mixture quota must keep its TWO-GRAIN
+    // prefix (per-(source,bucket) running sum + bounded bucket cut
+    // window — a regression to one window per source would serialize a
+    // whole source through one partition); the cohort matrix must keep
+    // the stats-driven broadcast of the per-user first-seen aggregate
+    // and its map-side partial distinct.
     "t12_bpe_pairs", "d13_mix_quota", "p10_retention_cohorts",
     // dim stats must stay ONE explode into a 64-key partial-aggregated
     // groupBy; epoch sharding ONE projection + bounded groupBy (no
