@@ -216,6 +216,61 @@ object Dedup {
       .limit(100)
   }
 
+  /** Per-doc MinHash state for the LSH pipeline: distinct token-hash set
+    * + k-value signature array (sig(j) == d02's mh{j} — ONE definition of
+    * the signature for mining, flat-column export, and calibration).
+    *
+    * Explicit MEMORY_AND_DISK: one row per doc (ids + int64 token
+    * hashes, ~2% of corpus text), it feeds THREE consumers in the pair
+    * miner (bands + both tset re-attach joins; recompute = 3× corpus
+    * md5) — and d11 additionally reads the signature columns, so sharing
+    * THIS df is what keeps the calibration run at one corpus hash pass.
+    * SQL cache blocks are already compressed columnar batches — there is
+    * no cheaper "_SER" variant for DataFrames. Partitions that don't fit
+    * executor memory at 100 TB spill to local disk instead of evicting
+    * (re-hash) or OOMing.
+    * Lifecycle: the lazy per-query contract leaves no in-query unpersist
+    * point (the caller's action happens after we return), so long-lived
+    * sessions running many queries must flush between them — Bench/
+    * Verify call spark.catalog.clearCache() per query. */
+  private def lshSigDf(s: SparkSession, dir: String): DataFrame =
+    docsWithTokens(s, dir)
+      .withColumn("__th", transform(col("toks"), t => tokHash(t)))
+      .select(col("doc_id"), col("source"),
+        array_distinct(col("__th")).as("tset"),
+        sigArray(col("__th")).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** d03's band-bucket pair miner over a [[lshSigDf]]: candidates share
+    * ≥1 MinHash value within a source partition, verified with true
+    * token-set Jaccard ≥ 0.7. Bucket-join, never all-pairs. */
+  private def lshPairsFrom(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), col("source"),
+      posexplode(col("sig")).as(Seq("band", "mh")))
+    val a = bands.select(col("doc_id").as("da"), col("source"),
+      col("band"), col("mh"))
+    val b = bands.select(col("doc_id").as("db"), col("source").as("sb"),
+      col("band").as("bandb"), col("mh").as("mhb"))
+    val cand = a.join(b,
+        col("source") === col("sb") && col("band") === col("bandb") &&
+        col("mh") === col("mhb") && col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val tsets = sig.select(col("doc_id"), col("tset"))
+    cand
+      .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
+        "da")
+      .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
+        "db")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni"))
+      .filter(col("jac") >= 0.7)
+      .select(col("da"), col("db"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> { (s, dir) =>
       // Exact dedup: content-hash groupBy (the 100 TB-scale primitive —
@@ -254,47 +309,7 @@ object Dedup {
       // md5 runs ONCE per token (`__th` feeds both tset and the sig), and
       // `sig` is persisted: it feeds three consumers (bands + both tset
       // re-attach joins), which would otherwise re-hash the corpus 3×.
-      val sig = docsWithTokens(s, dir)
-        .withColumn("__th", transform(col("toks"), t => tokHash(t)))
-        .select(col("doc_id"), col("source"),
-          array_distinct(col("__th")).as("tset"),
-          sigArray(col("__th")).as("sig"))
-        // Explicit MEMORY_AND_DISK: one row per doc (ids + int64 token
-        // hashes, ~2% of corpus text), it feeds THREE consumers (bands +
-        // both tset re-attach joins; recompute = 3× corpus md5), and SQL
-        // cache blocks are already compressed columnar batches — there is
-        // no cheaper "_SER" variant for DataFrames. Partitions that don't
-        // fit executor memory at 100 TB spill to local disk instead of
-        // evicting (re-hash) or OOMing.
-        // Lifecycle: the lazy per-query contract leaves no in-query
-        // unpersist point (the caller's action happens after we return),
-        // so long-lived sessions running many queries must flush between
-        // them — Bench/Verify call spark.catalog.clearCache() per query.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val bands = sig.select(col("doc_id"), col("source"),
-        posexplode(col("sig")).as(Seq("band", "mh")))
-      val a = bands.select(col("doc_id").as("da"), col("source"),
-        col("band"), col("mh"))
-      val b = bands.select(col("doc_id").as("db"), col("source").as("sb"),
-        col("band").as("bandb"), col("mh").as("mhb"))
-      val cand = a.join(b,
-          col("source") === col("sb") && col("band") === col("bandb") &&
-          col("mh") === col("mhb") && col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
-      val tsets = sig.select(col("doc_id"), col("tset"))
-      cand
-        .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
-          "da")
-        .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
-          "db")
-        .withColumn("inter",
-          size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .withColumn("uni",
-          (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
-        .withColumn("jac", col("inter").cast("double") / col("uni"))
-        .filter(col("jac") >= 0.7)
-        .select(col("da"), col("db"), col("jac"))
-        .orderBy(col("da"), col("db"))
+      lshPairsFrom(lshSigDf(s, dir))
     },
 
     "d04_ngram_jaccard" -> { (s, dir) =>
@@ -383,8 +398,14 @@ object Dedup {
       // corpus scale. Deterministic: jac is the same double both engines
       // compute, est is an exact integer ratio, and no doubles are
       // re-aggregated.
-      val pairs = queries("d03_minhash_lsh_pairs")(s, dir)
-      val m = queries("d02_minhash_sig")(s, dir)
+      // ONE corpus hash pass: the persisted lshSigDf feeds both the pair
+      // miner AND the signature re-attach (sig(j) == d02's mh{j}) —
+      // calling the d02 and d03 entries separately here used to re-md5
+      // the corpus a second time.
+      val sig = lshSigDf(s, dir)
+      val pairs = lshPairsFrom(sig)
+      val m = sig.select(col("doc_id") +:
+        (0 until 4).map(j => col("sig").getItem(j).as(s"mh$j")): _*)
       val a = m.select(col("doc_id").as("ma"), col("mh0").as("a0"),
         col("mh1").as("a1"), col("mh2").as("a2"), col("mh3").as("a3"))
       val b = m.select(col("doc_id").as("mb"), col("mh0").as("b0"),
