@@ -301,6 +301,35 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    },
+
+    "t13_shard_drift" -> { (s, dir) =>
+      // Token-DISTRIBUTION drift between the two halves of a d14-style
+      // hash shard split — the check a pipeline runs before trusting
+      // that a deterministic shard assignment didn't skew the data: per
+      // token, occurrence counts in each half plus the cross-scaled
+      // absolute difference |c0·N1 − c1·N0| (the exact-integer numerator
+      // of the frequency delta — comparing c0/N0 vs c1/N1 without a
+      // single float), top-20 most drifted. Shape: one explode → one
+      // uniform-key shuffle to (token, half) counts → a pivot to one row
+      // per token; the two corpus totals are a 1-row aggregate the join
+      // broadcasts; top-k is TakeOrderedAndProject. Linear at any corpus
+      // size; the drift metric overflows int64 only past ~3·10⁹ tokens
+      // per half — at that point the same report runs on DECIMAL(38,0).
+      val half = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":ep1"))
+          .cast("binary")), 1, 15), 16, 10).cast("long") % 2
+      val ex = Tables.load(s, dir, "documents")
+        .select(half.as("half"), explode(split(col("text"), " ")).as("tok"))
+      val counts = ex.groupBy(col("tok"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+      val totals = counts.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      counts.crossJoin(totals)
+        .withColumn("drift", abs(col("c0") * col("n1") - col("c1") * col("n0")))
+        .select(col("tok"), col("c0"), col("c1"), col("drift"))
+        .orderBy(col("drift").desc, col("tok"))
+        .limit(20)
     }
   )
 
@@ -490,6 +519,25 @@ object TextAnalysis {
         | FROM ex)
         |SELECT a || ' ' || b AS pair, COUNT(*) AS n
         |FROM p WHERE b IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "t13_shard_drift" ->
+      """WITH ex AS (
+        | SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep1'), 1, 15))::BIGINT
+        |    % 2 AS half,
+        |  unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |counts AS (
+        | SELECT tok,
+        |  CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |  CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        | FROM ex GROUP BY tok),
+        |totals AS (
+        | SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |  CAST(SUM(c1) AS BIGINT) AS n1 FROM counts)
+        |SELECT tok, c0, c1,
+        | CAST(abs(c0 * n1 - c1 * n0) AS BIGINT) AS drift
+        |FROM counts, totals
+        |ORDER BY drift DESC, tok LIMIT 20""".stripMargin
   )
 }

@@ -86,7 +86,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // groupBy; epoch sharding ONE projection + bounded groupBy (no
     // window, no per-doc shuffle); the rolling monitor must aggregate
     // to the (type, day) grain BEFORE its RANGE window.
-    "v12_dim_stats", "d14_epoch_shards", "p11_rolling_anomaly")
+    "v12_dim_stats", "d14_epoch_shards", "p11_rolling_anomaly",
+    // shard drift must keep the broadcast of the 1-row totals aggregate
+    // (a shuffle of token counts against a scalar would show here) and
+    // its TakeOrderedAndProject top-k.
+    "t13_shard_drift")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
