@@ -127,6 +127,49 @@ object Multimodal {
         .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
           md5(col("resized")).as("resized_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    "m05_phash_clusters" -> { (s, dir) =>
+      import s.implicits._
+      // Perceptual-hash NEAR-DUP index over binary payloads — the media
+      // twin of d01/d03: a compact content hash (FAKE pHash: 16 stripe
+      // parities over the bytes; a real pipeline hashes DCT coefficients
+      // here, same shape) groups identical-hash blobs into clusters, and
+      // hamming-1 neighbor links are mined at the CLUSTER grain. Scale
+      // design: the hash space is 16-bit, so the cluster table is
+      // bounded (≤65 536 rows) no matter the corpus size — pair work is
+      // bucket-count-bounded, never per-blob quadratic (the v03 lesson);
+      // per-blob cost is one linear mapPartitions pass (codec init
+      // amortizes per partition), then ONE shuffle on the hash.
+      val ph = blobs(s, dir)
+        .mapPartitions(_.map { b =>  // codec + DCT init would live here
+          val stripes = new Array[Long](16)
+          var i = 0
+          while (i < b.payload.length) {
+            stripes(i % 16) += b.payload(i) & 0xffL; i += 1
+          }
+          var h = 0L; var j = 0
+          while (j < 16) { if (stripes(j) % 2 == 1) h |= 1L << j; j += 1 }
+          (b.doc_id, h)
+        })
+        .toDF("doc_id", "phash")
+      val cl = ph.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("min_doc"))
+      val probes = cl.select(col("phash"), explode(array(
+        (0 until 16).map(k => col("phash").bitwiseXOR(lit(1L << k))): _*))
+        .as("np"))
+      val nbr = probes
+        .join(cl.select(col("phash").as("np"), col("n_members").as("nm")),
+          "np")
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_neighbor_clusters"),
+          sum(col("nm")).as("n_neighbor_docs"))
+      cl.join(nbr, Seq("phash"), "left_outer")
+        .select(col("phash"), col("n_members"), col("min_doc"),
+          coalesce(col("n_neighbor_clusters"), lit(0L))
+            .as("n_neighbor_clusters"),
+          coalesce(col("n_neighbor_docs"), lit(0L)).as("n_neighbor_docs"))
+        .orderBy(col("phash"))
     }
   )
 
@@ -168,6 +211,41 @@ object Multimodal {
         |SELECT doc_id, orig_bytes,
         | CAST(length(rs) AS BIGINT) AS resized_bytes,
         | md5(rs) AS resized_md5
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "m05_phash_clusters" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  list_transform(string_split(text, ''), c -> ascii(c)) AS by
+        | FROM documents),
+        |ex AS (
+        | SELECT doc_id, (generate_subscripts(by, 1) - 1) % 16 AS j,
+        |  unnest(by) AS v
+        | FROM b),
+        |st AS (
+        | SELECT doc_id, j, SUM(v) % 2 AS p FROM ex GROUP BY doc_id, j),
+        |ph AS (
+        | SELECT doc_id,
+        |  CAST(SUM(p * (1::BIGINT << j)) AS BIGINT) AS phash
+        | FROM st GROUP BY doc_id),
+        |cl AS (
+        | SELECT phash, COUNT(*) AS n_members,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        | FROM ph GROUP BY phash),
+        |pr AS (
+        | SELECT phash,
+        |  unnest(list_transform(range(16),
+        |    k -> xor(phash, 1::BIGINT << k))) AS np
+        | FROM cl),
+        |nbr AS (
+        | SELECT pr.phash,
+        |  CAST(COUNT(*) AS BIGINT) AS n_neighbor_clusters,
+        |  CAST(SUM(c2.n_members) AS BIGINT) AS n_neighbor_docs
+        | FROM pr JOIN cl c2 ON pr.np = c2.phash GROUP BY pr.phash)
+        |SELECT cl.phash, cl.n_members, cl.min_doc,
+        | COALESCE(nbr.n_neighbor_clusters, 0) AS n_neighbor_clusters,
+        | COALESCE(nbr.n_neighbor_docs, 0) AS n_neighbor_docs
+        |FROM cl LEFT JOIN nbr ON cl.phash = nbr.phash
+        |ORDER BY cl.phash""".stripMargin
   )
 }

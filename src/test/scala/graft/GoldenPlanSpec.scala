@@ -90,7 +90,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shard drift must keep the broadcast of the 1-row totals aggregate
     // (a shuffle of token counts against a scalar would show here) and
     // its TakeOrderedAndProject top-k.
-    "t13_shard_drift")
+    "t13_shard_drift",
+    // the pHash near-dup index must mine hamming-1 links at the CLUSTER
+    // grain: one shuffle on the hash, then joins among ≤65 536-row
+    // aggregates only (a per-blob probe join would show here).
+    "m05_phash_clusters")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
