@@ -118,6 +118,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // #id normalization misses — they too depend on how many suites ran
       // before this one.
       .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_K")
+      // Typed-API operators (mapPartitions) render the closure's JVM
+      // lambda identity — class counter + hashed class pointer + object
+      // address, all fresh per JVM/run.
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda\\$<id>")
       .replaceAll("plan_id=\\d+", "plan_id=N")
       .replaceAll("Location: [^,\\]]+\\)?\\[[^\\]]*\\]", "Location: <path>")
       .replaceAll("/root/testdata/sf[0-9.]+", "<sfdir>")
