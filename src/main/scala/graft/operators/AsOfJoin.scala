@@ -38,19 +38,41 @@ object AsOfJoin {
               rightCols: Seq[String]): DataFrame =
     asof(left, right, key, ts, rightCols, forwardDir = true)
 
+  /** Backward as-of with a TOLERANCE bound (the pandas `merge_asof
+    * tolerance=` / kdb `wj` semantic): the match is the most recent right
+    * row within `tolerance` of the left timestamp — staler matches are
+    * nulled, the left row is kept. `ts` must be numeric (integer epoch
+    * units). The gap test runs on `ts div truncateTo`-truncated values so
+    * an engine (or sink) that carries coarser timestamps computes the
+    * SAME keep set — truncate FIRST, then diff; diff-then-truncate
+    * rounds differently at the boundary. Plan shape is unchanged from
+    * [[backward]]: the matched right ts rides the same running window as
+    * the carried columns, so tolerance costs zero extra shuffles. */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+                     ts: String, rightCols: Seq[String], tolerance: Long,
+                     truncateTo: Long = 1L): DataFrame =
+    asof(left, right, key, ts, rightCols, forwardDir = false,
+      tolerance = Some((tolerance, truncateTo)))
+
   private def asof(left: DataFrame, right: DataFrame, key: String,
                    ts: String, rightCols: Seq[String],
-                   forwardDir: Boolean): DataFrame = {
+                   forwardDir: Boolean,
+                   tolerance: Option[(Long, Long)] = None): DataFrame = {
     val passthrough = left.columns.toSeq.filterNot(c => c == key || c == ts)
-    val carried = rightCols.map(c => s"asof_$c")
+    // The matched right row's own ts rides along as one more carried
+    // column when a tolerance bound needs it.
+    val carried = rightCols.map(c => s"asof_$c") ++
+      (if (tolerance.isDefined) Seq("__rts") else Nil)
 
     val taggedRight = right.select(
       (col(key) +: col(ts).as("__ts") +: lit(0).as("__src") +:
-        rightCols.map(c => col(c).as(s"asof_$c"))) ++
+        (rightCols.map(c => col(c).as(s"asof_$c")) ++
+          (if (tolerance.isDefined) Seq(col(ts).as("__rts")) else Nil))) ++
         passthrough.map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       (col(key) +: col(ts).as("__ts") +: lit(1).as("__src") +:
-        rightCols.map(c => lit(null).as(s"asof_$c"))) ++
+        (rightCols.map(c => lit(null).as(s"asof_$c")) ++
+          (if (tolerance.isDefined) Seq(lit(null).as("__rts")) else Nil))) ++
         passthrough.map(col): _*)
 
     // Backward: ascending time, right-before-left at equal ts, so last()
@@ -68,7 +90,17 @@ object AsOfJoin {
         (passthrough.map(col) ++
           carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
 
-    matched.filter(col("__src") === 1)
+    val bounded = tolerance match {
+      case None => matched
+      case Some((tol, trunc)) =>
+        val gapOk = col("__rts").isNotNull &&
+          (expr(s"__ts div $trunc") - expr(s"__rts div $trunc")) <= tol
+        rightCols.map(c => s"asof_$c").foldLeft(matched) { (d, c) =>
+          d.withColumn(c, when(gapOk, col(c)))
+        }.drop("__rts")
+    }
+
+    bounded.filter(col("__src") === 1)
       .drop("__src")
       .withColumnRenamed("__ts", ts)
   }

@@ -267,6 +267,30 @@ object Temporal {
             col("tn") * col("dv") > lit(2) * col("tsum"), 1L)
             .otherwise(0L).as("is_spike"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    "p12_asof_tolerance" -> { (s, dir) =>
+      // As-of join with a TOLERANCE bound (pandas merge_asof tolerance= /
+      // kdb wj): each purchase attaches its most recent prior click only
+      // if that click is within 10 minutes — staler matches are nulled,
+      // the purchase row is kept. Same one-shuffle union+window plan as
+      // p01 (the matched ts rides the running window, so the bound costs
+      // nothing); the gap test runs on µs-TRUNCATED values (truncate
+      // first, then diff — the p08 rule) so DuckDB's µs reader computes
+      // the identical keep set.
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"),
+          col("ts").as("click_ts"))
+      AsOfJoin.backwardWithin(purchases, clicks, key = "user_id", ts = "ts",
+          rightCols = Seq("click_ts", "click_value"),
+          tolerance = 600L * 1000 * 1000, truncateTo = 1000L)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("asof_click_ts div 1000").as("asof_click_us"),
+          col("asof_click_value"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -354,6 +378,19 @@ object Temporal {
         | CAST(CASE WHEN tn > 0 AND tn * dv > 2 * tsum
         |   THEN 1 ELSE 0 END AS BIGINT) AS is_spike
         |FROM w ORDER BY event_type, day""".stripMargin,
+
+    "p12_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, l.value,
+        | CASE WHEN r.ts IS NOT NULL
+        |   AND epoch_us(l.ts) - epoch_us(r.ts) <= 600000000
+        |  THEN CAST(epoch_us(r.ts) AS BIGINT) END AS asof_click_us,
+        | CASE WHEN r.ts IS NOT NULL
+        |   AND epoch_us(l.ts) - epoch_us(r.ts) <= 600000000
+        |  THEN r.value END AS asof_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "p06_asof_forward" ->
       """SELECT l.event_id, l.user_id,

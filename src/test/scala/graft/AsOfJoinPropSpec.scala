@@ -120,4 +120,49 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("tolerance-bounded as-of equals brute force incl. truncation rule") {
+    val s = spark
+    import s.implicits._
+    val genRow = for {
+      k <- Gen.choose(0L, 4L)
+      ts <- Gen.choose(0L, 200L)    // wide enough that tolerance bites
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, ts, v)
+    val genCase = for {
+      ls <- Gen.listOfN(40, genRow)
+      rs <- Gen.listOfN(25, genRow)
+      tol <- Gen.choose(0L, 8L)     // tolerance in TRUNCATED (div 10) units
+    } yield (ls, rs, tol)
+
+    val prop = Prop.forAll(genCase) { case (ls0, rs0, tol) =>
+      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val ls = ls0.distinct
+      val left = ls.toDF("k", "ts", "lv")
+      val right = rs.toDF("k", "ts", "rv")
+      val got = AsOfJoin
+        .backwardWithin(left, right, "k", "ts", Seq("rv"),
+          tolerance = tol, truncateTo = 10L)
+        .select(col("k"), col("ts"), col("lv"), col("asof_rv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSet
+      // Reference: the MATCH is still the plain backward as-of (the bound
+      // nulls stale matches, it never promotes an older row), and the
+      // keep test truncates FIRST: ts div 10 - rts div 10 <= tol.
+      val expected = reference(ls, rs).map { case (k, ts, lv, best) =>
+        val keep = best.isDefined && {
+          val rts = rs.filter(r => r._1 == k && r._2 <= ts)
+            .map(_._2).maxOption.get
+          ts / 10 - rts / 10 <= tol
+        }
+        (k, ts, lv, if (keep) best else None)
+      }
+      got == expected
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

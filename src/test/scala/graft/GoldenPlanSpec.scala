@@ -94,7 +94,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the pHash near-dup index must mine hamming-1 links at the CLUSTER
     // grain: one shuffle on the hash, then joins among ≤65 536-row
     // aggregates only (a per-blob probe join would show here).
-    "m05_phash_clusters")
+    "m05_phash_clusters",
+    // the tolerance as-of must keep p01's single union+window shape
+    // (the bound is a post-window projection — a second window pass or a
+    // range join would show here).
+    "p12_asof_tolerance")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
