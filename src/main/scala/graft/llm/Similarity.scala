@@ -561,6 +561,44 @@ object Similarity {
           (col("n") * col("sumsq_q") - col("sum_q") * col("sum_q"))
             .cast("double") / (col("n") * col("n")).cast("double"))
         .orderBy(col("dim"))
+    },
+
+    "v13_per_dim_quant" -> { (s, dir) =>
+      // Per-DIMENSION quantization scales — the fix v12's saturation
+      // report motivates: v05's per-vector scale clips every dimension
+      // whose range is narrower than the vector's loudest one; scaling
+      // each dim by ITS OWN corpus max removes that. Graded by the
+      // before/after saturation counts per dim (exact integers; "after"
+      // saturates only at the per-dim extremes by construction).
+      // Scale design: the per-dim max is a 64-row aggregate (one shuffle
+      // of partial maxes — float max is order-independent, so it is
+      // gate-deterministic, unlike a float SUM) broadcast back to a
+      // pure per-row re-quantization projection; nothing corpus-sized
+      // moves. The same two-pass shape (tiny stats pass → projection)
+      // is how a real pipeline calibrates any per-feature codec.
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      val ex = Tables.load(s, dir, "embeddings")
+        .select(posexplode(ed).as(Seq("dim", "x")))
+      val dimMax = ex.groupBy(col("dim").cast("long").as("dim"))
+        .agg(max(abs(col("x"))).as("dim_max"))
+      val perVec = quantizeInt8(s, dir)
+        .select(posexplode(col("q8")).as(Seq("dim", "q")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(sum(when(abs(col("q")) === 127L, 1L).otherwise(0L))
+          .as("n_sat_vec"))
+      val perDim = ex
+        .join(broadcast(dimMax), ex("dim").cast("long") === dimMax("dim"))
+        .select(dimMax("dim").as("dim"),
+          when(col("dim_max") === 0.0, lit(0L))
+            .otherwise(round(col("x") / col("dim_max") * 127.0)
+              .cast("long")).as("qd"))
+        .groupBy(col("dim"))
+        .agg(sum(when(abs(col("qd")) === 127L, 1L).otherwise(0L))
+          .as("n_sat_dim"))
+      dimMax.join(perVec, "dim").join(perDim, "dim")
+        .select(col("dim"), col("dim_max"), col("n_sat_vec"),
+          col("n_sat_dim"))
+        .orderBy(col("dim"))
     }
   )
 
@@ -1107,7 +1145,36 @@ object Similarity {
         | CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_q,
         | CAST(COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv) AS DOUBLE)
         |   / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS var_q
-        |FROM ex GROUP BY dim ORDER BY dim""".stripMargin
+        |FROM ex GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "v13_per_dim_quant" ->
+      """WITH m AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x))) AS max_abs
+        | FROM embeddings),
+        |ex AS (
+        | SELECT vec_id,
+        |  CAST(generate_subscripts(ed, 1) - 1 AS BIGINT) AS dim,
+        |  unnest(ed) AS x, max_abs
+        | FROM m),
+        |dm AS (
+        | SELECT dim, MAX(abs(x)) AS dim_max FROM ex GROUP BY dim),
+        |vec AS (
+        | SELECT dim,
+        |  CAST(SUM(CASE WHEN abs(CAST(round(
+        |      x * (CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END)
+        |    ) AS BIGINT)) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat_vec
+        | FROM ex GROUP BY dim),
+        |pd AS (
+        | SELECT ex.dim,
+        |  CAST(SUM(CASE WHEN abs(CASE WHEN dm.dim_max = 0 THEN 0
+        |    ELSE CAST(round(x / dm.dim_max * 127.0) AS BIGINT) END) = 127
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sat_dim
+        | FROM ex JOIN dm ON ex.dim = dm.dim GROUP BY ex.dim)
+        |SELECT dm.dim, dm.dim_max, vec.n_sat_vec, pd.n_sat_dim
+        |FROM dm JOIN vec ON dm.dim = vec.dim JOIN pd ON dm.dim = pd.dim
+        |ORDER BY dm.dim""".stripMargin
   )
 
   /** Exact integer squared L2 over a PqSub-dim DuckDB list pair. */

@@ -98,7 +98,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the tolerance as-of must keep p01's single union+window shape
     // (the bound is a post-window projection — a second window pass or a
     // range join would show here).
-    "p12_asof_tolerance")
+    "p12_asof_tolerance",
+    // per-dim quantization must keep its 64-row stats broadcast (the
+    // corpus never shuffles against the calibration table).
+    "v13_per_dim_quant")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
