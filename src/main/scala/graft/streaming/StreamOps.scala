@@ -198,4 +198,78 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Valued event for the rolling monitor (cents keeps sums exact). */
+  case class VEv(event_type: String, ts: java.sql.Timestamp, cents: Long)
+  /** A day's final aggregate (public for the state encoder). */
+  case class DayAgg(day: Long, n: Long, cents: Long)
+  case class DayState(days: Seq[DayAgg], maxEmitted: Long)
+  case class AnomalyRow(event_type: String, day: Long, n_events: Long,
+                        day_cents: Long, trail_cents: Long, trail_n: Long,
+                        is_spike: Boolean)
+
+  /** Rolling-baseline anomaly stream — the incremental twin of the batch
+    * p11 monitor: per event type, daily totals accumulate in state; when
+    * the WATERMARK closes a day, that day is emitted with its
+    * trailing-7-day baseline and the exact cross-multiplied spike test
+    * (tn·day > 2·trail_sum — integer cents, no float decides a row).
+    *
+    * Closure order makes the baseline final-by-construction: the
+    * watermark passes day d only after passing every earlier day, so all
+    * trailing days are fully merged before d emits. State per type is
+    * the open days plus a 7-day closed horizon — O(|types|·8) rows
+    * total, no growth with stream length. Events later than the
+    * watermark (or older than an already-emitted day) are dropped, the
+    * standard streaming-vs-batch caveat shared by the dedup twins. */
+  def rollingAnomalyStream(events: Dataset[VEv],
+                           watermark: String = "1 day")
+      : Dataset[AnomalyRow] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+
+    def update(typ: String, evs: Iterator[VEv],
+               state: GroupState[DayState]): Iterator[AnomalyRow] = {
+      val st = state.getOption.getOrElse(DayState(Seq.empty, Long.MinValue))
+      val merged = scala.collection.mutable.Map[Long, (Long, Long)](
+        st.days.map(d => d.day -> (d.n, d.cents)): _*)
+      evs.foreach { e =>
+        val d = Math.floorDiv(e.ts.getTime, dayMs)
+        if (d > st.maxEmitted) { // older-than-emitted stragglers: dropped
+          val (n, c) = merged.getOrElse(d, (0L, 0L))
+          merged(d) = (n + 1, c + e.cents)
+        }
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val closed = merged.keys
+        .filter(d => d > st.maxEmitted && (d + 1) * dayMs <= wm)
+        .toSeq.sorted
+      val out = Seq.newBuilder[AnomalyRow]
+      var maxEmitted = st.maxEmitted
+      closed.foreach { d =>
+        val (n, c) = merged(d)
+        val trail = merged.collect {
+          case (k, (_, kc)) if k >= d - 7 && k <= d - 1 => kc
+        }.toSeq
+        val tn = trail.size.toLong
+        val tc = trail.sum
+        out += AnomalyRow(typ, d, n, c, tc, tn, tn > 0 && tn * c > 2 * tc)
+        maxEmitted = d
+      }
+      // Keep the trailing horizon future closures still read. (The
+      // no-emissions sentinel must not enter the subtraction: MinValue-6
+      // wraps POSITIVE and would prune the whole state.)
+      val floor =
+        if (maxEmitted == Long.MinValue) Long.MinValue else maxEmitted - 6
+      val keep = merged.collect {
+        case (k, (n, c)) if k >= floor => DayAgg(k, n, c)
+      }.toSeq
+      state.update(DayState(keep, maxEmitted))
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

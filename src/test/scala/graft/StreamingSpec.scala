@@ -324,4 +324,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == batch, s"stream $got != batch $batch")
     } finally q.stop()
   }
+
+  test("rolling anomaly stream emits closed days; matches batch p11 twin") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.VEv
+    def dts(day: Long, minute: Long): Timestamp =
+      new Timestamp(day * 86400000L + minute * 60000L)
+    // Two types over 10 days; type "a" has a 5x spike on day 8 (quiet
+    // trailing window), type "b" stays flat. Mid-day stragglers land in
+    // the second micro-batch to exercise cross-batch day accumulation.
+    val real = Seq(
+      VEv("a", dts(1, 10), 100), VEv("a", dts(2, 10), 120),
+      VEv("a", dts(3, 10), 90), VEv("a", dts(4, 10), 110),
+      VEv("a", dts(5, 10), 100), VEv("a", dts(6, 10), 95),
+      VEv("a", dts(7, 10), 105), VEv("a", dts(8, 10), 2000),
+      VEv("a", dts(9, 10), 100),
+      VEv("b", dts(1, 30), 50), VEv("b", dts(3, 30), 55),
+      VEv("b", dts(5, 30), 60), VEv("b", dts(8, 30), 52))
+    val stragglers = Seq(
+      VEv("a", dts(8, 40), 500), VEv("b", dts(8, 50), 5))
+    // Far-future ticks advance the watermark past every real day, then a
+    // second round triggers the per-key update that emits them (the
+    // watermark a batch sees is the one from the END of the previous
+    // batch).
+    val flush1 = Seq(VEv("a", dts(100, 0), 0), VEv("b", dts(100, 0), 0))
+    val flush2 = Seq(VEv("a", dts(101, 0), 0), VEv("b", dts(101, 0), 0))
+
+    val input = MemoryStream[VEv]
+    val q = StreamOps.rollingAnomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anomaly")
+      .outputMode("append").start()
+    try {
+      input.addData(real: _*); q.processAllAvailable()
+      input.addData(stragglers: _*); q.processAllAvailable()
+      input.addData(flush1: _*); q.processAllAvailable()
+      input.addData(flush2: _*); q.processAllAvailable()
+      val got = spark.table("anomaly")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+      // Batch twin: p11's plan over the same (non-flush) rows in cents.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-7, -1)
+      val exp = (real ++ stragglers).toDF()
+        .withColumn("day", expr("CAST(ts AS LONG) div 86400"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("dc"))
+        .withColumn("tc", coalesce(sum(col("dc")).over(w), lit(0L)))
+        .withColumn("tn", count(col("dc")).over(w))
+        .select(col("event_type"), col("day"), col("n_events"), col("dc"),
+          col("tc"), col("tn"),
+          (col("tn") > 0 && col("tn") * col("dc") > lit(2) * col("tc"))
+            .as("is_spike"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+      assert(got == exp, s"stream $got != batch $exp")
+      // And the spike day is actually flagged.
+      assert(got.exists(r => r._1 == "a" && r._2 == 8 && r._7),
+        "day-8 spike not flagged")
+    } finally q.stop()
+  }
 }
