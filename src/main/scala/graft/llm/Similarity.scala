@@ -599,6 +599,26 @@ object Similarity {
         .select(col("dim"), col("dim_max"), col("n_sat_vec"),
           col("n_sat_dim"))
         .orderBy(col("dim"))
+    },
+
+    "v14_embed_dup_clusters" -> { (s, dir) =>
+      // Duplicate CLUSTERING over the banded embedding near-dup pairs —
+      // the embedding-side twin of d06, and the step SemDeDup-style
+      // pipelines run before choosing survivors: connected components
+      // over v03's verified pairs, cluster id = min vec_id in the
+      // component. Reuses operators/ConnectedComponents (min-label
+      // propagation with pointer jumping, O(log diameter) rounds,
+      // checkpoint-barriered lineage); labels stay distributed — only
+      // the convergence scalar reaches the driver per round. Same
+      // fixpoint as the DuckDB recursive-CTE oracle.
+      val pairs = graft.operators.ConnectedComponents.barrier(
+        neardupPairs(s, dir).select(col("va"), col("vb")))
+      val edges = pairs
+        .unionByName(pairs.select(col("vb").as("va"), col("va").as("vb")))
+        .toDF("src", "dst")
+      val (lab, _) = graft.operators.ConnectedComponents.run(edges)
+      lab.select(col("id").as("vec_id"), col("lbl").as("cluster"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -1174,7 +1194,21 @@ object Similarity {
         | FROM ex JOIN dm ON ex.dim = dm.dim GROUP BY ex.dim)
         |SELECT dm.dim, dm.dim_max, vec.n_sat_vec, pd.n_sat_dim
         |FROM dm JOIN vec ON dm.dim = vec.dim JOIN pd ON dm.dim = pd.dim
-        |ORDER BY dm.dim""".stripMargin
+        |ORDER BY dm.dim""".stripMargin,
+
+    "v14_embed_dup_clusters" ->
+      s"""WITH RECURSIVE $duckBandedPairCtes,
+         |edges AS (
+         | SELECT va AS a, vb AS b FROM neardup
+         | UNION SELECT vb, va FROM neardup
+         | UNION SELECT va, va FROM neardup
+         | UNION SELECT vb, vb FROM neardup),
+         |reach AS (
+         | SELECT a, b FROM edges
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS vec_id, CAST(MIN(b) AS BIGINT) AS cluster
+         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
   )
 
   /** Exact integer squared L2 over a PqSub-dim DuckDB list pair. */

@@ -101,7 +101,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p12_asof_tolerance",
     // per-dim quantization must keep its 64-row stats broadcast (the
     // corpus never shuffles against the calibration table).
-    "v13_per_dim_quant")
+    "v13_per_dim_quant",
+    // the embedding cluster twin must keep d06's shape: labels come off
+    // a checkpoint scan (lineage cut), never a rebuilt iteration chain.
+    "v14_embed_dup_clusters")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
