@@ -532,6 +532,65 @@ object Dedup {
         .orderBy(col("source"))
     },
 
+    "d15_banding_sweep" -> { (s, dir) =>
+      // BANDING-PARAMETER sweep — the text-side analogue of v07's ANN
+      // recall harness: with k=4 MinHash values, compare the three
+      // (bands b × rows r) configs b4r1 / b2r2 / b1r4 on candidate
+      // volume, verified-pair yield (true Jaccard ≥ 0.7), precision,
+      // and recall vs the most sensitive config (b4r1 — candidate sets
+      // nest: r=4 ⊆ r=2 ⊆ r=1, so its verified set is the reference).
+      // How one picks the S-curve operating point BEFORE paying for a
+      // corpus-scale run. Every leg is the scale-correct equality join
+      // on (band, key) — r>1 keys are concatenated values, never an
+      // OR-join (which would nested-loop) — and the final report is
+      // three rows of exact integers plus two single divisions.
+      val sig = lshSigDf(s, dir)
+      val tsets = sig.select(col("doc_id"), col("tset"))
+      def leg(r: Int): DataFrame = {
+        val b = 4 / r
+        val bands = (0 until b).map { j =>
+          struct(lit(j).as("band"),
+            concat_ws(":",
+              (0 until r).map(i => col("sig").getItem(j * r + i)): _*)
+              .as("bkey"))
+        }
+        val k = sig.withColumn("__bb", explode(array(bands: _*)))
+          .select(col("doc_id"), col("source"),
+            col("__bb.band").as("band"), col("__bb.bkey").as("bkey"))
+        val a = k.select(col("doc_id").as("da"), col("source"),
+          col("band"), col("bkey"))
+        val bb = k.select(col("doc_id").as("db"), col("source").as("sb"),
+          col("band").as("bandb"), col("bkey").as("bkeyb"))
+        val cand = a.join(bb, col("source") === col("sb") &&
+            col("band") === col("bandb") && col("bkey") === col("bkeyb") &&
+            col("da") < col("db"))
+          .select(col("da"), col("db")).distinct()
+        cand
+          .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
+            "da")
+          .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
+            "db")
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("jac", col("inter").cast("double") /
+            ((size(col("ta")) + size(col("tb"))).cast("long")
+              - col("inter")))
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_true"))
+          .select(lit(s"b${b}r$r").as("config"),
+            lit(b.toLong).as("n_bands"), lit(r.toLong).as("n_rows"),
+            col("n_cand"), col("n_true"))
+      }
+      val legs = leg(1).unionByName(leg(2)).unionByName(leg(4))
+      val ref = leg(1).select(col("n_true").as("ref_true"))
+      legs.crossJoin(ref)
+        .select(col("config"), col("n_bands"), col("n_rows"),
+          col("n_cand"), col("n_true"),
+          (col("n_true").cast("double") / col("n_cand")).as("precision"),
+          (col("n_true").cast("double") / col("ref_true")).as("recall"))
+        .orderBy(col("config"))
+    },
+
     "d14_epoch_shards" -> { (s, dir) =>
       // Deterministic EPOCH SHUFFLE — how a training run re-orders a
       // 100 TB corpus per epoch without ever materializing a global
@@ -727,6 +786,45 @@ object Dedup {
           | CAST(SUM(CASE WHEN cum_before < 40000 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
           | CAST(SUM(n_toks) AS BIGINT) AS tokens_pool
           |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+      "d15_banding_sweep" -> {
+        val jac = "CAST(len(list_intersect(ta, tb)) AS DOUBLE) / " +
+          "(len(ta) + len(tb) - len(list_intersect(ta, tb)))"
+        def pair(name: String, cond: String): String =
+          s"""$name AS (
+             | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             |  a.tset AS ta, b.tset AS tb
+             | FROM sig a JOIN sig b
+             |  ON a.source = b.source AND a.doc_id < b.doc_id AND ($cond)),
+             |s$name AS (
+             | SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+             |  CAST(SUM(CASE WHEN $jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_true
+             | FROM $name)""".stripMargin
+        val sigCte =
+          s"""sig AS (
+             | SELECT doc_id, source,
+             |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
+             |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
+             | FROM documents)""".stripMargin
+        s"""WITH $sigCte,
+           |${pair("p1", (1 to 4).map(i => s"a.sig[$i] = b.sig[$i]").mkString(" OR "))},
+           |${pair("p2", "(a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) " +
+              "OR (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4])")},
+           |${pair("p4", (1 to 4).map(i => s"a.sig[$i] = b.sig[$i]").mkString(" AND "))}
+           |SELECT config, n_bands, n_rows, n_cand, n_true,
+           | CAST(n_true AS DOUBLE) / n_cand AS precision,
+           | CAST(n_true AS DOUBLE) / ref_true AS recall
+           |FROM (
+           | SELECT 'b4r1' AS config, CAST(4 AS BIGINT) AS n_bands,
+           |  CAST(1 AS BIGINT) AS n_rows, n_cand, n_true FROM sp1
+           | UNION ALL
+           | SELECT 'b2r2', 2, 2, n_cand, n_true FROM sp2
+           | UNION ALL
+           | SELECT 'b1r4', 1, 4, n_cand, n_true FROM sp4),
+           | (SELECT n_true AS ref_true FROM sp1)
+           |ORDER BY config""".stripMargin
+      },
 
       "d14_epoch_shards" ->
         """WITH h AS (

@@ -104,7 +104,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v13_per_dim_quant",
     // the embedding cluster twin must keep d06's shape: labels come off
     // a checkpoint scan (lineage cut), never a rebuilt iteration chain.
-    "v14_embed_dup_clusters")
+    "v14_embed_dup_clusters",
+    // every sweep leg must stay an equality join on concatenated band
+    // keys (an OR-join would nested-loop the corpus against itself).
+    "d15_banding_sweep")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
