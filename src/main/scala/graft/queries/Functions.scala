@@ -209,6 +209,29 @@ object Functions {
           bit_count(col("l_orderkey")).cast("long").as("popcnt"))
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"))
+    },
+
+    "f13_try_safe" -> { (s, dir) =>
+      // Error-safe scalar evaluation — the try_* surface (ANSI-mode
+      // NULL-on-error variants): divide-by-zero, casts of non-numeric
+      // strings, and out-of-bounds list access all yield NULL instead of
+      // failing the job. DuckDB mirrors with NULLIF-guarded division,
+      // TRY_CAST, and its natively NULL-on-OOB list indexing. Every
+      // expression is a single per-row op (one IEEE division at most) —
+      // deterministic bits on both engines, pure codegen projection.
+      Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_quantity, l_linenumber - 1)").as("safe_div"),
+          expr("try_divide(l_quantity, CAST(NULL AS DOUBLE))")
+            .as("null_div"),
+          expr("try_cast(l_returnflag AS BIGINT)").as("bad_int"),
+          expr("try_cast(CAST(l_partkey AS STRING) AS BIGINT)")
+            .as("good_int"),
+          expr("try_element_at(split(concat(l_returnflag, ' ', " +
+            "l_linestatus), ' '), 5)").as("oob"),
+          expr("try_element_at(split(concat(l_returnflag, ' ', " +
+            "l_linestatus), ' '), 1)").as("first_tok"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 
@@ -339,6 +362,17 @@ object Functions {
         | l_orderkey >> 2 AS shr,
         | CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt
         |FROM lineitem WHERE l_orderkey < 500
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "f13_try_safe" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_quantity / NULLIF(l_linenumber - 1, 0) AS safe_div,
+        | l_quantity / CAST(NULL AS DOUBLE) AS null_div,
+        | TRY_CAST(l_returnflag AS BIGINT) AS bad_int,
+        | TRY_CAST(CAST(l_partkey AS VARCHAR) AS BIGINT) AS good_int,
+        | string_split(l_returnflag || ' ' || l_linestatus, ' ')[5] AS oob,
+        | string_split(l_returnflag || ' ' || l_linestatus, ' ')[1] AS first_tok
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }
