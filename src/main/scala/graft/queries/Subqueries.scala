@@ -215,6 +215,20 @@ object Subqueries {
       // LATERAL way. Identical text runs on DuckDB.
       view(s, dir, "customer"); view(s, dir, "orders")
       s.sql(sqlLateral)
+    },
+
+    "j14_correlated_scalar" -> { (s, dir) =>
+      // CORRELATED scalar subqueries (the TPC-DS q1 shape: rows above
+      // their own group's average — ≙ `benchmarks/queries/` decorrelation
+      // coverage): customers whose returned revenue exceeds 1.2× their
+      // nation's average. Catalyst decorrelates both correlated
+      // aggregates into one grouped join — no per-row re-execution. The
+      // comparison cross-multiplies in exact DECIMAL/integer arithmetic
+      // (10·ret·cnt > 12·sum ⇔ ret > 1.2·avg) so no float average
+      // decides a row. Identical text runs on DuckDB.
+      view(s, dir, "customer"); view(s, dir, "orders")
+      view(s, dir, "lineitem")
+      s.sql(sqlCorrelatedScalar)
     }
   )
 
@@ -227,6 +241,23 @@ object Subqueries {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |WHERE c_custkey < 200
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  private val sqlCorrelatedScalar =
+    """WITH percust AS (
+      | SELECT c_custkey, c_nationkey,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS ret
+      | FROM customer
+      |  JOIN orders ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      | WHERE l_returnflag = 'R'
+      | GROUP BY c_custkey, c_nationkey)
+      |SELECT c_custkey, c_nationkey, CAST(ret AS DOUBLE) AS returned
+      |FROM percust p1
+      |WHERE 10 * ret * (SELECT COUNT(*) FROM percust p2
+      |                  WHERE p2.c_nationkey = p1.c_nationkey)
+      |    > 12 * (SELECT SUM(ret) FROM percust p2
+      |            WHERE p2.c_nationkey = p1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "j01_exists_q4" ->
@@ -333,6 +364,7 @@ object Subqueries {
         |                             / COUNT(*) FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-    "j13_lateral_topn" -> sqlLateral
+    "j13_lateral_topn" -> sqlLateral,
+    "j14_correlated_scalar" -> sqlCorrelatedScalar
   )
 }

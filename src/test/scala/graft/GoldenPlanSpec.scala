@@ -107,7 +107,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v14_embed_dup_clusters",
     // every sweep leg must stay an equality join on concatenated band
     // keys (an OR-join would nested-loop the corpus against itself).
-    "d15_banding_sweep")
+    "d15_banding_sweep",
+    // both correlated scalar aggregates must decorrelate into grouped
+    // joins (per-row re-execution would appear as a nested subquery).
+    "j14_correlated_scalar")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
