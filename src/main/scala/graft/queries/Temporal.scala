@@ -291,6 +291,36 @@ object Temporal {
           expr("asof_click_ts div 1000").as("asof_click_us"),
           col("asof_click_value"))
         .orderBy(col("event_id"))
+    },
+
+    "p13_twap" -> { (s, dir) =>
+      // TIME-WEIGHTED average value per user — the TWAP shape (each
+      // observation weighted by how long it was the latest one, i.e.
+      // the gap to the next event): Σ(value·gap) / Σ(gap). Values go
+      // through exact cents, gaps are exact integer µs, and each
+      // cents·gap product (≤ ~10¹⁶) sums in DECIMAL(38,0) — immune to
+      // int64 overflow at any event count, order-independent, identical
+      // in both engines; the single closing division is the only double
+      // op. One shuffle on user_id for the lead() window, then a
+      // per-user aggregate on the same key (the exchange is reused).
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("gap_us", col("next_us") - col("ts_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("gap_us")).as("total_gap_us"),
+          sum((col("cents") * col("gap_us"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("wsum"))
+        .select(col("user_id"), col("n_intervals"), col("total_gap_us"),
+          (col("wsum").cast("double") / col("total_gap_us") / 100.0)
+            .as("twap"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -391,6 +421,22 @@ object Temporal {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "p13_twap" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |  epoch_us(ts) AS ts_us,
+        |  lead(epoch_us(ts)) OVER w AS next_us
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        | CAST(SUM(next_us - ts_us) AS BIGINT) AS total_gap_us,
+        | CAST(SUM(CAST(cents * (next_us - ts_us) AS DECIMAL(38,0)))
+        |     AS DOUBLE)
+        |   / CAST(SUM(next_us - ts_us) AS BIGINT) / 100.0 AS twap
+        |FROM g WHERE next_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "p06_asof_forward" ->
       """SELECT l.event_id, l.user_id,

@@ -110,7 +110,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d15_banding_sweep",
     // both correlated scalar aggregates must decorrelate into grouped
     // joins (per-row re-execution would appear as a nested subquery).
-    "j14_correlated_scalar")
+    "j14_correlated_scalar",
+    // TWAP must reuse the user_id exchange between its lead() window
+    // and the per-user aggregate (one shuffle, not two).
+    "p13_twap")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
