@@ -90,8 +90,11 @@ class ConfigLegsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // aggregate/join key and the window/sort exchanges across a
     // representative slice (the same order-stable flagship set the other
     // legs use).
+    // v03 covers the round-6 banded+capped LSH miner: its bucket-size
+    // guard counts per (band, key) and must be fan-out-invariant.
     val slice = Seq("q1_agg", "q5_join6", "q18_large_orders",
-      "w10_topn_per_group", "a11_rollup", "d03_minhash_lsh_pairs")
+      "w10_topn_per_group", "a11_rollup", "d03_minhash_lsh_pairs",
+      "v03_neardup_embed")
     slice.foreach { name =>
       val baseline = runOnce(name)
       assert(baseline.nonEmpty, s"$name returned no rows")
