@@ -330,6 +330,30 @@ object TextAnalysis {
         .select(col("tok"), col("c0"), col("c1"), col("drift"))
         .orderBy(col("drift").desc, col("tok"))
         .limit(20)
+    },
+
+    "t15_zipf_profile" -> { (s, dir) =>
+      // Rank-frequency (Zipf) PROFILE of the corpus vocabulary — the
+      // sanity plot every tokenizer/corpus report starts with: top-50
+      // tokens with rank, count, and the rank·count Zipf invariant
+      // (exact integers; roughly constant under Zipf's law, so a broken
+      // tokenizer or a TEMPLATED corpus shows up as a cliff). Scale
+      // design: the GLOBAL rank is assigned only AFTER the top-50 cut —
+      // the cut itself is TakeOrderedAndProject (50 rows per partition
+      // cross the exchange), so no full-vocabulary single-partition
+      // window ever exists; the row_number then runs over 50 rows.
+      val counts = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))
+      counts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("tok"), col("n"),
+          (col("rank") * col("n")).as("zipf_rn"))
+        .orderBy(col("rank"))
     }
   )
 
@@ -538,6 +562,19 @@ object TextAnalysis {
         |SELECT tok, c0, c1,
         | CAST(abs(c0 * n1 - c1 * n0) AS BIGINT) AS drift
         |FROM counts, totals
-        |ORDER BY drift DESC, tok LIMIT 20""".stripMargin
+        |ORDER BY drift DESC, tok LIMIT 20""".stripMargin,
+
+    "t15_zipf_profile" ->
+      """WITH counts AS (
+        | SELECT tok, COUNT(*) AS n
+        | FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY tok ORDER BY n DESC, tok LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+        |   AS rank,
+        | tok, n,
+        | CAST(row_number() OVER (ORDER BY n DESC, tok) * n AS BIGINT)
+        |   AS zipf_rn
+        |FROM counts ORDER BY rank""".stripMargin
   )
 }

@@ -113,7 +113,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "j14_correlated_scalar",
     // TWAP must reuse the user_id exchange between its lead() window
     // and the per-user aggregate (one shuffle, not two).
-    "p13_twap")
+    "p13_twap",
+    // the Zipf profile must cut to top-50 via TakeOrderedAndProject
+    // BEFORE its rank window (a full-vocabulary global window would
+    // show as a single-partition sort of the whole count table).
+    "t15_zipf_profile")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
