@@ -321,6 +321,34 @@ object Temporal {
           (col("wsum").cast("double") / col("total_gap_us") / 100.0)
             .as("twap"))
         .orderBy(col("user_id"))
+    },
+
+    "p14_daily_bars" -> { (s, dir) =>
+      // OHLC daily BARS per user — open/high/low/close of the event
+      // value stream: open and close are the first/last value by the
+      // (ts, event_id) total order, carried by MIN/MAX over a
+      // (ts, event_id, cents) STRUCT (lexicographic struct ordering is
+      // identical in both engines — the d10 arg-min trick), so the whole
+      // bar is ONE partial-aggregated groupBy: no window, no second
+      // shuffle, first/last/high/low all ride the same map-side combine.
+      // The textbook at-scale shape for per-key-per-bucket summaries.
+      val dayUs = 86400L * 1000 * 1000
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+        .withColumn("day", expr(s"ts_us div $dayUs"))
+        .withColumn("key",
+          struct(col("ts_us"), col("event_id"), col("cents")))
+      ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          (min(col("key")).getField("cents").cast("double") / 100)
+            .as("open"),
+          (max(col("cents")).cast("double") / 100).as("high"),
+          (min(col("cents")).cast("double") / 100).as("low"),
+          (max(col("key")).getField("cents").cast("double") / 100)
+            .as("close"))
+        .filter(col("user_id") < 50)
+        .orderBy(col("user_id"), col("day"))
     }
   )
 
@@ -437,6 +465,22 @@ object Temporal {
         |   / CAST(SUM(next_us - ts_us) AS BIGINT) / 100.0 AS twap
         |FROM g WHERE next_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "p14_daily_bars" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |  {'ts_us': epoch_us(ts), 'event_id': event_id,
+        |   'cents': CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)}
+        |    AS key,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        | FROM events)
+        |SELECT user_id, day, COUNT(*) AS n_events,
+        | CAST((MIN(key)).cents AS DOUBLE) / 100 AS open,
+        | CAST(MAX(cents) AS DOUBLE) / 100 AS high,
+        | CAST(MIN(cents) AS DOUBLE) / 100 AS low,
+        | CAST((MAX(key)).cents AS DOUBLE) / 100 AS close
+        |FROM e WHERE user_id < 50
+        |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
 
     "p06_asof_forward" ->
       """SELECT l.event_id, l.user_id,

@@ -117,7 +117,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the Zipf profile must cut to top-50 via TakeOrderedAndProject
     // BEFORE its rank window (a full-vocabulary global window would
     // show as a single-partition sort of the whole count table).
-    "t15_zipf_profile")
+    "t15_zipf_profile",
+    // OHLC bars must stay ONE partial-aggregated groupBy — open/close
+    // ride struct MIN/MAX, so any Window or second Exchange is a
+    // regression.
+    "p14_daily_bars")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
