@@ -170,6 +170,47 @@ object Multimodal {
             .as("n_neighbor_clusters"),
           coalesce(col("n_neighbor_docs"), lit(0L)).as("n_neighbor_docs"))
         .orderBy(col("phash"))
+    },
+
+    "m06_shard_manifest" -> { (s, dir) =>
+      // SHARD MANIFEST packing — how a multimodal corpus becomes
+      // fixed-size training shards (WebDataset-style tars): blobs line
+      // up in deterministic content-hash order, a running byte total
+      // assigns shard_id = bytes_before div target, and the manifest
+      // reports each shard's blob count, payload bytes, and id range.
+      // The prefix sum uses d13's two-grain trick — bucket by the first
+      // hash byte (order-compatible with the (h, doc_id) ranking),
+      // cumulate bucket totals in a bounded 256-row window, and give
+      // each blob only its within-bucket running sum — so no global
+      // single-partition window exists at any corpus size. The write
+      // side is then a partitionBy(shard_id) sink.
+      val target = 65536L // shard payload target, bytes
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+          length(col("text")).cast("long").as("n_bytes"))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val wCut = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket")).rowsBetween(Long.MinValue, -1)
+      val cuts = base.groupBy(col("bucket"))
+        .agg(sum(col("n_bytes")).as("bucket_bytes"))
+        .withColumn("cum_bucket_before",
+          coalesce(sum(col("bucket_bytes")).over(wCut), lit(0L)))
+        .select(col("bucket"), col("cum_bucket_before"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Long.MinValue, -1)
+      base
+        .withColumn("cum_in_bucket",
+          coalesce(sum(col("n_bytes")).over(wIn), lit(0L)))
+        .join(cuts, "bucket")
+        .withColumn("shard_id",
+          expr(s"(cum_bucket_before + cum_in_bucket) div $target"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(col("n_bytes")).as("shard_bytes"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard_id"))
     }
   )
 
@@ -246,6 +287,24 @@ object Multimodal {
         | COALESCE(nbr.n_neighbor_clusters, 0) AS n_neighbor_clusters,
         | COALESCE(nbr.n_neighbor_docs, 0) AS n_neighbor_docs
         |FROM cl LEFT JOIN nbr ON cl.phash = nbr.phash
-        |ORDER BY cl.phash""".stripMargin
+        |ORDER BY cl.phash""".stripMargin,
+
+    "m06_shard_manifest" ->
+      """WITH b AS (
+        | SELECT doc_id, md5(text) AS h,
+        |  CAST(length(text) AS BIGINT) AS n_bytes
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_bytes,
+        |  COALESCE(SUM(n_bytes) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before
+        | FROM b)
+        |SELECT CAST(cum_before AS BIGINT) // 65536 AS shard_id,
+        | COUNT(*) AS n_blobs,
+        | CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        | CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        | CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
   )
 }

@@ -121,7 +121,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // OHLC bars must stay ONE partial-aggregated groupBy — open/close
     // ride struct MIN/MAX, so any Window or second Exchange is a
     // regression.
-    "p14_daily_bars")
+    "p14_daily_bars",
+    // shard packing must keep the two-grain prefix (per-bucket windows
+    // + bounded 256-row cut) — a single global running-sum window over
+    // the corpus would show as one unpartitioned Window.
+    "m06_shard_manifest")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
