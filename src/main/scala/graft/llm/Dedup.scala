@@ -532,6 +532,42 @@ object Dedup {
         .orderBy(col("source"))
     },
 
+    "d16_signal_compare" -> { (s, dir) =>
+      // Multi-SIGNAL dedup QA — before trusting one miner at corpus
+      // scale, score every verified near-dup pair with all three
+      // similarity families side by side: token-set Jaccard (the d03
+      // verification), 3-gram shingle Jaccard (d04's signal), and
+      // 16-bit SimHash hamming distance (d05's). Disagreements (high
+      // token Jaccard, high hamming) are exactly the pairs a threshold
+      // migration would misclassify. One chain: the d03 pairs re-attach
+      // per-doc shingle sets and codegen'd row-wise SimHash by equi-join
+      // on doc_id (row-linear; the pair table is already mined and
+      // bounded). All outputs exact ints or single-division ratios.
+      val pairs = queries("d03_minhash_lsh_pairs")(s, dir)
+      val docs = docsWithTokens(s, dir)
+      val sigs = docs.select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => tokHash(array_join(slice(col("toks"), i + 1, lit(3)), " "))))
+          .as("shs"),
+        simhashExpr(col("text")).as("sh16"))
+      val a = sigs.select(col("doc_id").as("da"), col("shs").as("sa"),
+        col("sh16").as("ha"))
+      val b = sigs.select(col("doc_id").as("db"), col("shs").as("sb"),
+        col("sh16").as("hb"))
+      pairs.join(a, "da").join(b, "db")
+        .withColumn("sh_inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("sh_jac", col("sh_inter").cast("double") /
+          ((size(col("sa")) + size(col("sb"))).cast("long")
+            - col("sh_inter")))
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .select(col("da"), col("db"), col("jac"), col("sh_jac"),
+          col("hamming"))
+        .orderBy(col("da"), col("db"))
+    },
+
     "d15_banding_sweep" -> { (s, dir) =>
       // BANDING-PARAMETER sweep — the text-side analogue of v07's ANN
       // recall harness: with k=4 MinHash values, compare the three
@@ -786,6 +822,47 @@ object Dedup {
           | CAST(SUM(CASE WHEN cum_before < 40000 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
           | CAST(SUM(n_toks) AS BIGINT) AS tokens_pool
           |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+      "d16_signal_compare" -> {
+        val shHash = tokHashSqlDuck.format(
+          "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")
+        val bitSums16 = (0 until 16).map(j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(",\n  ")
+        val bitVal16 = (0 until 16).map(j =>
+          s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $lshPairCtes,
+           |d AS (
+           | SELECT doc_id, string_split(text, ' ') AS toks
+           | FROM documents),
+           |shr AS (
+           | SELECT doc_id,
+           |  list_distinct(list_transform(range(len(toks) - 2),
+           |    i -> $shHash)) AS shs
+           | FROM d),
+           |ex16 AS (
+           | SELECT doc_id, $duckTokHash AS h
+           | FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t
+           |       FROM documents)),
+           |bits16 AS (
+           | SELECT doc_id,
+           |  $bitSums16
+           | FROM ex16 GROUP BY doc_id),
+           |simtab AS (
+           | SELECT doc_id, $bitVal16 AS sh16 FROM bits16)
+           |SELECT p.da, p.db, p.jac,
+           | CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+           |   (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+           |   AS sh_jac,
+           | CAST(bit_count(xor(sa.sh16, sb.sh16)) AS BIGINT) AS hamming
+           |FROM dup_pairs p
+           | JOIN shr x ON p.da = x.doc_id
+           | JOIN shr y ON p.db = y.doc_id
+           | JOIN simtab sa ON p.da = sa.doc_id
+           | JOIN simtab sb ON p.db = sb.doc_id
+           |ORDER BY p.da, p.db""".stripMargin
+      },
 
       "d15_banding_sweep" -> {
         val jac = "CAST(len(list_intersect(ta, tb)) AS DOUBLE) / " +

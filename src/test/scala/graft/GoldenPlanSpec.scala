@@ -125,7 +125,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shard packing must keep the two-grain prefix (per-bucket windows
     // + bounded 256-row cut) — a single global running-sum window over
     // the corpus would show as one unpartitioned Window.
-    "m06_shard_manifest")
+    "m06_shard_manifest",
+    // the signal-compare QA must re-attach per-doc signals by equi-join
+    // on doc_id (row-linear), never re-mine pairs per signal family.
+    "d16_signal_compare")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
