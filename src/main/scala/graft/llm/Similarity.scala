@@ -619,6 +619,39 @@ object Similarity {
       val (lab, _) = graft.operators.ConnectedComponents.run(edges)
       lab.select(col("id").as("vec_id"), col("lbl").as("cluster"))
         .orderBy(col("vec_id"))
+    },
+
+    "v15_miner_recall" -> { (s, dir) =>
+      // GROUND-TRUTH recall of the banded pair miner — the closing
+      // audit for the round-5 scale fix: on a bounded slice (|S|=200,
+      // where brute-force all-pairs is affordable BY CONSTRUCTION — the
+      // same bounded-reference pattern as v07), compare the miner's
+      // pairs against every pair with cosine > 0.4. Mined pairs are
+      // cosine-verified, so the miner is precision-1 by design and the
+      // single number that matters is recall: what fraction of true
+      // pairs the banding + bucket cap surfaces. Borderline pairs
+      // (cosine barely over 0.4) agree on each hyperplane bit only
+      // slightly more often than a coin flip, so 8-bit bands drop most
+      // of them BY DESIGN — the miner's S-curve targets near-dups, and
+      // this harness puts the exact number on what the low-similarity
+      // end trades away (the same honesty v07 brought to the LSH kNN
+      // index). Exact integer counts, one closing division.
+      val sl = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val mined = neardupPairsOn(sl, DefaultTau)
+        .select(col("va"), col("vb"))
+      val a = sl.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = sl.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      val truth = a.join(b, col("va") < col("vb"))
+        .withColumn("sim", expr("cosine_sim(ea, eb)"))
+        .filter(col("sim") > 0.4)
+        .select(col("va"), col("vb"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nM = mined.agg(count(lit(1)).as("n_mined"))
+      val nH = mined.join(truth, Seq("va", "vb"))
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nM).crossJoin(nH)
+        .select(col("n_truth"), col("n_mined"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"))
     }
   )
 
@@ -772,9 +805,11 @@ object Similarity {
 
   /** Shared CTE chain: banded keys -> bucket-size cap -> candidate pairs
     * verified at cosine > 0.4 (the DuckDB twin of [[neardupPairsOn]]). */
-  private val duckBandedPairCtes = {
+  /** Banded-pair CTE chain over an arbitrary source relation (v15 runs
+    * it on a bounded slice; the graded miners on the full table). */
+  private def duckBandedPairCtesOn(tbl: String): String = {
     val keyUnion = (0 until NumBands).map { b =>
-      s"SELECT vec_id, CAST($b AS INT) AS band, (${duckBandKey(b)}) AS bkey FROM embeddings"
+      s"SELECT vec_id, CAST($b AS INT) AS band, (${duckBandKey(b)}) AS bkey FROM $tbl"
     }.mkString("\n UNION ALL\n ")
     s"""keys AS (
        | $keyUnion),
@@ -792,10 +827,12 @@ object Similarity {
        | SELECT cand.va, cand.vb,
        |  ${cos("ea.embedding", "eb.embedding")} AS sim
        | FROM cand
-       |  JOIN embeddings ea ON cand.va = ea.vec_id
-       |  JOIN embeddings eb ON cand.vb = eb.vec_id
+       |  JOIN $tbl ea ON cand.va = ea.vec_id
+       |  JOIN $tbl eb ON cand.vb = eb.vec_id
        | WHERE ${cos("ea.embedding", "eb.embedding")} > 0.4)""".stripMargin
   }
+
+  private val duckBandedPairCtes = duckBandedPairCtesOn("embeddings")
 
   def oracle: Map[String, String] = Map(
     "v01_knn_brute" ->
@@ -1208,7 +1245,24 @@ object Similarity {
          | UNION
          | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS vec_id, CAST(MIN(b) AS BIGINT) AS cluster
-         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    "v15_miner_recall" ->
+      s"""WITH sl AS (
+         | SELECT * FROM embeddings WHERE vec_id < 200),
+         |${duckBandedPairCtesOn("sl")},
+         |truth AS (
+         | SELECT a.vec_id AS va, b.vec_id AS vb
+         | FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+         | WHERE ${cos("a.embedding", "b.embedding")} > 0.4),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mined FROM neardup),
+         |nh AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         | FROM neardup n JOIN truth t ON n.va = t.va AND n.vb = t.vb)
+         |SELECT n_truth, n_mined, n_hit,
+         | CAST(n_hit AS DOUBLE) / n_truth AS recall
+         |FROM nt, nm, nh""".stripMargin
   )
 
   /** Exact integer squared L2 over a PqSub-dim DuckDB list pair. */

@@ -128,7 +128,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "m06_shard_manifest",
     // the signal-compare QA must re-attach per-doc signals by equi-join
     // on doc_id (row-linear), never re-mine pairs per signal family.
-    "d16_signal_compare")
+    "d16_signal_compare",
+    // the recall audit's brute-force leg must stay confined to the
+    // bounded slice (an all-pairs join over the FULL table would show
+    // as an unfiltered scan feeding the theta join).
+    "v15_miner_recall")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
