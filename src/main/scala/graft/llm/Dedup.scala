@@ -129,6 +129,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking dedup (d17's engine — see the graded entry
+    * for the full design note): a chunk boundary falls after every token
+    * whose hash ≡ 0 (mod `modulus`), chunks are content-addressed with
+    * md5, canonical copy = arg-min (doc_id, chunk ordinal) struct. Input
+    * needs (doc_id, text); `DedupPropSpec` property-checks it against an
+    * in-memory brute force and pins the insertion re-sync property. */
+  def cdcDedup(docs: DataFrame, modulus: Int = 16): DataFrame = {
+    val tks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val n = size(col("tk"))
+    val bpos = filter(sequence(lit(0), greatest(n - 1, lit(0))),
+      i => tokHash(element_at(col("tk"), i + 1)) % modulus === 0 && i < n)
+    val chunked = tks
+      .withColumn("starts",
+        concat(array(lit(0)), transform(bpos, p => p + 1)))
+      .withColumn("ends", concat(bpos, array(n - 1)))
+      .withColumn("chunks", filter(
+        zip_with(col("starts"), col("ends"), (st, en) =>
+          when(en >= st,
+            md5(array_join(slice(col("tk"), st + 1, en - st + 1), " ")
+              .cast("binary")))),
+        c => c.isNotNull))
+    val chunks = chunked
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "h")))
+      .withColumn("key", struct(col("doc_id"), col("idx").cast("long")))
+    val canon = chunks.groupBy(col("h")).agg(min(col("key")).as("ck"))
+    chunks.join(canon, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("key") =!= col("ck"), 1).otherwise(0)).cast("long")
+          .as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     // The test-SF documents parquet is a single row group => the scan is
     // ONE task, which would serialize the md5-per-token hash stage below.
@@ -627,6 +662,142 @@ object Dedup {
         .orderBy(col("config"))
     },
 
+    "d17_cdc_dedup" -> { (s, dir) =>
+      // CONTENT-DEFINED chunking dedup (the storage-dedup standard —
+      // gear/Rabin-style breakpoints, simplest form): a chunk boundary
+      // falls AFTER every token whose hash ≡ 0 (mod 16), so boundaries
+      // are decided by content, not position (mean chunk ~16 tokens).
+      // Where d10's FIXED 50-token grid mis-aligns after a single
+      // inserted token (every later chunk hash changes), CDC
+      // re-synchronizes at the next boundary — the property that makes
+      // chunk-level dedup robust to edits at 100 TB (DedupPropSpec pins
+      // it). Chunking is one codegen'd projection (boundary positions →
+      // start/end pairs via zip_with — no per-token explode); then the
+      // d10 shape: ONE shuffle on the uniform md5 chunk hash for
+      // canonical arg-min selection + a per-doc count. Only the final
+      // chunk can be empty (a boundary on the last token), so dropping
+      // nulls never shifts the surviving chunk indices.
+      cdcDedup(Tables.load(s, dir, "documents"))
+    },
+
+    "d19_prefix_filter_pairs" -> { (s, dir) =>
+      // PREFIX-FILTERING set-similarity join (the PPJoin family) — the
+      // EXACT-threshold alternative to LSH banding: candidates provably
+      // include EVERY pair with Jaccard ≥ t (no probabilistic recall
+      // loss, unlike d03/d15 banding, which trades recall for cost).
+      // Tokens get a global total order (document frequency ascending,
+      // hash tiebreak — rarest first); each doc emits only its first
+      // L = |s| − ⌈t·|s|⌉ + 1 tokens in that order; two sets with
+      // J ≥ t MUST collide inside these prefixes (pigeonhole on the
+      // shared suffix). ⌈0.7·|s|⌉ is computed in INTEGER form
+      // ((7·sz+9) div 10) so both engines agree with no float edge.
+      //
+      // 100 TB shape: candidate generation joins on a prefix token —
+      // and prefixes hold each doc's RAREST tokens, so bucket
+      // populations are df-bounded from below by construction (the
+      // frequent tokens that would blow up d04 without its cap never
+      // enter a prefix unless a doc has nothing rarer). Pair shuffle
+      // carries only (da, db); full sets re-attach by equi-join for
+      // exact verification, the d03 discipline.
+      val t = 0.7
+      val base = docsWithTokens(s, dir)
+        .select(col("doc_id"), col("source"),
+          array_distinct(transform(col("toks"), tk => tokHash(tk)))
+            .as("tset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ex = base.select(col("doc_id"), col("source"),
+        explode(col("tset")).as("h"))
+      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val ranked = ex.join(dfreq, "h")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+            .as("ord"),
+          count(lit(1)).as("sz"))
+      // Column `/` is double division — `div` keeps it exact-integer.
+      val prefLen = expr("CAST(sz - ((sz * 7 + 9) div 10) + 1 AS INT)")
+      val pref = ranked
+        .select(col("doc_id"), col("source"),
+          explode(slice(col("ord"), lit(1), prefLen)).as("p"))
+        .select(col("doc_id"), col("source"), col("p.h").as("h"))
+      val a = pref.select(col("doc_id").as("da"), col("source"), col("h"))
+      val b = pref.select(col("doc_id").as("db"), col("source").as("sb"),
+        col("h").as("hb"))
+      val cand = a.join(b, col("source") === col("sb") &&
+          col("h") === col("hb") && col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      val sets = base.select(col("doc_id"), col("tset"))
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("tset").as("ta")),
+          "da")
+        .join(sets.select(col("doc_id").as("db"), col("tset").as("tb")),
+          "db")
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
+        .filter(col("jac") >= t)
+        .select(col("da"), col("db"), col("jac"))
+        .orderBy(col("da"), col("db"))
+    },
+
+    "d18_incremental_dedup" -> { (s, dir) =>
+      // INCREMENTAL ingest dedup — the shape a production pipeline runs
+      // daily: dedupe a NEW batch against the standing corpus without
+      // re-mining corpus×corpus pairs. Work is ∝ |batch| × collision
+      // rate: the batch's exact hashes and MinHash bands join against
+      // the corpus-side index (in production a pre-materialized band
+      // table; recomputed inline here per the self-contained-query
+      // contract), never corpus×corpus. Batch membership is
+      // deterministic (doc_id mod 7) so the gate is reproducible.
+      // Per new doc: exact-duplicate flag (content hash seen in corpus),
+      // LSH candidate count, verified near-dup count (J ≥ 0.7), and the
+      // best matching corpus doc — cross-SOURCE matches included (ingest
+      // dedup guards the whole corpus, unlike d03's within-source scope).
+      val isNew = col("doc_id") % 7 === 0
+      val sig = lshSigDf(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+      val batchH = docs.filter(isNew)
+      val corpusH = docs.filter(!isNew)
+        .select(col("ch").as("cch")).distinct()
+      val exact = batchH.join(corpusH, col("ch") === col("cch"),
+          "left_outer")
+        .select(col("doc_id"),
+          when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("band", "mh")))
+      val bb = bands.filter(isNew)
+        .select(col("doc_id").as("da"), col("band"), col("mh"))
+      val cb = bands.filter(!isNew)
+        .select(col("doc_id").as("db"), col("band").as("bandb"),
+          col("mh").as("mhb"))
+      val cand = bb.join(cb,
+          col("band") === col("bandb") && col("mh") === col("mhb"))
+        .select(col("da"), col("db")).distinct()
+      val tsets = sig.select(col("doc_id"), col("tset"))
+      val verified = cand
+        .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
+          "da")
+        .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
+          "db")
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
+        .groupBy(col("da"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_near"),
+          max(when(col("jac") >= 0.7,
+            struct(col("jac"), col("db")))).as("best"))
+      exact.join(verified, col("doc_id") === col("da"), "left_outer")
+        .select(col("doc_id"), col("exact_dup"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("best.jac").as("best_jac"),
+          col("best.db").as("best_doc"))
+        .orderBy(col("doc_id"))
+    },
+
     "d14_epoch_shards" -> { (s, dir) =>
       // Deterministic EPOCH SHUFFLE — how a training run re-orders a
       // 100 TB corpus per epoch without ever materializing a global
@@ -902,6 +1073,121 @@ object Dedup {
            | (SELECT n_true AS ref_true FROM sp1)
            |ORDER BY config""".stripMargin
       },
+
+      "d17_cdc_dedup" -> {
+        val tkHash = tokHashSqlDuck.format("tk[i+1]")
+        s"""WITH d AS (
+           | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |b AS (
+           | SELECT doc_id, tk,
+           |  list_filter(range(len(tk)), i -> $tkHash % 16 = 0) AS bp
+           | FROM d),
+           |se AS (
+           | SELECT doc_id, tk,
+           |  [0] || list_transform(bp, p -> p + 1) AS starts,
+           |  bp || [len(tk) - 1] AS ends
+           | FROM b),
+           |ch AS (
+           | SELECT doc_id,
+           |  unnest(list_filter(list_transform(range(len(starts)),
+           |    j -> {'idx': CAST(j AS BIGINT),
+           |          'h': md5(array_to_string(
+           |                 list_slice(tk, starts[j+1] + 1, ends[j+1] + 1),
+           |                 ' ')),
+           |          'ok': ends[j+1] >= starts[j+1]}),
+           |    x -> x.ok)) AS c
+           | FROM se),
+           |cx AS (
+           | SELECT doc_id, c.idx AS idx, c.h AS h,
+           |  {'doc_id': doc_id, 'idx': c.idx} AS key
+           | FROM ch),
+           |canon AS (SELECT h, MIN(key) AS ck FROM cx GROUP BY h)
+           |SELECT cx.doc_id,
+           | COUNT(*) AS n_chunks,
+           | CAST(SUM(CASE WHEN key <> ck THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_dup,
+           | CAST(SUM(CASE WHEN key <> ck THEN 1 ELSE 0 END) AS DOUBLE)
+           |   / COUNT(*) AS dup_frac
+           |FROM cx JOIN canon ON cx.h = canon.h
+           |GROUP BY cx.doc_id ORDER BY cx.doc_id""".stripMargin
+      },
+
+      "d19_prefix_filter_pairs" ->
+        s"""WITH d AS (
+           | SELECT doc_id, source,
+           |  list_distinct(list_transform(string_split(text, ' '),
+           |    t -> $duckTokHash)) AS tset
+           | FROM documents),
+           |ex AS (SELECT doc_id, source, unnest(tset) AS h FROM d),
+           |dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+           |ord AS (
+           | SELECT doc_id, source,
+           |  list({'df': df, 'h': h} ORDER BY df, h) AS ord,
+           |  COUNT(*) AS sz
+           | FROM ex JOIN dfreq USING (h) GROUP BY doc_id, source),
+           |pref AS (
+           | SELECT doc_id, source,
+           |  unnest(list_slice(ord, 1,
+           |    CAST(sz - (sz * 7 + 9) // 10 + 1 AS INT))) AS p
+           | FROM ord),
+           |ph AS (SELECT doc_id, source, p.h AS h FROM pref),
+           |cand AS (
+           | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           | FROM ph a JOIN ph b
+           |  ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id)
+           |SELECT da, db,
+           | CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE) /
+           |   (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset)))
+           |   AS jac
+           |FROM cand JOIN d x ON da = x.doc_id JOIN d y ON db = y.doc_id
+           |WHERE CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE) /
+           |   (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset)))
+           |   >= 0.7
+           |ORDER BY da, db""".stripMargin,
+
+      "d18_incremental_dedup" ->
+        s"""WITH sig AS (
+           | SELECT doc_id,
+           |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
+           |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
+           | FROM documents),
+           |h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+           |exact AS (
+           | SELECT b.doc_id,
+           |  CAST(CASE WHEN EXISTS (
+           |    SELECT 1 FROM h c
+           |    WHERE c.doc_id % 7 <> 0 AND c.ch = b.ch)
+           |   THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+           | FROM h b WHERE b.doc_id % 7 = 0),
+           |bands AS (
+           | SELECT doc_id, generate_subscripts(sig,1)-1 AS band,
+           |  unnest(sig) AS mh, tset
+           | FROM sig),
+           |cand AS (
+           | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           |  a.tset AS ta, b.tset AS tb
+           | FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.mh = b.mh
+           | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+           |jc AS (
+           | SELECT da, db,
+           |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+           |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
+           | FROM cand),
+           |ver AS (
+           | SELECT da, COUNT(*) AS n_candidates,
+           |  CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_near,
+           |  MAX(CASE WHEN jac >= 0.7 THEN {'jac': jac, 'db': db} END)
+           |    AS best
+           | FROM jc GROUP BY da)
+           |SELECT e.doc_id, e.exact_dup,
+           | COALESCE(v.n_candidates, 0) AS n_candidates,
+           | COALESCE(v.n_near, 0) AS n_near,
+           | (v.best).jac AS best_jac,
+           | CAST((v.best).db AS BIGINT) AS best_doc
+           |FROM exact e LEFT JOIN ver v ON e.doc_id = v.da
+           |ORDER BY e.doc_id""".stripMargin,
 
       "d14_epoch_shards" ->
         """WITH h AS (

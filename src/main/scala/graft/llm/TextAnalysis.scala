@@ -332,6 +332,33 @@ object TextAnalysis {
         .limit(20)
     },
 
+    "t16_stopword_discovery" -> { (s, dir) =>
+      // DOCUMENT-FREQUENCY stopword discovery — the corpus-derived
+      // stoplist a pipeline computes before it can trust any
+      // stopword-ratio quality score on a new domain (t01/t02 use a
+      // FIXED English list; this derives one). Distinct from t15's
+      // term-count Zipf: DF counts each doc once, so a token spammed by
+      // one document cannot enter the list. Tokens in >5% of documents
+      // report doc frequency, occurrence count, and DF share. Scale:
+      // explode → per-doc distinct (map-side combinable groupBy on the
+      // token), occurrence counts ride the same explode; the total-doc
+      // scalar joins as a 1-row broadcast. Linear, no skew (token key
+      // counts are bounded by the DF filter's output size).
+      val docs = Tables.load(s, dir, "documents")
+      val ex = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val stats = ex.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occur"))
+      val total = docs.agg(count(lit(1)).as("total_docs"))
+      stats.crossJoin(total)
+        .withColumn("df_share",
+          col("n_docs").cast("double") / col("total_docs"))
+        .filter(col("df_share") > 0.05)
+        .select(col("tok"), col("n_docs"), col("n_occur"), col("df_share"))
+        .orderBy(col("n_docs").desc, col("tok"))
+    },
+
     "t15_zipf_profile" -> { (s, dir) =>
       // Rank-frequency (Zipf) PROFILE of the corpus vocabulary — the
       // sanity plot every tokenizer/corpus report starts with: top-50
@@ -563,6 +590,21 @@ object TextAnalysis {
         | CAST(abs(c0 * n1 - c1 * n0) AS BIGINT) AS drift
         |FROM counts, totals
         |ORDER BY drift DESC, tok LIMIT 20""".stripMargin,
+
+    "t16_stopword_discovery" ->
+      """WITH ex AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |stats AS (
+        | SELECT tok, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_occur
+        | FROM ex GROUP BY tok),
+        |total AS (SELECT COUNT(*) AS total_docs FROM documents)
+        |SELECT tok, n_docs, n_occur,
+        | CAST(n_docs AS DOUBLE) / total_docs AS df_share
+        |FROM stats, total
+        |WHERE CAST(n_docs AS DOUBLE) / total_docs > 0.05
+        |ORDER BY n_docs DESC, tok""".stripMargin,
 
     "t15_zipf_profile" ->
       """WITH counts AS (

@@ -323,6 +323,38 @@ object Temporal {
         .orderBy(col("user_id"))
     },
 
+    "p15_interval_islands" -> { (s, dir) =>
+      // Gaps-and-ISLANDS interval consolidation — each event opens a
+      // 10-minute validity interval [ts, ts+10m); overlapping or touching
+      // intervals per user merge into one island (coverage span). The
+      // classic cumulative-max trick: an island starts where the event's
+      // start exceeds the max end of ALL preceding intervals (not just
+      // the previous one — intervals can nest under a long predecessor).
+      // Scale: one shuffle on user_id; the cummax and the island-id
+      // running sum share one (partition, order) spec, so both compute
+      // in a single Window pass; the groupBy reuses the same exchange.
+      // Micros everywhere (exact integers — no doubles to disagree on).
+      val winUs = 10L * 60 * 1000 * 1000
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("end_us", col("ts_us") + winUs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      ev.withColumn("max_prev_end", max(col("end_us")).over(
+          w.rowsBetween(uPre, -1)))
+        .withColumn("new_island",
+          when(col("max_prev_end").isNull ||
+            col("ts_us") > col("max_prev_end"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(
+          w.rowsBetween(uPre, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("ts_us")).as("island_start_us"),
+          max(col("end_us")).as("island_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("island"))
+    },
+
     "p14_daily_bars" -> { (s, dir) =>
       // OHLC daily BARS per user — open/high/low/close of the event
       // value stream: open and close are the first/last value by the
@@ -465,6 +497,36 @@ object Temporal {
         |   / CAST(SUM(next_us - ts_us) AS BIGINT) / 100.0 AS twap
         |FROM g WHERE next_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "p15_interval_islands" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(ts) + 600000000 AS end_us
+        | FROM events),
+        |m AS (
+        | SELECT user_id, event_id, ts_us, end_us,
+        |  MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS max_prev_end
+        | FROM e),
+        |g AS (
+        | SELECT user_id, event_id, ts_us, end_us,
+        |  CASE WHEN max_prev_end IS NULL OR ts_us > max_prev_end
+        |       THEN 1 ELSE 0 END AS new_island
+        | FROM m),
+        |isl AS (
+        | SELECT user_id, ts_us, end_us,
+        |  CAST(SUM(new_island) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS island
+        | FROM g)
+        |SELECT user_id, island,
+        | CAST(MIN(ts_us) AS BIGINT) AS island_start_us,
+        | CAST(MAX(end_us) AS BIGINT) AS island_end_us,
+        | COUNT(*) AS n_events
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
 
     "p14_daily_bars" ->
       """WITH e AS (

@@ -190,6 +190,111 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$plainRounds rounds — the chain case is not exercising diameter")
   }
 
+  /** JVM mirror of Dedup's md5-prefix token hash (same bits as Spark's
+    * conv(substring(md5(t),1,15),16,10) % P and DuckDB's twin). */
+  private def tokHashJvm(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483647L
+  }
+
+  /** In-memory CDC chunker: boundary after token i iff hash(tok_i) ≡ 0
+    * (mod m); returns (ordinal, chunk text) with the empty tail dropped —
+    * the brute twin of Dedup.cdcDedup's chunking stage. */
+  private def bruteCdcChunks(text: String, m: Int): Seq[(Long, String)] = {
+    val toks = text.split(" ", -1)
+    val bpos = toks.indices.filter(i => tokHashJvm(toks(i)) % m == 0)
+    val starts = 0 +: bpos.map(_ + 1)
+    val ends = bpos :+ (toks.length - 1)
+    starts.zip(ends).filter { case (st, en) => en >= st }
+      .zipWithIndex
+      .map { case ((st, en), ord) =>
+        (ord.toLong, toks.slice(st, en + 1).mkString(" ")) }
+  }
+
+  private def bruteCdc(docs: Seq[(Long, String)],
+                       m: Int): Map[Long, (Long, Long)] = {
+    val chunks = docs.flatMap { case (id, t) =>
+      bruteCdcChunks(t, m).map { case (ord, c) => (id, ord, c) } }
+    val canon = chunks.groupBy(_._3)
+      .map { case (txt, cs) => txt -> cs.map(c => (c._1, c._2)).min }
+    docs.map { case (id, _) =>
+      val mine = chunks.filter(_._1 == id)
+      val nDup = mine.count(c => canon(c._3) != ((c._1, c._2)))
+      id -> (mine.size.toLong, nDup.toLong)
+    }.toMap
+  }
+
+  test("d17 CDC dedup equals in-memory brute force") {
+    val s = spark
+    import s.implicits._
+    // Vocabulary mixes boundary tokens (hash % 4 == 0 for some) and
+    // non-boundary ones; m=4 makes boundaries frequent enough that
+    // arbitrary 40-token docs exercise multi-chunk paths.
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val genCase = for {
+      nDocs <- Gen.choose(3, 10)
+      docs <- Gen.sequence[Seq[(Long, String)], (Long, String)](
+        (0 until nDocs).map { id =>
+          for {
+            n <- Gen.choose(1, 40)
+            toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+          } yield (id.toLong, toks.mkString(" "))
+        })
+    } yield docs
+    val prop = Prop.forAll(genCase) { docs =>
+      val got = Dedup.cdcDedup(docs.toDF("doc_id", "text"), modulus = 4)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got == bruteCdc(docs, 4)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("d17 CDC re-synchronizes after an insertion (the fixed grid d10 " +
+    "does not): suffix chunks are unchanged") {
+    // Insert one token at position k. Content-defined boundaries depend
+    // only on token content, so every chunk that starts after the first
+    // boundary ≥ k must reappear verbatim in the edited doc — THE
+    // property that makes CDC dedup robust to edits. A fixed-stride grid
+    // shifts every later chunk window and loses them all.
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    (0 until 20).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val toks = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val k = rnd.nextInt(n)
+      val edited = (toks.take(k) :+ "INSERTED") ++ toks.drop(k)
+      val m = 4
+      // first boundary at/after k in the original
+      val bAfter = (k until n)
+        .find(i => tokHashJvm(toks(i)) % m == 0)
+      bAfter.foreach { b =>
+        // chunks of the original strictly after boundary b: all tokens
+        // b+1.. — these must all appear among the edited doc's chunks.
+        val origSuffix = bruteCdcChunks(toks.mkString(" "), m)
+          .map(_._2)
+          .filter(c => c.nonEmpty)
+        val editSet = bruteCdcChunks(edited.mkString(" "), m)
+          .map(_._2).toSet
+        // suffix = chunks fully contained in tokens (b+1 .. n-1). A
+        // chunk is a maximal run between boundaries; reconstruct starts:
+        val bpos = toks.indices.filter(i => tokHashJvm(toks(i)) % m == 0)
+        val starts = 0 +: bpos.map(_ + 1)
+        val suffixChunks = starts.zip(bpos :+ (n - 1))
+          .filter { case (st, en) => en >= st && st > b }
+          .map { case (st, en) => toks.slice(st, en + 1).mkString(" ") }
+        assert(suffixChunks.forall(editSet.contains),
+          s"CDC lost a post-boundary chunk after insertion at $k " +
+            s"(boundary $b): ${suffixChunks.filterNot(editSet.contains)}")
+        assert(origSuffix.nonEmpty)
+      }
+    }
+  }
+
   test("d04 DF cap: a corpus-hot shingle is dropped from candidate " +
     "generation; rare-shingle near-dups still surface") {
     val s = spark
