@@ -330,10 +330,12 @@ object Temporal {
       // classic cumulative-max trick: an island starts where the event's
       // start exceeds the max end of ALL preceding intervals (not just
       // the previous one — intervals can nest under a long predecessor).
-      // Scale: one shuffle on user_id; the cummax and the island-id
-      // running sum share one (partition, order) spec, so both compute
-      // in a single Window pass; the groupBy reuses the same exchange.
-      // Micros everywhere (exact integers — no doubles to disagree on).
+      // Scale: ONE shuffle + ONE sort on (user_id, ts, event_id) feed
+      // both Window operators (the island-id running sum necessarily
+      // chains after the cummax it consumes, but shares its partition/
+      // order spec, so no second exchange or sort appears — pinned in
+      // the plan golden). Micros everywhere (exact integers — no
+      // doubles to disagree on).
       val winUs = 10L * 60 * 1000 * 1000
       val ev = Tables.load(s, dir, "events")
         .withColumn("ts_us", expr("ts div 1000"))

@@ -199,6 +199,70 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Per-key state for the island stream: the currently open island —
+    * O(1) per user, like OpenSession (public for the state encoder). */
+  case class OpenIsland(start: Long, maxEnd: Long, n: Long)
+  case class IslandRow(user_id: Long, island_start: Timestamp,
+                       island_end: Timestamp, n_events: Long)
+
+  /** Interval-ISLAND stream — the incremental twin of the batch p15
+    * gaps-and-islands consolidation: each event opens a fixed-length
+    * validity interval [t, t+win); overlapping or touching intervals per
+    * user merge into one island, which emits once the watermark passes
+    * its running max end (no event can extend it anymore — the same
+    * closure rule as the batch cummax). State is ONE open island per
+    * user (start, max end, count) — O(|users|), no growth with stream
+    * length. A straggler whose interval still touches the open island
+    * merges (extending start backwards if needed, like sessionize); one
+    * gap-separated strictly before it closes immediately as a singleton.
+    */
+  def intervalIslandsStream(events: Dataset[Ev], winMinutes: Int = 10,
+                            watermark: String = "10 minutes")
+      : Dataset[IslandRow] = {
+    import events.sparkSession.implicits._
+    val winMs = winMinutes * 60L * 1000L
+
+    def update(uid: Long, evs: Iterator[Ev],
+               state: GroupState[OpenIsland]): Iterator[IslandRow] = {
+      def emit(s: OpenIsland) = IslandRow(uid, new Timestamp(s.start),
+        new Timestamp(s.maxEnd), s.n)
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(emit(s))
+      }
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      var open = state.getOption
+      val closed = Seq.newBuilder[IslandRow]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t > s.maxEnd =>         // gap: island is final
+            closed += emit(s)
+            open = Some(OpenIsland(t, t + winMs, 1L))
+          case Some(s) if t + winMs >= s.start => // overlap/touch: merge
+            open = Some(OpenIsland(math.min(s.start, t),
+              math.max(s.maxEnd, t + winMs), s.n + 1))
+          case Some(_) =>                          // gap-separated straggler
+            closed += IslandRow(uid, new Timestamp(t),
+              new Timestamp(t + winMs), 1L)
+          case None =>
+            open = Some(OpenIsland(t, t + winMs, 1L))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.maxEnd)
+      }
+      closed.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Valued event for the rolling monitor (cents keeps sums exact). */
   case class VEv(event_type: String, ts: java.sql.Timestamp, cents: Long)
   /** A day's final aggregate (public for the state encoder). */

@@ -132,7 +132,29 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the recall audit's brute-force leg must stay confined to the
     // bounded slice (an all-pairs join over the FULL table would show
     // as an unfiltered scan feeding the theta join).
-    "v15_miner_recall")
+    "v15_miner_recall",
+    // CDC dedup must keep d10's one-hash-shuffle shape with chunking as
+    // a single codegen'd projection (a per-token explode before the
+    // chunk hash would show as an extra Generate+Exchange).
+    "d17_cdc_dedup",
+    // the prefix-filter join must generate candidates from the SLICED
+    // prefix explode (an explode of the full ordered token list — i.e.
+    // no prefix cut — would show here), and the pair shuffle must carry
+    // bare (da, db) ids.
+    "d19_prefix_filter_pairs",
+    // incremental dedup must keep batch-side filters on BOTH band legs
+    // (batch × corpus, never corpus × corpus) and the distinct corpus
+    // hash set on the exact-dup probe.
+    "d18_incremental_dedup",
+    // interval islands must feed both chained Window operators (cummax,
+    // then the island-id running sum that consumes it) from ONE
+    // exchange + ONE sort — a second Exchange or Sort between them is a
+    // regression.
+    "p15_interval_islands",
+    // stopword discovery must keep the 1-row total as a broadcast
+    // (BroadcastNestedLoopJoin over a scalar, never a shuffle) and the
+    // token groupBy partial-aggregated.
+    "t16_stopword_discovery")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()

@@ -130,6 +130,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("interval-island stream merges overlapping intervals; matches " +
+    "batch p15 cummax twin") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val winMin = 10
+    val evs = Seq(
+      Ev(1, ts(60), 0), Ev(1, ts(65), 0), Ev(1, ts(72), 0), // island [60,82)
+      Ev(1, ts(100), 0),                                    // island [100,110)
+      Ev(2, ts(61), 0))                                     // island [61,71)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.intervalIslandsStream(input.toDS(), winMin,
+        "10 minutes")
+      .writeStream.format("memory").queryName("islands")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Ev(99, ts(1000), 0)) // push watermark past every island
+      q.processAllAvailable()
+      val got = spark.table("islands")
+        .filter(col("user_id") =!= 99)
+        .select(col("user_id"),
+          (unix_timestamp(col("island_start")) * 1000).as("st"),
+          (unix_timestamp(col("island_end")) * 1000).as("en"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("st"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+
+      // Batch twin: p15's cummax + running-sum island assignment, in ms.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("t"))
+      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val batch = evs.toDF()
+        .filter(col("user_id") =!= 99)
+        .withColumn("t", unix_timestamp(col("ts")) * 1000)
+        .withColumn("end", col("t") + winMin * 60L * 1000L)
+        .withColumn("mpe", max(col("end")).over(w.rowsBetween(uPre, -1)))
+        .withColumn("ni", when(col("mpe").isNull ||
+          col("t") > col("mpe"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("ni")).over(w.rowsBetween(uPre, 0)))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("t")).as("st"), max(col("end")).as("en"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("st"), col("en"), col("n_events"))
+        .orderBy(col("user_id"), col("st"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.size == 3, got.toString)
+    } finally q.stop()
+  }
+
   test("transition stream pairs events across micro-batches; matches batch lead()") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
