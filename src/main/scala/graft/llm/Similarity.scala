@@ -168,6 +168,36 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    "v16_filtered_knn" -> { (s, dir) =>
+      // FILTERED vector search — top-k under a metadata predicate that
+      // depends on the query (here: candidates must share the query's
+      // label; "nearest within my class" — the filtered-ANN shape every
+      // production vector store exposes). The predicate is part of the
+      // JOIN key, so this is not a post-filter of v01: candidates
+      // partition by label and per-query work is |class|, not |corpus|
+      // (post-filtering top-k instead would silently return < k rows).
+      // At scale the index side compounds: an IVF variant keys cells by
+      // (label, cell) so the filter prunes partitions before any
+      // distance math. Exact brute force within the class here — the
+      // same bounded-|Q| baseline contract as v01.
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label"))
+      val c = e.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("label").as("clabel"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      q.join(c, col("label") === col("clabel") &&
+          col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("label").cast("long").as("label"),
+          col("c_id"), col("rnk"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     "v05_quantize_int8" -> { (s, dir) =>
       // Symmetric int8 quantization per vector (the storage-side play for
       // 100 TB embedding corpora: 4x smaller than float32, dot products
@@ -846,6 +876,21 @@ object Similarity {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
          | FROM pairs)
          |SELECT q_id, c_id, rnk, sim FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "v16_filtered_knn" ->
+      s"""WITH pairs AS (
+         | SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS label,
+         |  c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c
+         |  ON q.label = c.label AND q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |ranked AS (
+         | SELECT q_id, label, c_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+         | FROM pairs)
+         |SELECT q_id, label, c_id, rnk, sim FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
 
     "v02_knn_lsh" ->

@@ -154,7 +154,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stopword discovery must keep the 1-row total as a broadcast
     // (BroadcastNestedLoopJoin over a scalar, never a shuffle) and the
     // token groupBy partial-aggregated.
-    "t16_stopword_discovery")
+    "t16_stopword_discovery",
+    // filtered kNN must carry the metadata predicate INSIDE the join
+    // (equi-join on label + the codegen'd cosine) — a post-filter after
+    // an unkeyed pair join would show as a label filter above the join.
+    "v16_filtered_knn")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
