@@ -153,6 +153,12 @@ object Dedup {
     val chunks = chunked
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "h")))
       .withColumn("key", struct(col("doc_id"), col("idx").cast("long")))
+      // Feeds canonical selection AND the join-back; without the persist
+      // the per-token boundary hashing (the dominant cost — one md5 per
+      // token, unlike d10's per-50-token grid) runs twice. One row per
+      // chunk of (ids, 32-char hash); same lifecycle contract as d03's
+      // signature cache (Bench/Verify clearCache() between queries).
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val canon = chunks.groupBy(col("h")).agg(min(col("key")).as("ck"))
     chunks.join(canon, "h")
       .groupBy(col("doc_id"))
@@ -677,7 +683,13 @@ object Dedup {
       // canonical arg-min selection + a per-doc count. Only the final
       // chunk can be empty (a boundary on the last token), so dropping
       // nulls never shifts the surviving chunk indices.
-      cdcDedup(Tables.load(s, dir, "documents"))
+      // Repartition first: the boundary rule hashes EVERY token (unlike
+      // d10's one-hash-per-50-token grid), and the test-SF documents
+      // parquet is a single row group — without the spread, one task
+      // does the whole corpus's md5 work (the docsWithTokens note; this
+      // was a 10× bench regression when first landed).
+      cdcDedup(Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism))
     },
 
     "d19_prefix_filter_pairs" -> { (s, dir) =>

@@ -252,6 +252,7 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = ScTest.check(
       ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
+    spark.catalog.clearCache() // cdcDedup persists its chunk table
   }
 
   test("d17 CDC re-synchronizes after an insertion (the fixed grid d10 " +
