@@ -810,6 +810,33 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    "d20_normalized_dedup" -> { (s, dir) =>
+      // NORMALIZED-exact dedup — the "exact after normalization" pass
+      // (lowercase, strip punctuation, collapse whitespace) that
+      // standard pipelines run between byte-exact d01 and fuzzy d03:
+      // it catches trivially-reformatted copies at exact-dedup cost.
+      // Per source, compare the three dedup rates side by side —
+      // raw-exact unique, normalized-exact unique, and how many raw
+      // variants the normalization merged (raw − norm) — the report
+      // that says whether the cheap pass is worth a corpus run.
+      // One codegen'd projection (lower + 2 regexp_replace + md5) and
+      // ONE groupBy(source) with map-side distinct partials: linear,
+      // uniform keys, no skew at any corpus size.
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " "))
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          md5(col("text").cast("binary")).as("rh"),
+          md5(norm.cast("binary")).as("nh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rh")).as("n_raw_unique"),
+          countDistinct(col("nh")).as("n_norm_unique"))
+        .withColumn("n_merged_by_norm",
+          col("n_raw_unique") - col("n_norm_unique"))
+        .orderBy(col("source"))
+    },
+
     "d14_epoch_shards" -> { (s, dir) =>
       // Deterministic EPOCH SHUFFLE — how a training run re-orders a
       // 100 TB corpus per epoch without ever materializing a global
@@ -1200,6 +1227,18 @@ object Dedup {
            | CAST((v.best).db AS BIGINT) AS best_doc
            |FROM exact e LEFT JOIN ver v ON e.doc_id = v.da
            |ORDER BY e.doc_id""".stripMargin,
+
+      "d20_normalized_dedup" ->
+        """WITH n AS (
+          | SELECT source, md5(text) AS rh,
+          |  md5(trim(regexp_replace(regexp_replace(lower(text),
+          |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh
+          | FROM documents)
+          |SELECT source, COUNT(*) AS n_docs,
+          | COUNT(DISTINCT rh) AS n_raw_unique,
+          | COUNT(DISTINCT nh) AS n_norm_unique,
+          | COUNT(DISTINCT rh) - COUNT(DISTINCT nh) AS n_merged_by_norm
+          |FROM n GROUP BY source ORDER BY source""".stripMargin,
 
       "d14_epoch_shards" ->
         """WITH h AS (

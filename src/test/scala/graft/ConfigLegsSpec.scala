@@ -91,10 +91,12 @@ class ConfigLegsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // representative slice (the same order-stable flagship set the other
     // legs use).
     // v03 covers the round-6 banded+capped LSH miner: its bucket-size
-    // guard counts per (band, key) and must be fan-out-invariant.
+    // guard counts per (band, key) and must be fan-out-invariant; d19
+    // covers the prefix-filter join (its per-doc DF ranking and prefix
+    // cut must not depend on how the token explode partitions).
     val slice = Seq("q1_agg", "q5_join6", "q18_large_orders",
       "w10_topn_per_group", "a11_rollup", "d03_minhash_lsh_pairs",
-      "v03_neardup_embed")
+      "v03_neardup_embed", "d19_prefix_filter_pairs")
     slice.foreach { name =>
       val baseline = runOnce(name)
       assert(baseline.nonEmpty, s"$name returned no rows")

@@ -158,7 +158,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // filtered kNN must carry the metadata predicate INSIDE the join
     // (equi-join on label + the codegen'd cosine) — a post-filter after
     // an unkeyed pair join would show as a label filter above the join.
-    "v16_filtered_knn")
+    "v16_filtered_knn",
+    // normalized dedup must stay ONE projection + ONE partial-distinct
+    // groupBy (a second exchange — e.g. a distinct before the count —
+    // would show here).
+    "d20_normalized_dedup")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
