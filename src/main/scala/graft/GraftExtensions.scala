@@ -49,6 +49,19 @@ object GraftExtensions {
         graft.functions.HyperplaneSig(children(0), n)
       }))
     e.injectFunction((
+      FunctionIdentifier("tok_hashes"),
+      new ExpressionInfo(classOf[graft.functions.TokHashes].getName,
+        "tok_hashes"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "tok_hashes", "expectedNum" -> "1",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        graft.functions.TokHashes(children(0))
+      }))
+    e.injectFunction((
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName,
         "kll_quantile"),

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `tok_hashes(text)` — the whole per-token hashing stage of the dedup
+  * pipeline fused into ONE expression: split on single spaces (identical
+  * to `split(text, " ")`, trailing/empty tokens kept) and hash every
+  * token with the cross-engine md5-prefix hash
+  * `conv(substring(md5(tok), 1, 15), 16, 10) % (2^31 − 1)`.
+  *
+  * Bit-identical to the composed form (`transform(split(...), t =>
+  * conv(substring(md5(t), 1, 15), 16, 10) % P)`) — pinned by a
+  * ScalaCheck property in `FunctionsSpec` over unicode corpora — but
+  * skips its three per-token string materializations (the 32-char hex
+  * rendering, the substring copy, and conv's string→long parse), digesting
+  * the token's UTF-8 bytes in place instead: the first 60 bits of the md5
+  * state are taken directly from the digest bytes. This is the per-row
+  * scan cost of every MinHash/LSH/Jaccard operator (one md5 per token
+  * over the whole corpus), the same fuse-the-scan-stage argument as
+  * [[HyperplaneSig]].
+  *
+  * UTF-8 note: the split byte 0x20 can never appear inside a multi-byte
+  * sequence, so byte-level splitting equals Java's char-level
+  * `split(" ", -1)` on any valid UTF-8 input.
+  */
+case class TokHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tok_hashes expects string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TokHashes.compute(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokHashes.compute($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object TokHashes {
+  private val P = 2147483647L // 2^31 - 1, the shared token-hash modulus
+
+  private val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val bufLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val md = mdLocal.get()
+    val h = bufLocal.get() // digest into a reused buffer: one less
+                           // allocation per token on the corpus scan
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) nTokens += 1
+      i += 1
+    }
+    val out = new Array[Long](nTokens)
+    var tok = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        md.digest(h, 0, 16)
+        // first 15 hex chars of the digest = bytes 0..6 plus the high
+        // nibble of byte 7 — exactly conv(substring(md5, 1, 15), 16, 10)
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+        v = (v << 4) | ((h(7) & 0xffL) >>> 4)
+        out(tok) = v % P
+        tok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}

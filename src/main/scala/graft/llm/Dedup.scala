@@ -30,9 +30,17 @@ object Dedup {
   private val A = Seq(1299721L, 1299827L, 1299709L, 1299833L)
   private val B = Seq(15485863L, 15485867L, 15485917L, 15485959L)
 
-  /** md5-prefix token hash, identical in Spark and DuckDB. */
+  /** md5-prefix token hash, identical in Spark and DuckDB. Used for
+    * SHINGLE-grain hashing (joined n-gram strings); whole-text token
+    * hashing goes through the fused `tok_hashes` Catalyst expression
+    * (functions/TextHash.scala — bit-identical, pinned in FunctionsSpec,
+    * but skips the three per-token string materializations). */
   private def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long") % P
+
+  /** All token hashes of a text column in one fused codegen pass. */
+  private def tokHashes(text: Column): Column =
+    call_function("tok_hashes", text)
 
   /** Per-ROW 16-bit SimHash of a text column — the same bit-majority-vote
     * as d05 computed inside one projection (higher-order functions, stays
@@ -41,7 +49,7 @@ object Dedup {
     * StreamingSpec pins row-wise == d05's distributed groupBy result.
     * Order-invariant over the token multiset by construction. */
   def simhashExpr(text: Column): Column = {
-    val th = transform(split(text, " "), t => tokHash(t))
+    val th = tokHashes(text)
     (0 until 16).map { j =>
       val vote = aggregate(th, lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(1) === 1, lit(1L))
@@ -193,7 +201,7 @@ object Dedup {
   /** MinHash signature columns mh0..mh3 (d02's flat-column view). */
   private def withMinhash(df: DataFrame): DataFrame = {
     val hashed = df.withColumn("__sig",
-      sigArray(transform(col("toks"), t => tokHash(t))))
+      sigArray(tokHashes(col("text"))))
     A.indices.foldLeft(hashed) { (d, j) =>
       d.withColumn(s"mh$j", col("__sig").getItem(j))
     }.drop("__sig")
@@ -276,7 +284,7 @@ object Dedup {
     * Verify call spark.catalog.clearCache() per query. */
   private def lshSigDf(s: SparkSession, dir: String): DataFrame =
     docsWithTokens(s, dir)
-      .withColumn("__th", transform(col("toks"), t => tokHash(t)))
+      .withColumn("__th", tokHashes(col("text")))
       .select(col("doc_id"), col("source"),
         array_distinct(col("__th")).as("tset"),
         sigArray(col("__th")).as("sig"))
@@ -361,8 +369,7 @@ object Dedup {
       // 16-bit SimHash over token multiset: per-bit majority vote of
       // md5-derived token hashes.
       val ex = docsWithTokens(s, dir)
-        .select(col("doc_id"), explode(col("toks")).as("t"))
-        .withColumn("h", tokHash(col("t")))
+        .select(col("doc_id"), explode(tokHashes(col("text"))).as("h"))
       val bitAggs = (0 until 16).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"b$j"))
@@ -714,8 +721,7 @@ object Dedup {
       val t = 0.7
       val base = docsWithTokens(s, dir)
         .select(col("doc_id"), col("source"),
-          array_distinct(transform(col("toks"), tk => tokHash(tk)))
-            .as("tset"))
+          array_distinct(tokHashes(col("text"))).as("tset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val ex = base.select(col("doc_id"), col("source"),
         explode(col("tset")).as("h"))
@@ -819,18 +825,27 @@ object Dedup {
       // raw-exact unique, normalized-exact unique, and how many raw
       // variants the normalization merged (raw − norm) — the report
       // that says whether the cheap pass is worth a corpus run.
-      // One codegen'd projection (lower + 2 regexp_replace + md5) and
-      // ONE groupBy(source) with map-side distinct partials: linear,
-      // uniform keys, no skew at any corpus size.
+      // One codegen'd projection (lower + 2 regexp_replace + md5), a
+      // pre-aggregate on (source, rh, nh), then ONE single-distinct
+      // groupBy(source): linear, uniform keys, no skew at any corpus
+      // size. rh = md5(text) functionally determines nh (same text ⇒
+      // same normalization), so distinct rh per source = the (rh, nh)
+      // group count — which keeps the final aggregate to ONE
+      // countDistinct. (Two countDistincts in one agg trigger Spark's
+      // RewriteDistinctAggregates Expand, whose distinct-group → gid
+      // assignment is hash-order nondeterministic across JVMs — it
+      // flipped this query's plan golden run-to-run.)
       val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
         "[^a-z0-9 ]", ""), " +", " "))
       Tables.load(s, dir, "documents")
         .select(col("source"),
           md5(col("text").cast("binary")).as("rh"),
           md5(norm.cast("binary")).as("nh"))
+        .groupBy(col("source"), col("rh"), col("nh"))
+        .agg(count(lit(1)).as("cnt"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("rh")).as("n_raw_unique"),
+        .agg(sum(col("cnt")).as("n_docs"),
+          count(lit(1)).as("n_raw_unique"),
           countDistinct(col("nh")).as("n_norm_unique"))
         .withColumn("n_merged_by_norm",
           col("n_raw_unique") - col("n_norm_unique"))

@@ -66,6 +66,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("ARRAY<FLOAT>"))
   }
 
+  test("tok_hashes is bit-identical to the composed md5-prefix hash") {
+    val s = spark
+    import s.implicits._
+    // The fused expression must reproduce transform(split(text, " "),
+    // t -> conv(substring(md5(t),1,15),16,10) % P) EXACTLY — including
+    // empty tokens from leading/consecutive/trailing spaces and
+    // multi-byte UTF-8 — because the DuckDB oracle pins the composed
+    // definition. Randomized unicode corpora + adversarial fixed cases.
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abzZ09.,é漢🎉  " // includes spaces + multibyte
+    val cases = Seq("", " ", "  ", "a", "a b", " a  b ", "é 漢字 🎉🎉",
+      "tab\there") ++
+      (0 until 40).map(_ => (0 until rnd.nextInt(30))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.toDF("text")
+    val got = df.selectExpr("tok_hashes(text) AS f",
+      "transform(split(text, ' '), t -> " +
+        "conv(substring(md5(cast(t AS binary)), 1, 15), 16, 10) % 2147483647L) AS g")
+    got.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"tok_hashes mismatch on ${r}")
+    }
+  }
+
   test("SET / SHOW config surface (reference context_checks.rs:239-336)") {
     spark.sql("SET spark.sql.shuffle.partitions=7")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
