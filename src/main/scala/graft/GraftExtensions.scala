@@ -62,6 +62,27 @@ object GraftExtensions {
         graft.functions.TokHashes(children(0))
       }))
     e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
+        "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "shingle_hashes", "expectedNum" -> "2",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        val kExpr = children(1)
+        if (!kExpr.foldable) throw new IllegalArgumentException(
+          s"shingle_hashes: k must be a literal, got ${kExpr.sql}")
+        val k = kExpr.eval() match {
+          case num: java.lang.Number => num.intValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes: non-numeric k literal $other")
+        }
+        graft.functions.ShingleHashes(children(0), k)
+      }))
+    e.injectFunction((
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName,
         "kll_quantile"),

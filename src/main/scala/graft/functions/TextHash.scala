@@ -52,8 +52,46 @@ case class TokHashes(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `shingle_hashes(text, k)` — the shingle-grain twin of [[TokHashes]]:
+  * md5-prefix hashes of every k-token shingle (tokens joined by a single
+  * space), empty when the text has fewer than k tokens — exactly the
+  * DuckDB oracle's `list_transform(range(len(toks) − k + 1), ...)`
+  * semantics. Each shingle digest streams the token byte spans plus
+  * separator spaces straight into the digest — no joined string, no hex
+  * rendering, no conv parse. This is the d04/d16 corpus-scan stage (one
+  * md5 over ~k tokens of bytes per position).
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && k <= 64, s"shingle_hashes: k must be in [1, 64], got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes expects string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TokHashes.computeShingles(a.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokHashes.computeShingles($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TokHashes {
   private val P = 2147483647L // 2^31 - 1, the shared token-hash modulus
+  private val Space = Array[Byte](0x20)
 
   private val mdLocal =
     new ThreadLocal[java.security.MessageDigest] {
@@ -62,6 +100,55 @@ object TokHashes {
     }
   private val bufLocal = new ThreadLocal[Array[Byte]] {
     override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  /** First 60 digest bits mod P — conv(substring(md5,1,15),16,10) % P. */
+  private def fold60(h: Array[Byte]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+    ((v << 4) | ((h(7) & 0xffL) >>> 4)) % P
+  }
+
+  def computeShingles(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val md = mdLocal.get()
+    val h = bufLocal.get()
+    // token spans: starts(t) .. ends(t) (exclusive)
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) nTokens += 1
+      i += 1
+    }
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var tok = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) {
+        ends(tok) = i; tok += 1; starts(tok) = i + 1
+      }
+      i += 1
+    }
+    ends(tok) = bytes.length
+    if (nTokens < k) return ArrayData.toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTokens - k + 1)
+    var p = 0
+    while (p <= nTokens - k) {
+      md.reset()
+      var t = p
+      while (t < p + k) {
+        if (t > p) md.update(Space, 0, 1)
+        md.update(bytes, starts(t), ends(t) - starts(t))
+        t += 1
+      }
+      md.digest(h, 0, 16)
+      out(p) = fold60(h)
+      p += 1
+    }
+    ArrayData.toArrayData(out)
   }
 
   /** Called from both interpreted eval and generated code. */
@@ -85,13 +172,7 @@ object TokHashes {
         md.reset()
         md.update(bytes, start, i - start)
         md.digest(h, 0, 16)
-        // first 15 hex chars of the digest = bytes 0..6 plus the high
-        // nibble of byte 7 — exactly conv(substring(md5, 1, 15), 16, 10)
-        var v = 0L
-        var j = 0
-        while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
-        v = (v << 4) | ((h(7) & 0xffL) >>> 4)
-        out(tok) = v % P
+        out(tok) = fold60(h)
         tok += 1
         start = i + 1
       }

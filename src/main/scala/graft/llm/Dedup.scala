@@ -227,14 +227,12 @@ object Dedup {
     * dropped from the CANDIDATE join only. The Jaccard itself is exact,
     * computed on the full re-attached shingle sets (the d03 shape — the
     * pair-distinct shuffle carries only (da, db) ids, never the sets).
-    * Input needs (doc_id, source, toks). */
+    * Input needs (doc_id, source, text). */
   private[graft] def ngramJaccardOn(docs: DataFrame,
                                     dfCap: Long): DataFrame = {
     val base = docs
       .select(col("doc_id"), col("source"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("toks")) - 3),
-          i => tokHash(array_join(slice(col("toks"), i + 1, lit(3)), " "))))
+        array_distinct(call_function("shingle_hashes", col("text"), lit(3)))
           .as("shs"))
       // Feeds the explode AND both set re-attach joins; one row per doc
       // of int64 hashes (~2% of corpus text). Same lifecycle note as
@@ -594,9 +592,7 @@ object Dedup {
       val pairs = queries("d03_minhash_lsh_pairs")(s, dir)
       val docs = docsWithTokens(s, dir)
       val sigs = docs.select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("toks")) - 3),
-          i => tokHash(array_join(slice(col("toks"), i + 1, lit(3)), " "))))
+        array_distinct(call_function("shingle_hashes", col("text"), lit(3)))
           .as("shs"),
         simhashExpr(col("text")).as("sh16"))
       val a = sigs.select(col("doc_id").as("da"), col("shs").as("sa"),

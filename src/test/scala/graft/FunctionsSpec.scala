@@ -90,6 +90,32 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shingle_hashes matches the composed slice+join+md5 hash; empty " +
+    "for short docs (the oracle's range(len-k+1) semantics)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abz09é漢  "
+    val cases = (Seq("a b c", "a b c d", "x  y z", "é 漢 字 🎉") ++
+      (0 until 30).map(_ => (0 until (3 + rnd.nextInt(25)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString))
+      // the composed form is only well-defined for >= 3 tokens
+      .filter(_.split(" ", -1).length >= 3)
+    val got = cases.toDF("text").selectExpr(
+      "shingle_hashes(text, 3) AS f",
+      // the d04 composition: hash of each 3-token slice joined by ' '
+      "transform(sequence(0, size(split(text, ' ')) - 3), i -> " +
+        "conv(substring(md5(cast(array_join(slice(split(text, ' '), i + 1, 3), ' ') AS binary)), 1, 15), 16, 10) % 2147483647L) AS g")
+    got.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $r")
+    }
+    // short docs: composed sequence(0, negative) is ill-defined; the
+    // fused form pins the oracle's semantics — no shingles.
+    val short = Seq("", "a", "a b").toDF("text")
+      .selectExpr("shingle_hashes(text, 3) AS f").collect()
+    short.foreach(r => assert(r.getSeq[Long](0).isEmpty, r.toString))
+  }
+
   test("SET / SHOW config surface (reference context_checks.rs:239-336)") {
     spark.sql("SET spark.sql.shuffle.partitions=7")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
