@@ -85,7 +85,9 @@ object Dedup {
     val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)),
       lit(stride))
     val chunks = docs
-      .select(col("doc_id"), tk.as("tk"), explode(starts).as("idx"))
+      // outer explode: starts (a sequence) is never empty; the inferred
+      // size(..) > 0 filter would re-build it per row in the scan.
+      .select(col("doc_id"), tk.as("tk"), explode_outer(starts).as("idx"))
       .select(col("doc_id"), col("idx").cast("long").as("idx"),
         md5(array_join(slice(col("tk"), col("idx") + 1, lit(chunk)), " ")
           .cast("binary")).as("h"))
@@ -120,7 +122,8 @@ object Dedup {
     val tk = split(col("text"), " ")
     val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)), lit(para))
     val paras = docs
-      .select(col("doc_id"), tk.as("tk"), explode(starts).as("idx"))
+      // outer explode — same inferred-filter note as chunkDedup above.
+      .select(col("doc_id"), tk.as("tk"), explode_outer(starts).as("idx"))
       .select(col("doc_id"), col("idx").cast("long").as("idx"),
         array_join(slice(col("tk"), col("idx") + 1, lit(para)), " ").as("p"))
       .withColumn("h", md5(col("p").cast("binary")))
@@ -144,10 +147,12 @@ object Dedup {
     * needs (doc_id, text); `DedupPropSpec` property-checks it against an
     * in-memory brute force and pins the insertion re-sync property. */
   def cdcDedup(docs: DataFrame, modulus: Int = 16): DataFrame = {
-    val tks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val tks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"),
+      // all boundary hashes in one fused pass (th(i) = hash of tk(i))
+      call_function("tok_hashes", col("text")).as("th"))
     val n = size(col("tk"))
     val bpos = filter(sequence(lit(0), greatest(n - 1, lit(0))),
-      i => tokHash(element_at(col("tk"), i + 1)) % modulus === 0 && i < n)
+      i => element_at(col("th"), i + 1) % modulus === 0 && i < n)
     val chunked = tks
       .withColumn("starts",
         concat(array(lit(0)), transform(bpos, p => p + 1)))
@@ -159,7 +164,13 @@ object Dedup {
               .cast("binary")))),
         c => c.isNotNull))
     val chunks = chunked
-      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "h")))
+      // OUTER posexplode on purpose: chunks is never empty (a doc always
+      // keeps >= 1 non-empty chunk), but a plain posexplode makes
+      // Catalyst infer `size(chunks) > 0` and push it into the SCAN —
+      // re-evaluating the whole chunking expression (every boundary and
+      // chunk md5) a second time, below the repartition, in one task.
+      // The outer variant is row-identical here and skips no work.
+      .select(col("doc_id"), posexplode_outer(col("chunks")).as(Seq("idx", "h")))
       .withColumn("key", struct(col("doc_id"), col("idx").cast("long")))
       // Feeds canonical selection AND the join-back; without the persist
       // the per-token boundary hashing (the dominant cost — one md5 per
@@ -367,7 +378,10 @@ object Dedup {
       // 16-bit SimHash over token multiset: per-bit majority vote of
       // md5-derived token hashes.
       val ex = docsWithTokens(s, dir)
-        .select(col("doc_id"), explode(tokHashes(col("text"))).as("h"))
+        // explode_OUTER: tok_hashes is never empty, and the non-outer
+        // form makes Catalyst infer size(..) > 0 into the scan filter —
+        // re-hashing the corpus below the repartition (see d17's note).
+        .select(col("doc_id"), explode_outer(tokHashes(col("text"))).as("h"))
       val bitAggs = (0 until 16).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"b$j"))
