@@ -401,7 +401,7 @@ object Similarity {
       }
       def update(assigned: DataFrame): DataFrame =
         assigned
-          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+          .select(col("cid"), posexplode_outer(col("qv")).as(Seq("dim", "v")))
           .groupBy(col("cid"), col("dim"))
           .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
             .cast("long").as("mval"))
@@ -580,7 +580,7 @@ object Similarity {
       // into a 64-key groupBy with map-side partials — the per-dim
       // reduce is the cheapest possible full-corpus pass.
       quantizeInt8(s, dir)
-        .select(posexplode(col("q8")).as(Seq("dim", "q")))
+        .select(posexplode_outer(col("q8")).as(Seq("dim", "q")))
         .groupBy(col("dim").cast("long").as("dim"))
         .agg(count(lit(1)).as("n"),
           sum(col("q")).as("sum_q"),
@@ -608,11 +608,11 @@ object Similarity {
       // is how a real pipeline calibrates any per-feature codec.
       val ed = transform(col("embedding"), x => x.cast("double"))
       val ex = Tables.load(s, dir, "embeddings")
-        .select(posexplode(ed).as(Seq("dim", "x")))
+        .select(posexplode_outer(ed).as(Seq("dim", "x")))
       val dimMax = ex.groupBy(col("dim").cast("long").as("dim"))
         .agg(max(abs(col("x"))).as("dim_max"))
       val perVec = quantizeInt8(s, dir)
-        .select(posexplode(col("q8")).as(Seq("dim", "q")))
+        .select(posexplode_outer(col("q8")).as(Seq("dim", "q")))
         .groupBy(col("dim").cast("long").as("dim"))
         .agg(sum(when(abs(col("q")) === 127L, 1L).otherwise(0L))
           .as("n_sat_vec"))
@@ -728,7 +728,7 @@ object Similarity {
       array((0 until PqM).map(m =>
         slice(src, m * PqSub + 1, PqSub)): _*)
     val subs = qvAll.select(col("vec_id"),
-      posexplode(subSlices(col("qv"))).as(Seq("m", "sub")))
+      posexplode_outer(subSlices(col("qv"))).as(Seq("m", "sub")))
     val mk = md5(col("vec_id").cast("string").cast("binary"))
     val seed8 = qvAll.orderBy(mk, col("vec_id")).limit(PqK)
     // row_number over PqK rows (post-TakeOrdered), not the corpus.
@@ -748,7 +748,7 @@ object Similarity {
     }
     val cb = assign(seedSub)
       .select(col("m"), col("code"),
-        posexplode(col("sub")).as(Seq("dim", "v")))
+        posexplode_outer(col("sub")).as(Seq("dim", "v")))
       .groupBy(col("m"), col("code"), col("dim"))
       .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
         .cast("long").as("mval"))

@@ -112,7 +112,7 @@ object TextAnalysis {
       // Order-sensitive content signature, computed with exact int64 math.
       val P2 = 1000003L
       val ex = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+        .select(col("doc_id"), posexplode_outer(toks).as(Seq("pos", "t")))
         .withColumn("h",
           conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
             .cast("long") % P2)
@@ -133,7 +133,7 @@ object TextAnalysis {
         greatest(size(toks) - 1, lit(0)), lit(S))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), toks.as("tk"),
-          explode(starts).as("chunk_start"))
+          explode_outer(starts).as("chunk_start"))
         .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
           least(lit(C), size(col("tk")) - col("chunk_start")).cast("long")
             .as("n_chunk_toks"),
@@ -152,7 +152,7 @@ object TextAnalysis {
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
       val nDocs = 100L // fixed slice => constant N on both engines
       val toksEx = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("term"))
+        explode_outer(split(col("text"), " ")).as("term"))
       val tf = toksEx.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val df = toksEx.select(col("doc_id"), col("term")).distinct()
@@ -265,7 +265,7 @@ object TextAnalysis {
       // blowup) — linear at corpus scale. All outputs are exact
       // integers or ratios of exact integers.
       val ex = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
       val dfreq = ex.groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"))
       ex.join(dfreq, "tok")
@@ -320,7 +320,7 @@ object TextAnalysis {
         concat(col("doc_id").cast("string"), lit(":ep1"))
           .cast("binary")), 1, 15), 16, 10).cast("long") % 2
       val ex = Tables.load(s, dir, "documents")
-        .select(half.as("half"), explode(split(col("text"), " ")).as("tok"))
+        .select(half.as("half"), explode_outer(split(col("text"), " ")).as("tok"))
       val counts = ex.groupBy(col("tok"))
         .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
           sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
@@ -346,7 +346,7 @@ object TextAnalysis {
       // counts are bounded by the DF filter's output size).
       val docs = Tables.load(s, dir, "documents")
       val ex = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
+        explode_outer(split(col("text"), " ")).as("tok"))
       val stats = ex.groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occur"))
@@ -370,7 +370,7 @@ object TextAnalysis {
       // cross the exchange), so no full-vocabulary single-partition
       // window ever exists; the row_number then runs over 50 rows.
       val counts = Tables.load(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(explode_outer(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))
         .limit(50)
