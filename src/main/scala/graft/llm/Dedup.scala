@@ -744,14 +744,22 @@ object Dedup {
       // Column `/` is double division — `div` keeps it exact-integer.
       val prefLen = expr("CAST(sz - ((sz * 7 + 9) div 10) + 1 AS INT)")
       val pref = ranked
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("source"), col("sz"),
           explode(slice(col("ord"), lit(1), prefLen)).as("p"))
-        .select(col("doc_id"), col("source"), col("p.h").as("h"))
-      val a = pref.select(col("doc_id").as("da"), col("source"), col("h"))
+        .select(col("doc_id"), col("source"), col("sz"),
+          col("p.h").as("h"))
+      val a = pref.select(col("doc_id").as("da"), col("source"),
+        col("sz").as("sza"), col("h"))
       val b = pref.select(col("doc_id").as("db"), col("source").as("sb"),
-        col("h").as("hb"))
+        col("sz").as("szb"), col("h").as("hb"))
+      // PPJoin's LENGTH filter, integer form: J ≥ 0.7 forces
+      // |∩| ≥ 0.7·max(|x|,|y|) and |∩| ≤ min(|x|,|y|), so any true pair
+      // has 7·max ≤ 10·min — pruning candidates BEFORE the distinct and
+      // the (expensive) set-intersection verification, never results.
       val cand = a.join(b, col("source") === col("sb") &&
-          col("h") === col("hb") && col("da") < col("db"))
+          col("h") === col("hb") && col("da") < col("db") &&
+          col("sza") * 7 <= col("szb") * 10 &&
+          col("szb") * 7 <= col("sza") * 10)
         .select(col("da"), col("db")).distinct()
       val sets = base.select(col("doc_id"), col("tset"))
       cand
@@ -1190,15 +1198,16 @@ object Dedup {
            |  COUNT(*) AS sz
            | FROM ex JOIN dfreq USING (h) GROUP BY doc_id, source),
            |pref AS (
-           | SELECT doc_id, source,
+           | SELECT doc_id, source, sz,
            |  unnest(list_slice(ord, 1,
            |    CAST(sz - (sz * 7 + 9) // 10 + 1 AS INT))) AS p
            | FROM ord),
-           |ph AS (SELECT doc_id, source, p.h AS h FROM pref),
+           |ph AS (SELECT doc_id, source, sz, p.h AS h FROM pref),
            |cand AS (
            | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
            | FROM ph a JOIN ph b
-           |  ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id)
+           |  ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+           |   AND a.sz * 7 <= b.sz * 10 AND b.sz * 7 <= a.sz * 10)
            |SELECT da, db,
            | CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE) /
            |   (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset)))
