@@ -274,6 +274,72 @@ object Dedup {
       .limit(100)
   }
 
+  /** PREFIX-FILTERING set-similarity join (the PPJoin family) — d19's
+    * engine, the EXACT-threshold alternative to LSH banding: candidates
+    * provably include EVERY pair with Jaccard ≥ 0.7 (no probabilistic
+    * recall loss, unlike d03/d15 banding, which trades recall for cost;
+    * `DedupPropSpec` pins recall == brute force on arbitrary corpora).
+    * Tokens get a global total order (document frequency ascending, hash
+    * tiebreak — rarest first); each doc emits only its first
+    * L = |s| − ⌈0.7·|s|⌉ + 1 tokens in that order; two sets with J ≥ 0.7
+    * MUST collide inside these prefixes (pigeonhole on the shared
+    * suffix). ⌈0.7·|s|⌉ is computed in INTEGER form ((7·sz+9) div 10)
+    * so both engines agree with no float edge.
+    *
+    * 100 TB shape: candidate generation joins on a prefix token — and
+    * prefixes hold each doc's RAREST tokens, so bucket populations are
+    * df-bounded from below by construction (the frequent tokens that
+    * would blow up d04 without its cap never enter a prefix unless a doc
+    * has nothing rarer). PPJoin's length filter (7·max ≤ 10·min, implied
+    * by J ≥ 0.7) prunes size-incompatible collisions inside the join.
+    * Pair shuffle carries only (da, db); full sets re-attach by
+    * equi-join for exact verification, the d03 discipline.
+    * Input needs (doc_id, source, text). */
+  private[graft] def prefixFilterPairsOn(docs: DataFrame): DataFrame = {
+    val t = 0.7
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        array_distinct(tokHashes(col("text"))).as("tset"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("doc_id"), col("source"),
+      explode(col("tset")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+          .as("ord"),
+        count(lit(1)).as("sz"))
+    // Column `/` is double division — `div` keeps it exact-integer.
+    val prefLen = expr("CAST(sz - ((sz * 7 + 9) div 10) + 1 AS INT)")
+    val pref = ranked
+      .select(col("doc_id"), col("source"), col("sz"),
+        explode(slice(col("ord"), lit(1), prefLen)).as("p"))
+      .select(col("doc_id"), col("source"), col("sz"),
+        col("p.h").as("h"))
+    val a = pref.select(col("doc_id").as("da"), col("source"),
+      col("sz").as("sza"), col("h"))
+    val b = pref.select(col("doc_id").as("db"), col("source").as("sb"),
+      col("sz").as("szb"), col("h").as("hb"))
+    val cand = a.join(b, col("source") === col("sb") &&
+        col("h") === col("hb") && col("da") < col("db") &&
+        col("sza") * 7 <= col("szb") * 10 &&
+        col("szb") * 7 <= col("sza") * 10)
+      .select(col("da"), col("db")).distinct()
+    val sets = base.select(col("doc_id"), col("tset"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("tset").as("ta")),
+        "da")
+      .join(sets.select(col("doc_id").as("db"), col("tset").as("tb")),
+        "db")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
+      .filter(col("jac") >= t)
+      .select(col("da"), col("db"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Per-doc MinHash state for the LSH pipeline: distinct token-hash set
     * + k-value signature array (sig(j) == d02's mh{j} — ONE definition of
     * the signature for mining, flat-column export, and calibration).
@@ -710,70 +776,7 @@ object Dedup {
     },
 
     "d19_prefix_filter_pairs" -> { (s, dir) =>
-      // PREFIX-FILTERING set-similarity join (the PPJoin family) — the
-      // EXACT-threshold alternative to LSH banding: candidates provably
-      // include EVERY pair with Jaccard ≥ t (no probabilistic recall
-      // loss, unlike d03/d15 banding, which trades recall for cost).
-      // Tokens get a global total order (document frequency ascending,
-      // hash tiebreak — rarest first); each doc emits only its first
-      // L = |s| − ⌈t·|s|⌉ + 1 tokens in that order; two sets with
-      // J ≥ t MUST collide inside these prefixes (pigeonhole on the
-      // shared suffix). ⌈0.7·|s|⌉ is computed in INTEGER form
-      // ((7·sz+9) div 10) so both engines agree with no float edge.
-      //
-      // 100 TB shape: candidate generation joins on a prefix token —
-      // and prefixes hold each doc's RAREST tokens, so bucket
-      // populations are df-bounded from below by construction (the
-      // frequent tokens that would blow up d04 without its cap never
-      // enter a prefix unless a doc has nothing rarer). Pair shuffle
-      // carries only (da, db); full sets re-attach by equi-join for
-      // exact verification, the d03 discipline.
-      val t = 0.7
-      val base = docsWithTokens(s, dir)
-        .select(col("doc_id"), col("source"),
-          array_distinct(tokHashes(col("text"))).as("tset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val ex = base.select(col("doc_id"), col("source"),
-        explode(col("tset")).as("h"))
-      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val ranked = ex.join(dfreq, "h")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
-            .as("ord"),
-          count(lit(1)).as("sz"))
-      // Column `/` is double division — `div` keeps it exact-integer.
-      val prefLen = expr("CAST(sz - ((sz * 7 + 9) div 10) + 1 AS INT)")
-      val pref = ranked
-        .select(col("doc_id"), col("source"), col("sz"),
-          explode(slice(col("ord"), lit(1), prefLen)).as("p"))
-        .select(col("doc_id"), col("source"), col("sz"),
-          col("p.h").as("h"))
-      val a = pref.select(col("doc_id").as("da"), col("source"),
-        col("sz").as("sza"), col("h"))
-      val b = pref.select(col("doc_id").as("db"), col("source").as("sb"),
-        col("sz").as("szb"), col("h").as("hb"))
-      // PPJoin's LENGTH filter, integer form: J ≥ 0.7 forces
-      // |∩| ≥ 0.7·max(|x|,|y|) and |∩| ≤ min(|x|,|y|), so any true pair
-      // has 7·max ≤ 10·min — pruning candidates BEFORE the distinct and
-      // the (expensive) set-intersection verification, never results.
-      val cand = a.join(b, col("source") === col("sb") &&
-          col("h") === col("hb") && col("da") < col("db") &&
-          col("sza") * 7 <= col("szb") * 10 &&
-          col("szb") * 7 <= col("sza") * 10)
-        .select(col("da"), col("db")).distinct()
-      val sets = base.select(col("doc_id"), col("tset"))
-      cand
-        .join(sets.select(col("doc_id").as("da"), col("tset").as("ta")),
-          "da")
-        .join(sets.select(col("doc_id").as("db"), col("tset").as("tb")),
-          "db")
-        .withColumn("inter",
-          size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .withColumn("jac", col("inter").cast("double") /
-          ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
-        .filter(col("jac") >= t)
-        .select(col("da"), col("db"), col("jac"))
-        .orderBy(col("da"), col("db"))
+      prefixFilterPairsOn(docsWithTokens(s, dir))
     },
 
     "d18_incremental_dedup" -> { (s, dir) =>

@@ -296,6 +296,50 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d19 prefix-filter join finds EXACTLY the brute-force J >= 0.7 " +
+    "pairs (guaranteed recall, unlike banding)") {
+    val s = spark
+    import s.implicits._
+    // Small vocab + short docs maximize both high-Jaccard pairs and
+    // prefix collisions; sources split the corpus so the within-source
+    // scope is exercised too.
+    val genCase = for {
+      nDocs <- Gen.choose(4, 14)
+      docs <- Gen.sequence[Seq[(Long, String, String)], (Long, String, String)](
+        (0 until nDocs).map { id =>
+          for {
+            n <- Gen.choose(1, 12)
+            src <- Gen.oneOf("web", "code")
+            toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+          } yield (id.toLong, src, toks.mkString(" "))
+        })
+    } yield docs
+    val prop = Prop.forAll(genCase) { docs =>
+      val got = Dedup.prefixFilterPairsOn(
+          docs.toDF("doc_id", "source", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // brute force: every same-source pair, exact Jaccard on distinct
+      // token-hash sets (the same md5-prefix hash via tokHashJvm)
+      val sets = docs.map { case (id, src, text) =>
+        (id, src, text.split(" ", -1).map(tokHashJvm).toSet) }
+      val brute = (for {
+        (ia, sa, ta) <- sets; (ib, sb, tb) <- sets
+        if sa == sb && ia < ib
+        inter = (ta & tb).size
+        jac = inter.toDouble / (ta.size + tb.size - inter)
+        if jac >= 0.7
+      } yield (ia, ib) -> jac).toMap
+      val ok = got == brute
+      if (!ok) println(s"prefix-filter $got != brute $brute on $docs")
+      spark.catalog.clearCache() // prefixFilterPairsOn persists its base
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("d04 DF cap: a corpus-hot shingle is dropped from candidate " +
     "generation; rare-shingle near-dups still surface") {
     val s = spark
