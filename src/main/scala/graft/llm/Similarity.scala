@@ -91,6 +91,11 @@ object Similarity {
   def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
     val ed = transform(col("embedding"), x => x.cast("double"))
     Tables.load(s, dir, "embeddings")
+      // NULL-embedding guard: downstream posexplode_outer sites (the
+      // inferred-generator-filter fix) would emit a NULL-dim row for a
+      // NULL vector where DuckDB's unnest(NULL) emits nothing; the
+      // pushed IsNotNull makes outer row-identical to inner.
+      .filter(col("embedding").isNotNull)
       .withColumn("max_abs", array_max(transform(ed, x => abs(x))))
       .withColumn("scale",
         when(col("max_abs") === 0.0, lit(0.0))
@@ -608,6 +613,7 @@ object Similarity {
       // is how a real pipeline calibrates any per-feature codec.
       val ed = transform(col("embedding"), x => x.cast("double"))
       val ex = Tables.load(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull) // NULL guard (see quantizeInt8)
         .select(posexplode_outer(ed).as(Seq("dim", "x")))
       val dimMax = ex.groupBy(col("dim").cast("long").as("dim"))
         .agg(max(abs(col("x"))).as("dim_max"))
@@ -699,6 +705,7 @@ object Similarity {
     * (round(x/||x||*1000)): exact enough to rank, deterministic enough
     * to hash-compare across engines. */
   private def normQuant(e: DataFrame): DataFrame = e
+    .filter(col("embedding").isNotNull) // NULL guard (see quantizeInt8)
     .select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ed"))
     .withColumn("nrm", sqrt(aggregate(

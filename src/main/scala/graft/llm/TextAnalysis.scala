@@ -111,7 +111,12 @@ object TextAnalysis {
       // Positional rolling-hash fingerprint: sum((pos+1) * tokhash) mod p.
       // Order-sensitive content signature, computed with exact int64 math.
       val P2 = 1000003L
+      // NULL-text guard: outer explode of a NULL-derived array would
+      // emit a NULL row where DuckDB's unnest(NULL) emits nothing; the
+      // pushed IsNotNull makes outer row-identical to inner on any
+      // corpus (same guard at every outer-explode site in this file).
       val ex = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), posexplode_outer(toks).as(Seq("pos", "t")))
         .withColumn("h",
           conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
@@ -132,6 +137,7 @@ object TextAnalysis {
       val starts = sequence(lit(0),
         greatest(size(toks) - 1, lit(0)), lit(S))
       Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
         .select(col("doc_id"), toks.as("tk"),
           explode_outer(starts).as("chunk_start"))
         .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
@@ -151,8 +157,9 @@ object TextAnalysis {
       // exactly the distributed shape of a real TF-IDF job.
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
       val nDocs = 100L // fixed slice => constant N on both engines
-      val toksEx = docs.select(col("doc_id"),
-        explode_outer(split(col("text"), " ")).as("term"))
+      val toksEx = docs.filter(col("text").isNotNull) // NULL-text guard (see t04)
+        .select(col("doc_id"),
+          explode_outer(split(col("text"), " ")).as("term"))
       val tf = toksEx.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val df = toksEx.select(col("doc_id"), col("term")).distinct()
@@ -265,6 +272,7 @@ object TextAnalysis {
       // blowup) — linear at corpus scale. All outputs are exact
       // integers or ratios of exact integers.
       val ex = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
         .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
       val dfreq = ex.groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"))
@@ -320,6 +328,7 @@ object TextAnalysis {
         concat(col("doc_id").cast("string"), lit(":ep1"))
           .cast("binary")), 1, 15), 16, 10).cast("long") % 2
       val ex = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
         .select(half.as("half"), explode_outer(split(col("text"), " ")).as("tok"))
       val counts = ex.groupBy(col("tok"))
         .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
@@ -345,6 +354,7 @@ object TextAnalysis {
       // scalar joins as a 1-row broadcast. Linear, no skew (token key
       // counts are bounded by the DF filter's output size).
       val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
       val ex = docs.select(col("doc_id"),
         explode_outer(split(col("text"), " ")).as("tok"))
       val stats = ex.groupBy(col("tok"))
@@ -370,6 +380,7 @@ object TextAnalysis {
       // cross the exchange), so no full-vocabulary single-partition
       // window ever exists; the row_number then runs over 50 rows.
       val counts = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
         .select(explode_outer(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))

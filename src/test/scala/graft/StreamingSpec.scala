@@ -184,6 +184,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("interval-island stream: cross-batch late-event merge and " +
+    "gap-separated straggler both match the batch twin") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val winMin = 10
+    // Batch 1 opens islands; batch 2 delivers out-of-order events:
+    //  u1: open [60,75) after batch 1; late t=72 TOUCHES it => merge to
+    //      [60,82) n=3 (the cross-batch merge path),
+    //  u2: open [90,100) after batch 1; late t=65 ends at 75 < 90 =>
+    //      gap-separated straggler => immediate singleton [65,75)
+    //      (the documented eager-close path — identical to batch here
+    //      because nothing else touches [65,75)).
+    // Watermark delay 30min keeps both batch-2 events above the
+    // watermark (max ts after batch 1 is 90 => watermark 60; an event
+    // AT the watermark is dropped, which is why nothing sits below 65).
+    val b1 = Seq(Ev(1, ts(60), 0), Ev(1, ts(65), 0), Ev(2, ts(90), 0))
+    val b2 = Seq(Ev(1, ts(72), 0), Ev(2, ts(65), 0))
+    val input = MemoryStream[Ev]
+    val q = StreamOps.intervalIslandsStream(input.toDS(), winMin,
+        "30 minutes")
+      .writeStream.format("memory").queryName("islands_xbatch")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      input.addData(Ev(99, ts(1000), 0)) // close every open island
+      q.processAllAvailable()
+      val got = spark.table("islands_xbatch")
+        .filter(col("user_id") =!= 99)
+        .select(col("user_id"),
+          (unix_timestamp(col("island_start")) * 1000).as("st"),
+          (unix_timestamp(col("island_end")) * 1000).as("en"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("st"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val m = 60L * 1000L
+      assert(got == Seq((1L, 60 * m, 82 * m, 3L),
+        (2L, 65 * m, 75 * m, 1L), (2L, 90 * m, 100 * m, 1L)), got.toString)
+
+      // Batch twin (p15 cummax) over the union of both micro-batches.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("t"))
+      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val batch = (b1 ++ b2).toDF()
+        .withColumn("t", unix_timestamp(col("ts")) * 1000)
+        .withColumn("end", col("t") + winMin * 60L * 1000L)
+        .withColumn("mpe", max(col("end")).over(w.rowsBetween(uPre, -1)))
+        .withColumn("ni", when(col("mpe").isNull ||
+          col("t") > col("mpe"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("ni")).over(w.rowsBetween(uPre, 0)))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("t")).as("st"), max(col("end")).as("en"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("st"), col("en"), col("n_events"))
+        .orderBy(col("user_id"), col("st"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("transition stream pairs events across micro-batches; matches batch lead()") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
