@@ -79,8 +79,11 @@ object Dedup {
     * ratios. Input needs (doc_id, text); d10's graded entry runs it on
     * `documents`, and `DedupPropSpec` property-checks it against an
     * in-memory brute force on arbitrary corpora. */
-  def chunkDedup(docs: DataFrame, chunk: Int = 50,
+  def chunkDedup(docsIn: DataFrame, chunk: Int = 50,
                  stride: Int = 40): DataFrame = {
+    // NULL-text guard: keeps the outer explode below row-identical to
+    // the inner form (DuckDB's unnest(NULL) emits nothing).
+    val docs = docsIn.filter(col("text").isNotNull)
     val tk = split(col("text"), " ")
     val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)),
       lit(stride))
@@ -118,7 +121,8 @@ object Dedup {
     * selection — unskewable key) + ONE groupBy(doc_id) for reassembly;
     * both linear in corpus size. The reassembly collect_list is bounded
     * by a single document's block count, never by the corpus. */
-  def paragraphDedup(docs: DataFrame, para: Int = 20): DataFrame = {
+  def paragraphDedup(docsIn: DataFrame, para: Int = 20): DataFrame = {
+    val docs = docsIn.filter(col("text").isNotNull) // see chunkDedup
     val tk = split(col("text"), " ")
     val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)), lit(para))
     val paras = docs
@@ -146,7 +150,8 @@ object Dedup {
     * md5, canonical copy = arg-min (doc_id, chunk ordinal) struct. Input
     * needs (doc_id, text); `DedupPropSpec` property-checks it against an
     * in-memory brute force and pins the insertion re-sync property. */
-  def cdcDedup(docs: DataFrame, modulus: Int = 16): DataFrame = {
+  def cdcDedup(docsIn: DataFrame, modulus: Int = 16): DataFrame = {
+    val docs = docsIn.filter(col("text").isNotNull) // see chunkDedup
     val tks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"),
       // all boundary hashes in one fused pass (th(i) = hash of tk(i))
       call_function("tok_hashes", col("text")).as("th"))
@@ -197,6 +202,13 @@ object Dedup {
     // groups and this shuffle stays proportionally negligible (docs are
     // re-shuffled once, before the fan-out to signature consumers).
     Tables.load(s, dir, "documents")
+      // NULL-text guard: the outer-explode sites downstream (used for
+      // the inferred-generator-filter fix) would turn a NULL text row
+      // into a NULL-token row, where DuckDB's unnest(NULL) emits
+      // nothing. Dropping NULL text at load (a pushed IsNotNull scan
+      // filter, free) makes every outer explode provably row-identical
+      // to the inner form on any corpus.
+      .filter(col("text").isNotNull)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
 
@@ -291,9 +303,11 @@ object Dedup {
     * df-bounded from below by construction (the frequent tokens that
     * would blow up d04 without its cap never enter a prefix unless a doc
     * has nothing rarer). PPJoin's length filter (7·max ≤ 10·min, implied
-    * by J ≥ 0.7) prunes size-incompatible collisions inside the join.
-    * Pair shuffle carries only (da, db); full sets re-attach by
-    * equi-join for exact verification, the d03 discipline.
+    * by J ≥ 0.7) and POSITIONAL filter (overlap upper bound from the
+    * collision's prefix positions — see the note at the join) prune
+    * collisions inside the join condition, before any pair ever reaches
+    * the shuffle. Pair shuffle carries only (da, db); full sets
+    * re-attach by equi-join for exact verification, the d03 discipline.
     * Input needs (doc_id, source, text). */
   private[graft] def prefixFilterPairsOn(docs: DataFrame): DataFrame = {
     val t = 0.7
@@ -313,17 +327,32 @@ object Dedup {
     val prefLen = expr("CAST(sz - ((sz * 7 + 9) div 10) + 1 AS INT)")
     val pref = ranked
       .select(col("doc_id"), col("source"), col("sz"),
-        explode(slice(col("ord"), lit(1), prefLen)).as("p"))
+        posexplode(slice(col("ord"), lit(1), prefLen)).as(Seq("pos", "p")))
       .select(col("doc_id"), col("source"), col("sz"),
-        col("p.h").as("h"))
+        col("pos"), col("p.h").as("h"))
     val a = pref.select(col("doc_id").as("da"), col("source"),
-      col("sz").as("sza"), col("h"))
+      col("sz").as("sza"), col("pos").as("pa"), col("h"))
     val b = pref.select(col("doc_id").as("db"), col("source").as("sb"),
-      col("sz").as("szb"), col("h").as("hb"))
+      col("sz").as("szb"), col("pos").as("pb"), col("h").as("hb"))
+    // PPJoin's POSITIONAL filter (Xiao et al. §3.2): a prefix collision
+    // at 0-based positions (pa, pb) of the df-ordered sets bounds the
+    // whole-set overlap by min(pa,pb) + 1 + min(sza-pa-1, szb-pb-1)
+    // (common tokens before the collision, the collision itself, common
+    // tokens after). J ≥ 0.7 needs overlap O with 17·O ≥ 7·(sza+szb)
+    // (O/(sza+szb−O) ≥ 7/10 rearranged — exact integers, no float
+    // edge). The bound holds for EVERY collision of a true pair, so
+    // dropping rows whose bound falls short loses no recall (the
+    // DedupPropSpec brute-force property keeps pinning that) while
+    // pruning size-compatible-but-position-hopeless collisions the
+    // length filter can't see — before the pair distinct, so the
+    // shuffle shrinks too.
+    val obound = least(col("pa"), col("pb")) + lit(1) +
+      least(col("sza") - col("pa") - 1, col("szb") - col("pb") - 1)
     val cand = a.join(b, col("source") === col("sb") &&
         col("h") === col("hb") && col("da") < col("db") &&
         col("sza") * 7 <= col("szb") * 10 &&
-        col("szb") * 7 <= col("sza") * 10)
+        col("szb") * 7 <= col("sza") * 10 &&
+        obound * 17 >= (col("sza") + col("szb")) * 7)
       .select(col("da"), col("db")).distinct()
     val sets = base.select(col("doc_id"), col("tset"))
     cand
@@ -364,6 +393,46 @@ object Dedup {
         array_distinct(col("__th")).as("tset"),
         sigArray(col("__th")).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Pre-materialized incremental-ingest dedup INDEX — d21's engine and
+    * the production shape of d18: the standing corpus's (doc_id % 7 ≠ 0)
+    * content hashes, LSH band table, and token sets are written to
+    * parquet ONCE and probed by every subsequent batch run, so measured
+    * work is ∝ |batch| × collision rate — the batch is hashed, the
+    * corpus is only SCANNED (column-pruned, hash-partitioned band
+    * table), never re-hashed. The analogue of the reference's
+    * materialized shuffle stages consumed by later stages
+    * (`core/src/execution_plans/shuffle_reader.rs:100`).
+    *
+    * The index lives under java.io.tmpdir keyed by the corpus file's
+    * (length, mtime) fingerprint: a regenerated corpus gets a fresh
+    * index instead of a silently stale one. Build-if-missing runs at
+    * query construction (the daily pipeline's "maintain the index"
+    * step); Bench's warmup pass builds it, so the measured pass times
+    * the probe alone. Returns the index directory. */
+  private def ensureIngestIndex(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_ingest_index/${src.length}_${src.lastModified}")
+    val marker = new java.io.File(base, "_BUILT")
+    if (!marker.exists()) {
+      val sig = lshSigDf(s, dir).filter(col("doc_id") % 7 =!= 0)
+      sig.select(col("doc_id").as("db"),
+          posexplode_outer(col("sig")).as(Seq("band", "mh")))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(base, "bands").getPath)
+      sig.select(col("doc_id").as("db"), col("tset").as("tb"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(base, "tsets").getPath)
+      Tables.load(s, dir, "documents").filter(col("doc_id") % 7 =!= 0)
+        .select(md5(col("text").cast("binary")).as("cch")).distinct()
+        .write.mode("overwrite")
+        .parquet(new java.io.File(base, "hashes").getPath)
+      marker.createNewFile()
+    }
+    base.getAbsolutePath
+  }
 
   /** d03's band-bucket pair miner over a [[lshSigDf]]: candidates share
     * ≥1 MinHash value within a source partition, verified with true
@@ -804,7 +873,11 @@ object Dedup {
         .select(col("doc_id"),
           when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
       val bands = sig.select(col("doc_id"),
-        posexplode(col("sig")).as(Seq("band", "mh")))
+        // outer for consistency with the d17 inferred-filter fix: sig is
+        // a fixed-size array so the forms are row-identical, and the
+        // non-outer variant would silently rely on lshSigDf's persist to
+        // avoid re-evaluating the signature pass inside the scan filter.
+        posexplode_outer(col("sig")).as(Seq("band", "mh")))
       val bb = bands.filter(isNew)
         .select(col("doc_id").as("da"), col("band"), col("mh"))
       val cb = bands.filter(!isNew)
@@ -873,6 +946,59 @@ object Dedup {
         .orderBy(col("source"))
     },
 
+    "d21_indexed_ingest" -> { (s, dir) =>
+      // d18's PRODUCTION shape (round-6 verdict item 2): the corpus-side
+      // dedup index (content hashes + band table + token sets) comes
+      // from the pre-materialized parquet artifact [[ensureIngestIndex]]
+      // maintains; this query hashes ONLY the batch (doc_id % 7 = 0) and
+      // probes the index. Same report as d18 — exact-dup flag, LSH
+      // candidate count, verified near-dup count, best match — but the
+      // plan contains no corpus re-hash: the corpus side is three
+      // column-pruned parquet scans, so daily cost is ∝ |batch| ×
+      // collision rate at any corpus size.
+      val idx = ensureIngestIndex(s, dir)
+      val isNew = col("doc_id") % 7 === 0
+      // Batch-only signature pass — the ONLY text hashing in the plan.
+      val bsig = docsWithTokens(s, dir).filter(isNew)
+        .withColumn("__th", tokHashes(col("text")))
+        .select(col("doc_id"),
+          array_distinct(col("__th")).as("tset"),
+          sigArray(col("__th")).as("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // feeds bands + re-attach
+      val exact = Tables.load(s, dir, "documents").filter(isNew)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+        .join(s.read.parquet(s"$idx/hashes"), col("ch") === col("cch"),
+          "left_outer")
+        .select(col("doc_id"),
+          when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
+      val bb = bsig.select(col("doc_id").as("da"),
+        posexplode_outer(col("sig")).as(Seq("band", "mh")))
+      val cand = bb.join(s.read.parquet(s"$idx/bands")
+            .toDF("db", "bandb", "mhb"),
+          col("band") === col("bandb") && col("mh") === col("mhb"))
+        .select(col("da"), col("db")).distinct()
+      val verified = cand
+        .join(bsig.select(col("doc_id").as("da"), col("tset").as("ta")),
+          "da")
+        .join(s.read.parquet(s"$idx/tsets").toDF("db", "tb"), "db")
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
+        .groupBy(col("da"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_near"),
+          max(when(col("jac") >= 0.7,
+            struct(col("jac"), col("db")))).as("best"))
+      exact.join(verified, col("doc_id") === col("da"), "left_outer")
+        .select(col("doc_id"), col("exact_dup"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("best.jac").as("best_jac"),
+          col("best.db").as("best_doc"))
+        .orderBy(col("doc_id"))
+    },
+
     "d14_epoch_shards" -> { (s, dir) =>
       // Deterministic EPOCH SHUFFLE — how a training run re-orders a
       // 100 TB corpus per epoch without ever materializing a global
@@ -903,6 +1029,52 @@ object Dedup {
   )
 
   private val duckTokHash = tokHashSqlDuck.format("t")
+
+  /** d18's DuckDB twin — shared verbatim by d21 (the materialized index
+    * is a view of the corpus side, not a semantic change). */
+  private lazy val oracleD18: String =
+    s"""WITH sig AS (
+           | SELECT doc_id,
+           |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
+           |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
+           | FROM documents),
+           |h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+           |exact AS (
+           | SELECT b.doc_id,
+           |  CAST(CASE WHEN EXISTS (
+           |    SELECT 1 FROM h c
+           |    WHERE c.doc_id % 7 <> 0 AND c.ch = b.ch)
+           |   THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+           | FROM h b WHERE b.doc_id % 7 = 0),
+           |bands AS (
+           | SELECT doc_id, generate_subscripts(sig,1)-1 AS band,
+           |  unnest(sig) AS mh, tset
+           | FROM sig),
+           |cand AS (
+           | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           |  a.tset AS ta, b.tset AS tb
+           | FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.mh = b.mh
+           | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+           |jc AS (
+           | SELECT da, db,
+           |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+           |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
+           | FROM cand),
+           |ver AS (
+           | SELECT da, COUNT(*) AS n_candidates,
+           |  CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_near,
+           |  MAX(CASE WHEN jac >= 0.7 THEN {'jac': jac, 'db': db} END)
+           |    AS best
+           | FROM jc GROUP BY da)
+           |SELECT e.doc_id, e.exact_dup,
+           | COALESCE(v.n_candidates, 0) AS n_candidates,
+           | COALESCE(v.n_near, 0) AS n_near,
+           | (v.best).jac AS best_jac,
+           | CAST((v.best).db AS BIGINT) AS best_doc
+           |FROM exact e LEFT JOIN ver v ON e.doc_id = v.da
+           |ORDER BY e.doc_id""".stripMargin
 
   def oracle: Map[String, String] = {
     val mhExprs = A.indices.map { j =>
@@ -1221,49 +1393,12 @@ object Dedup {
            |   >= 0.7
            |ORDER BY da, db""".stripMargin,
 
-      "d18_incremental_dedup" ->
-        s"""WITH sig AS (
-           | SELECT doc_id,
-           |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
-           |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
-           | FROM documents),
-           |h AS (SELECT doc_id, md5(text) AS ch FROM documents),
-           |exact AS (
-           | SELECT b.doc_id,
-           |  CAST(CASE WHEN EXISTS (
-           |    SELECT 1 FROM h c
-           |    WHERE c.doc_id % 7 <> 0 AND c.ch = b.ch)
-           |   THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
-           | FROM h b WHERE b.doc_id % 7 = 0),
-           |bands AS (
-           | SELECT doc_id, generate_subscripts(sig,1)-1 AS band,
-           |  unnest(sig) AS mh, tset
-           | FROM sig),
-           |cand AS (
-           | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-           |  a.tset AS ta, b.tset AS tb
-           | FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.mh = b.mh
-           | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
-           |jc AS (
-           | SELECT da, db,
-           |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
-           |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
-           | FROM cand),
-           |ver AS (
-           | SELECT da, COUNT(*) AS n_candidates,
-           |  CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_near,
-           |  MAX(CASE WHEN jac >= 0.7 THEN {'jac': jac, 'db': db} END)
-           |    AS best
-           | FROM jc GROUP BY da)
-           |SELECT e.doc_id, e.exact_dup,
-           | COALESCE(v.n_candidates, 0) AS n_candidates,
-           | COALESCE(v.n_near, 0) AS n_near,
-           | (v.best).jac AS best_jac,
-           | CAST((v.best).db AS BIGINT) AS best_doc
-           |FROM exact e LEFT JOIN ver v ON e.doc_id = v.da
-           |ORDER BY e.doc_id""".stripMargin,
+      "d18_incremental_dedup" -> oracleD18,
+
+      // d21 computes exactly d18's report (the index is a materialized
+      // view of the corpus side, not a semantic change), so its oracle
+      // is d18's SQL verbatim — DuckDB recomputes the index inline.
+      "d21_indexed_ingest" -> oracleD18,
 
       "d20_normalized_dedup" ->
         """WITH n AS (

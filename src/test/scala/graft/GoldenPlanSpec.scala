@@ -162,7 +162,25 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // normalized dedup must stay ONE projection + ONE partial-distinct
     // groupBy (a second exchange — e.g. a distinct before the count —
     // would show here).
-    "d20_normalized_dedup")
+    "d20_normalized_dedup",
+    // indexed ingest dedup must probe the MATERIALIZED index: the
+    // corpus side is three parquet FileScans (bands/tsets/hashes) with
+    // NO tokhashes over the corpus — the only text hashing allowed in
+    // the plan is the batch side's (pushed (doc_id % 7) = 0 scan).
+    "d21_indexed_ingest",
+    // round-7 sweep: every >1 s query carries a frozen plan (the
+    // reference freezes all 22 staged TPC-H plans,
+    // tpch_plan_stability/approved/). d11 shares d03's one signature
+    // pass; d13's two-grain prefix sum stays two windows (bucket grain
+    // + 256-row global), never a per-source serial window; v07's
+    // recall harness keeps the ground-truth join bounded by |Q|; v08's
+    // IVF probe broadcasts the codebook and never shuffles the corpus
+    // twice; h09's r² must stay ONE map-side-combined groupBy (the
+    // moment-sum rewrite), no second pass over lineitem.
+    "d11_minhash_calibration",
+    "v07_ann_recall",
+    "v08_ivf_rerank",
+    "h09_r2_by_id24")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
