@@ -482,6 +482,126 @@ object Similarity {
         .orderBy(col("q_id"))
     },
 
+    "v17_ivf_sqrtn" -> { (s, dir) =>
+      // K ∝ √N TRAINED IVF — v09's production-sizing step: the same
+      // integer-deterministic spherical-Lloyd machinery, but the
+      // codebook is sized K = round(√N) (the standard IVF rule — the
+      // per-query cell scan N/K and the K-row codebook probe balance at
+      // √N) and trained one round longer (T=3 vs v09's 2). Graded like
+      // v09: both codebooks on the same held-out queries at ~equal
+      // candidate volume — the √N leg probes round(K/4) cells so the
+      // probed corpus fraction stays ~1/4, matching the 16-cell leg's
+      // 4-probe cost. Smaller, purer cells at fixed probe fraction
+      // should hold or beat the K=16 recall; n_cand columns in the
+      // output keep the cost comparison honest. K and the probe count
+      // derive from ONE driver-side count (a parquet-metadata lookup,
+      // not a corpus scan); everything else is v09's exact arithmetic,
+      // so the DuckDB twin (which derives K/P with scalar subqueries)
+      // is still bit-identical.
+      val e = Tables.load(s, dir, "embeddings")
+      val qvAll = e
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ed"))
+        .withColumn("nrm", sqrt(aggregate(
+          zip_with(col("ed"), col("ed"), (x, w) => x * w),
+          lit(0.0), (acc, v) => acc + v)))
+        .select(col("vec_id"),
+          transform(col("ed"), x =>
+            when(col("nrm") === 0.0, lit(0L))
+              .otherwise(round(x / col("nrm") * 1000).cast("long")))
+            .as("qv"))
+        // Feeds the count, 2×(T Lloyd assigns) + final assigns + probes.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = qvAll.count()
+      val kSq = math.round(math.sqrt(n.toDouble)).toInt
+      val probeSq = math.max(1L, math.round(kSq / 4.0)).toInt
+      def intDist(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v)
+      def seedK(k: Int): DataFrame = qvAll
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+          col("vec_id"))
+        .limit(k)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cid"))
+        qvAll.crossJoin(broadcast(cents))
+          .withColumn("dist", intDist(col("qv"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("qv"), col("cid"))
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cid"), posexplode_outer(col("qv")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+            .cast("long").as("mval"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mval"))))
+            .as("mv"))
+          .withColumn("ss", aggregate(col("mv"), lit(0L),
+            (a, st) => a + st.getField("mval") * st.getField("mval")))
+          .select(col("cid"), transform(col("mv"), st =>
+            when(col("ss") === 0L, lit(0L))
+              .otherwise(round(st.getField("mval").cast("double") /
+                sqrt(col("ss").cast("double")) * 1000).cast("long")))
+            .as("cv"))
+      def train(seed: DataFrame, rounds: Int): DataFrame =
+        (1 to rounds).foldLeft(seed)((c, _) => update(assign(c)))
+      val c16 = train(seedK(16), 2)
+      val csq = train(seedK(kSq), 3)
+      val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
+      val qe = e.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wt = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val truth = qe
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wt))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      def leg(cents: DataFrame, nProbe: Int, sfx: String): DataFrame = {
+        val cells = assign(cents)
+          .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
+          .join(e.select(col("vec_id").as("c_id"),
+            col("embedding").as("c_emb")), "c_id")
+        val wp = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist"), col("cid"))
+        val probes = qvAll.filter(isQuery)
+          .select(col("vec_id").as("q_id"), col("qv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("dist", intDist(col("qv"), col("cv")))
+          .withColumn("prn", row_number().over(wp))
+          .filter(col("prn") <= nProbe)
+          .select(col("q_id"), col("cid").as("p_cell"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id"))
+        val reranked = probes.join(qe, "q_id")
+          .join(cells,
+            col("p_cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+          .withColumn("rnk", row_number().over(wr))
+        val nCand = reranked.groupBy(col("q_id"))
+          .agg(count(lit(1)).as(s"n_cand_$sfx"))
+        val top5 = reranked.filter(col("rnk") <= 5)
+          .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+        truth.join(top5, Seq("q_id", "c_id"), "left_outer")
+          .groupBy(col("q_id")).agg(count(col("hit")).as(s"hits_$sfx"))
+          .join(nCand, "q_id")
+          .withColumn(s"recall_$sfx",
+            col(s"hits_$sfx").cast("double") / 5.0)
+      }
+      leg(c16, 4, "16").join(leg(csq, probeSq, "sq"), "q_id")
+        .select(col("q_id"), col("n_cand_16"), col("hits_16"),
+          col("recall_16"), col("n_cand_sq"), col("hits_sq"),
+          col("recall_sq"))
+        .orderBy(col("q_id"))
+    },
+
     "v10_pq_codes" -> { (s, dir) =>
       // PRODUCT-QUANTIZATION encode — the stored artifact of the
       // memory-bound billion-vector ANN path (IVF-PQ's second half):
@@ -1161,6 +1281,125 @@ object Similarity {
          | JOIN h_tr ON h_fx.q_id = h_tr.q_id
          | JOIN ncand_tr ON h_fx.q_id = ncand_tr.q_id
          |ORDER BY h_fx.q_id""".stripMargin
+    },
+
+    "v17_ivf_sqrtn" -> {
+      // DuckDB twin of the K = round(√N) harness: v09's CTE builders
+      // with the codebook size and probe count as scalar subqueries
+      // over q (so the SQL needs no engine-side row count), the √N leg
+      // trained T=3. Every arithmetic step is the same order-invariant
+      // integer form as v09's, so both codebooks are bit-identical.
+      val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
+      val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM q)"
+      def dist(a: String, b: String): String =
+        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+      def seedCte(name: String, limitSql: String): String =
+        s"""$name AS (
+           | SELECT cid, cv FROM (
+           |  SELECT vec_id AS cid, qv AS cv,
+           |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |     vec_id) AS srn
+           |  FROM q) t WHERE srn <= $limitSql)""".stripMargin
+      def assignCte(name: String, cents: String): String =
+        s"""$name AS (
+           | SELECT vec_id, qv, cid FROM (
+           |  SELECT q.vec_id, q.qv, c.cid,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+           |  FROM q CROSS JOIN $cents c) t WHERE rn = 1)"""
+          .stripMargin
+      def updateCte(dimsName: String, centsName: String,
+                    assigned: String): String =
+        s"""$dimsName AS (
+           | SELECT cid, dim,
+           |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+           | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
+           |        unnest(qv) AS v FROM $assigned) t
+           | GROUP BY cid, dim),
+           |${dimsName}s AS (
+           | SELECT cid, list(mval ORDER BY dim) AS mv,
+           |  CAST(SUM(mval * mval) AS BIGINT) AS ss
+           | FROM $dimsName GROUP BY cid),
+           |$centsName AS (
+           | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
+           |   THEN CAST(0 AS BIGINT)
+           |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
+           | FROM ${dimsName}s)""".stripMargin
+      def legCtes(sfx: String, cents: String, probeSql: String): String =
+        s"""af_$sfx AS (
+           | SELECT vec_id AS c_id, cid AS c_cell FROM (
+           |  SELECT q.vec_id, c.cid,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+           |  FROM q CROSS JOIN $cents c) t WHERE rn = 1),
+           |probes_$sfx AS (
+           | SELECT q_id, p_cell FROM (
+           |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS prn
+           |  FROM q CROSS JOIN $cents c
+           |  WHERE q.vec_id >= 100 AND q.vec_id < 120) t
+           | WHERE prn <= $probeSql),
+           |reranked_$sfx AS (
+           | SELECT p.q_id, a.c_id,
+           |  row_number() OVER (PARTITION BY p.q_id ORDER BY
+           |    ${cos("qe.embedding", "ce.embedding")} DESC, a.c_id) AS rnk
+           | FROM probes_$sfx p
+           |  JOIN embeddings qe ON p.q_id = qe.vec_id
+           |  JOIN af_$sfx a ON p.p_cell = a.c_cell AND p.q_id <> a.c_id
+           |  JOIN embeddings ce ON a.c_id = ce.vec_id),
+           |ncand_$sfx AS (
+           | SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand_$sfx
+           | FROM reranked_$sfx GROUP BY q_id),
+           |top5_$sfx AS (
+           | SELECT q_id, c_id FROM reranked_$sfx WHERE rnk <= 5),
+           |h_$sfx AS (
+           | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_$sfx
+           | FROM truth t LEFT JOIN top5_$sfx a
+           |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id)"""
+          .stripMargin
+      s"""WITH q AS (
+         | SELECT vec_id,
+         |  list_transform(ed, x -> CASE WHEN nrm = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings) tq),
+         |${seedCte("seed16", "16")},
+         |${assignCte("a1", "seed16")},
+         |${updateCte("u1", "c1", "a1")},
+         |${assignCte("a2", "c1")},
+         |${updateCte("u2", "c2", "a2")},
+         |${seedCte("seedsq", kSql)},
+         |${assignCte("b1", "seedsq")},
+         |${updateCte("w1", "d1", "b1")},
+         |${assignCte("b2", "d1")},
+         |${updateCte("w2", "d2", "b2")},
+         |${assignCte("b3", "d2")},
+         |${updateCte("w3", "d3", "b3")},
+         |tpairs AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id >= 100 AND q.vec_id < 120),
+         |truth AS (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+         |  FROM tpairs) WHERE rnk <= 5),
+         |${legCtes("16", "c2", "4")},
+         |${legCtes("sq", "d3", pSql)}
+         |SELECT h_16.q_id,
+         | n_cand_16, hits_16, CAST(hits_16 AS DOUBLE) / 5.0 AS recall_16,
+         | n_cand_sq, hits_sq, CAST(hits_sq AS DOUBLE) / 5.0 AS recall_sq
+         |FROM h_16
+         | JOIN ncand_16 ON h_16.q_id = ncand_16.q_id
+         | JOIN h_sq ON h_16.q_id = h_sq.q_id
+         | JOIN ncand_sq ON h_16.q_id = ncand_sq.q_id
+         |ORDER BY h_16.q_id""".stripMargin
     },
 
     "v10_pq_codes" -> {

@@ -180,7 +180,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d11_minhash_calibration",
     "v07_ann_recall",
     "v08_ivf_rerank",
-    "h09_r2_by_id24")
+    "h09_r2_by_id24",
+    // √N-codebook IVF: the codebook must BROADCAST into every assign
+    // (never a corpus shuffle per Lloyd round) and the probe side's
+    // crossJoin stays |Q|×K.
+    "v17_ivf_sqrtn")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
