@@ -83,6 +83,54 @@ class ConfigLegsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"h15 differs under skew-split leg (${got.size} vs ${baseline.size} rows)")
   }
 
+  test("AQE skew-split leg: pair miners identical under forced skew " +
+    "handling, including on a deliberately skewed corpus") {
+    // The pair miners bound bucket populations structurally (d03/v03
+    // band caps, d19 rarest-first prefixes), but residual bucket skew
+    // still lands on single shuffle partitions — AQE's skew-join split
+    // is the runtime backstop (≙ the reference's adaptive partition
+    // coalescing, `coalesce_partitions.rs:17-45`). Forcing the split
+    // (tiny thresholds + forceOptimizeSkewedJoin) must not change any
+    // miner's rows.
+    val skewConfs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    Seq("d03_minhash_lsh_pairs", "d19_prefix_filter_pairs",
+      "v03_neardup_embed").foreach { name =>
+      val baseline = runOnce(name)
+      assert(baseline.nonEmpty, s"$name returned no rows")
+      val got = withConfs(skewConfs)(runOnce(name))
+      assert(got == baseline,
+        s"$name differs under skew-split leg " +
+          s"(${got.size} vs ${baseline.size} rows)")
+    }
+    // And on a corpus with REAL key skew: half the docs share one hot
+    // token block (one prefix/band bucket swallows them all if the df
+    // ranking fails), plus rare-token near-dup pairs that must still
+    // surface. The prefix-filter join's rows must be identical with
+    // the skew split forced.
+    val s = spark
+    import s.implicits._
+    val hot = (0 until 60).map(i =>
+      (i.toLong, "src", s"hot0 hot1 hot2 hot3 filler$i extra${i % 7}"))
+    val dups = (0 until 5).flatMap(i => Seq(
+      (1000L + 2 * i, "src", s"rare${i}a rare${i}b rare${i}c rare${i}d"),
+      (1001L + 2 * i, "src", s"rare${i}a rare${i}b rare${i}c rare${i}e")))
+    val docs = (hot ++ dups).toDF("doc_id", "source", "text")
+    val base2 = graft.llm.Dedup.prefixFilterPairsOn(docs)
+      .collect().map(_.toString).toSeq
+    assert(base2.nonEmpty, "skewed-corpus miner found no pairs")
+    val got2 = withConfs(skewConfs)(
+      graft.llm.Dedup.prefixFilterPairsOn(docs)
+        .collect().map(_.toString).toSeq)
+    assert(got2 == base2,
+      s"prefix-filter join differs under skew-split leg on skewed corpus " +
+        s"(${got2.size} vs ${base2.size} rows)")
+  }
+
   test("shuffle-partition sweep leg: identical rows at 16/64/256") {
     // The analogue of the reference's max_partitions_per_task CI matrix
     // (.github/workflows/tpcds.yml:76-77): results must be invariant to
