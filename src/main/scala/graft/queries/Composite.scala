@@ -738,6 +738,84 @@ object Composite {
         .groupBy(col("l_suppkey"))
         .agg(aggs.head, aggs.tail: _*)
         .orderBy(col("l_suppkey"))
+    },
+
+    "c26_sales_returns_rollup" -> { (s, dir) =>
+      // q5's report shape (`benchmarks/queries-tpcds/q5.sql`): two
+      // DIFFERENTLY-SHAPED money flows — every shipped line as a sale,
+      // every returned ('R') line as a return — zero-padded into one
+      // row shape, UNION ALL'd, dimension-joined, then ROLLUP'd over
+      // (channel, nation) so per-cell sales/returns/net, the channel
+      // subtotals, and the grand total come from ONE pass. Scale
+      // shape: the union adds rows but no second scan pattern (both
+      // legs prune to the same columns), the rollup's Expand feeds a
+      // single hash aggregate (one shuffle), every money sum is exact
+      // decimal, and the nation dim joins broadcast.
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+      val z = lit(BigDecimal(0)).cast("decimal(21,4)")
+      val salesLeg = l.select(col("l_orderkey"),
+        discounted(col("l_extendedprice"), col("l_discount"))
+          .as("sales_amt"),
+        z.as("return_amt"))
+      val retLeg = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          z.as("sales_amt"),
+          dec(col("l_extendedprice")).cast("decimal(21,4)")
+            .as("return_amt"))
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val channel =
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+          .when(col("o_orderpriority") === "3-MEDIUM", "medium")
+          .otherwise("standard")
+      salesLeg.unionByName(retLeg)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("channel", channel)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("channel"), col("n_name"))
+        .agg(sum(col("sales_amt")).cast("double").as("sales"),
+          sum(col("return_amt")).cast("double").as("returns"),
+          (sum(col("sales_amt")) - sum(col("return_amt")))
+            .cast("double").as("net"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("channel")).cast("long").as("g_channel"),
+          grouping(col("n_name")).cast("long").as("g_nation"))
+        .orderBy(col("channel").asc_nulls_first,
+          col("n_name").asc_nulls_first)
+    },
+
+    "c27_deep_rollup" -> { (s, dir) =>
+      // q22's DEEP-ROLLUP report shape (`benchmarks/queries-tpcds/
+      // q22.sql`: avg inventory over ROLLUP of 4 item dims, ordered by
+      // the average, LIMIT 100): average shipped quantity over
+      // lineitem ⋈ part, ROLLUP(p_mfgr, p_brand, p_type, p_container)
+      // — all 5 grouping prefixes from ONE Expand + hash-aggregate
+      // pass (one shuffle; Expand×5 rides map-side partials), never 5
+      // separate aggregations. The average is exact-decimal sum over
+      // count with ONE double division, so the sort key is
+      // bit-identical across engines; group columns tiebreak the
+      // LIMIT boundary (q22's own ORDER BY discipline).
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+      val p = Tables.load(s, dir, "part")
+        // q22's item hierarchy mapped to the synthetic part dims:
+        // type (6) → brand (25) → size decade (6) → size (50).
+        .withColumn("sz_bucket", expr("CAST(p_size div 10 AS BIGINT)"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_type"), col("p_brand"), col("sz_bucket"),
+          col("p_size"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") /
+            count(lit(1)).cast("double")).as("qoh"),
+          count(lit(1)).as("n"))
+        .orderBy(col("qoh"), col("p_type").asc_nulls_first,
+          col("p_brand").asc_nulls_first, col("sz_bucket").asc_nulls_first,
+          col("p_size").asc_nulls_first)
+        .limit(100)
     }
   )
 
@@ -1235,6 +1313,59 @@ object Composite {
         |FROM sliced
         |GROUP BY l_suppkey
         |ORDER BY l_suppkey""".stripMargin
-    }
+    },
+
+    "c26_sales_returns_rollup" ->
+      """WITH flows AS (
+        | SELECT l_orderkey,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS sales_amt,
+        |  CAST(0 AS DECIMAL(21,4)) AS return_amt
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        | UNION ALL
+        | SELECT l_orderkey,
+        |  CAST(0 AS DECIMAL(21,4)) AS sales_amt,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(21,4)) AS return_amt
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_returnflag = 'R'),
+        |j AS (
+        | SELECT
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'expedite'
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+        |       ELSE 'standard' END AS channel,
+        |  n_name, sales_amt, return_amt
+        | FROM flows, orders, customer, nation
+        | WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |   AND c_nationkey = n_nationkey)
+        |SELECT channel, n_name,
+        | CAST(SUM(sales_amt) AS DOUBLE) AS sales,
+        | CAST(SUM(return_amt) AS DOUBLE) AS returns,
+        | CAST(SUM(sales_amt) - SUM(return_amt) AS DOUBLE) AS net,
+        | COUNT(*) AS n_rows,
+        | CAST(GROUPING(channel) AS BIGINT) AS g_channel,
+        | CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+        |FROM j
+        |GROUP BY ROLLUP (channel, n_name)
+        |ORDER BY channel ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "c27_deep_rollup" ->
+      """WITH pd AS (
+        | SELECT p_partkey, p_type, p_brand,
+        |  CAST(p_size // 10 AS BIGINT) AS sz_bucket, p_size
+        | FROM part)
+        |SELECT p_type, p_brand, sz_bucket, p_size,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS qoh,
+        | COUNT(*) AS n
+        |FROM lineitem JOIN pd ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY ROLLUP (p_type, p_brand, sz_bucket, p_size)
+        |ORDER BY qoh, p_type ASC NULLS FIRST, p_brand ASC NULLS FIRST,
+        | sz_bucket ASC NULLS FIRST, p_size ASC NULLS FIRST
+        |LIMIT 100""".stripMargin
   )
 }

@@ -184,7 +184,14 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // √N-codebook IVF: the codebook must BROADCAST into every assign
     // (never a corpus shuffle per Lloyd round) and the probe side's
     // crossJoin stays |Q|×K.
-    "v17_ivf_sqrtn")
+    "v17_ivf_sqrtn",
+    // q5/q22-style grouping-set reports: both must compute ALL rollup
+    // prefixes from ONE Expand + hash aggregate (a per-prefix union of
+    // aggregations would show as multiple exchanges), c26's flow union
+    // must not double-scan beyond the two legs, and c27's LIMIT must
+    // ride TakeOrderedAndProject.
+    "c26_sales_returns_rollup",
+    "c27_deep_rollup")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
