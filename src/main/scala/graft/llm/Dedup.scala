@@ -212,6 +212,16 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
 
+  /** Per-ROW (tset, sig) pair for stream-side/indexed probes: the same
+    * tok_hashes → distinct set + affine MinHash signature as
+    * [[lshSigDf]], as one codegen projection with no shuffle — what an
+    * arriving document computes before probing the materialized corpus
+    * index ([[ensureIngestIndex]]; StreamOps.indexedIngestDedupStream). */
+  private[graft] def sigCols(text: Column): (Column, Column) = {
+    val th = tokHashes(text)
+    (array_distinct(th), sigArray(th))
+  }
+
   /** MinHash signature array from a pre-hashed token-array column — the
     * ONE place the affine-permutation scheme lives (its DuckDB twin is
     * built in [[oracle]]); md5 runs once per token upstream, each of the

@@ -76,6 +76,67 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("simhash16")
 
+  /** A raw document with an id arriving on the indexed-ingest stream. */
+  case class IngestDoc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** Streaming INDEXED ingest dedup — the incremental twin of the batch
+    * d21: each arriving document is hashed and signed ONCE (content md5
+    * + token set + MinHash signature, one codegen projection), then
+    * probes the PRE-MATERIALIZED corpus index via stream-static joins —
+    * exact-duplicate flag against the content-hash index, LSH band
+    * collisions against the band index, token sets re-attached from the
+    * tset index for exact Jaccard verification. Per doc (emitted when
+    * the watermark closes its window): exact_dup, candidate count,
+    * verified near-dup count (J ≥ 0.7), best match.
+    *
+    * Scale shape: stream state is only the in-flight window aggregates
+    * (bounded by the watermark horizon — no growth with stream length);
+    * the corpus side is the static index, hash-partitioned under each
+    * join, never re-hashed per batch — work per micro-batch is
+    * ∝ |batch| × collision rate, the d21 invariant made continuous.
+    * Candidate de-dup across bands uses collect_set (streaming allows
+    * no countDistinct); sets are bounded by a doc's band-collision
+    * fan-out, not the corpus. */
+  def indexedIngestDedupStream(docs: Dataset[IngestDoc],
+                               corpusHashes: DataFrame, // (cch)
+                               corpusBands: DataFrame, // (db, band, mh)
+                               corpusTsets: DataFrame, // (db, tb)
+                               watermark: String = "10 minutes",
+                               windowLen: String = "1 minute")
+      : DataFrame = {
+    val (tset, sig) = graft.llm.Dedup.sigCols(col("text"))
+    val signed = docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        md5(col("text").cast("binary")).as("ch"),
+        tset.as("ta"), sig.as("sig"))
+      .join(corpusHashes, col("ch") === col("cch"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("ta"),
+        when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"),
+        posexplode_outer(col("sig")).as(Seq("band", "mh")))
+    val probed = signed
+      .join(corpusBands.withColumnRenamed("band", "bandb")
+          .withColumnRenamed("mh", "mhb"),
+        col("band") === col("bandb") && col("mh") === col("mhb"),
+        "left_outer")
+      .join(corpusTsets, Seq("db"), "left_outer")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
+    probed
+      .groupBy(window(col("ts"), windowLen), col("doc_id"),
+        col("exact_dup"))
+      .agg(size(collect_set(col("db"))).cast("long").as("n_candidates"),
+        size(collect_set(when(col("jac") >= 0.7, col("db"))))
+          .cast("long").as("n_near"),
+        max(when(col("jac") >= 0.7, struct(col("jac"), col("db"))))
+          .as("best"))
+      .select(col("doc_id"), col("exact_dup"), col("n_candidates"),
+        col("n_near"), col("best.jac").as("best_jac"),
+        col("best.db").as("best_doc"))
+  }
+
   /** Watermarked stream-stream inner join: each doc joins labels that
     * arrive within `boundMinutes` AFTER it. Both sides carry watermarks and
     * the join condition carries the event-time bound, so both join-state

@@ -249,6 +249,95 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("indexed ingest dedup stream probes the static corpus index; " +
+    "matches the batch d21 twin") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.IngestDoc
+    // Static corpus index (the d21 artifact, built in-memory here):
+    // content hashes + band table + token sets.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (3L, "solo1 solo2 solo3 solo4 solo5")).toDF("db", "text")
+    val (ctset, csig) = graft.llm.Dedup.sigCols(col("text"))
+    val sigDf = corpus.select(col("db"), ctset.as("tb"), csig.as("sig"))
+    val bands = sigDf.select(col("db"),
+      posexplode(col("sig")).as(Seq("band", "mh")))
+    val hashes = corpus
+      .select(md5(col("text").cast("binary")).as("cch")).distinct()
+    val tsets = sigDf.select(col("db"), col("tb"))
+    // Stream: an exact copy of corpus doc 1, a 9/11-Jaccard near-dup of
+    // doc 2, and a fresh doc — split across two micro-batches.
+    val b1 = Seq(IngestDoc(100, ts(60), "alpha beta gamma delta epsilon"))
+    val b2 = Seq(
+      IngestDoc(101, ts(65),
+        (1 to 9).map(i => s"t$i").mkString(" ") + " extra"),
+      IngestDoc(102, ts(70), "zz1 zz2 zz3"))
+    val input = MemoryStream[IngestDoc]
+    val q = StreamOps.indexedIngestDedupStream(input.toDS(),
+        hashes, bands, tsets, "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("ingest_idx")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      input.addData(IngestDoc(999, ts(1000), "closer"))
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("exact_dup"), col("n_candidates"),
+          col("n_near"), col("best_jac"), col("best_doc"))
+        .orderBy(col("doc_id"))
+        .collect().map(_.toString).toSeq
+      val got = rows(spark.table("ingest_idx")
+        .filter(col("doc_id") =!= 999))
+      // Batch twin: d21's probe joins + aggregation over the union of
+      // both micro-batches (countDistinct == the stream's collect_set
+      // size; null db rows count as zero candidates in both).
+      val (btset, bsig) = graft.llm.Dedup.sigCols(col("text"))
+      val signed = (b1 ++ b2).toDF()
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"),
+          btset.as("ta"), bsig.as("sig"))
+        .join(hashes, col("ch") === col("cch"), "left_outer")
+        .select(col("doc_id"), col("ta"),
+          when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"),
+          posexplode_outer(col("sig")).as(Seq("band", "mh")))
+      val probed = signed
+        .join(bands.toDF("db", "bandb", "mhb"),
+          col("band") === col("bandb") && col("mh") === col("mhb"),
+          "left_outer")
+        .join(tsets, Seq("db"), "left_outer")
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
+      val twin = rows(probed
+        .groupBy(col("doc_id"), col("exact_dup"))
+        .agg(size(collect_set(col("db"))).cast("long").as("n_candidates"),
+          size(collect_set(when(col("jac") >= 0.7, col("db"))))
+            .cast("long").as("n_near"),
+          max(when(col("jac") >= 0.7, struct(col("jac"), col("db"))))
+            .as("best"))
+        .select(col("doc_id"), col("exact_dup"), col("n_candidates"),
+          col("n_near"), col("best.jac").as("best_jac"),
+          col("best.db").as("best_doc")))
+      assert(got == twin, s"stream $got != batch twin $twin")
+      val byDoc = spark.table("ingest_idx")
+        .filter(col("doc_id") =!= 999)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(byDoc(100L)._1 == 1L, s"doc 100 must be an exact dup: $byDoc")
+      assert(byDoc(100L)._3 >= 1L, s"doc 100 must verify near-dup: $byDoc")
+      assert(byDoc(101L)._1 == 0L && byDoc(101L)._3 == 1L,
+        s"doc 101 must be a verified near-dup only: $byDoc")
+      assert(byDoc(102L) == (0L, 0L, 0L),
+        s"doc 102 must have no matches: $byDoc")
+    } finally q.stop()
+  }
+
   test("transition stream pairs events across micro-batches; matches batch lead()") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
