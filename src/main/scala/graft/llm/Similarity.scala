@@ -105,6 +105,108 @@ object Similarity {
         col("max_abs"))
   }
 
+  // ---- Shared integer-spherical-Lloyd IVF machinery (v09/v17/v18) ----
+  // One definition of the training arithmetic; the graded entries keep
+  // their full design notes in place. Every step is order-invariant
+  // integer math (see v09's note), so codebooks are bit-identical
+  // across engines and shuffle orders.
+
+  /** v09's L2-normalized int64 quantization (round(x/||x||*1000)). */
+  private def ivfQv(e: DataFrame): DataFrame = e
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ed"))
+    .withColumn("nrm", sqrt(aggregate(
+      zip_with(col("ed"), col("ed"), (x, w) => x * w),
+      lit(0.0), (acc, v) => acc + v)))
+    .select(col("vec_id"),
+      transform(col("ed"), x =>
+        when(col("nrm") === 0.0, lit(0L))
+          .otherwise(round(x / col("nrm") * 1000).cast("long")))
+        .as("qv"))
+
+  private def ivfIntDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** The k vectors with smallest md5(vec_id) — a TakeOrdered top-k,
+    * not a scan prefix. */
+  private def ivfSeed(qvAll: DataFrame, k: Int): DataFrame = qvAll
+    .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+      col("vec_id"))
+    .limit(k)
+    .select(col("vec_id").as("cid"), col("qv").as("cv"))
+
+  /** Exact integer L2 argmin assignment (tie-break centroid id);
+    * codebook broadcasts, the corpus never shuffles. */
+  private def ivfAssign(qvAll: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    qvAll.crossJoin(broadcast(cents))
+      .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cid"))
+  }
+
+  /** Floor-mean centroid update re-projected onto the 1000-sphere
+    * (spherical k-means; see v09's design note). */
+  private def ivfUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode_outer(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("mval"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mval"))))
+        .as("mv"))
+      .withColumn("ss", aggregate(col("mv"), lit(0L),
+        (a, st) => a + st.getField("mval") * st.getField("mval")))
+      .select(col("cid"), transform(col("mv"), st =>
+        when(col("ss") === 0L, lit(0L))
+          .otherwise(round(st.getField("mval").cast("double") /
+            sqrt(col("ss").cast("double")) * 1000).cast("long")))
+        .as("cv"))
+
+  private def ivfTrain(qvAll: DataFrame, seed: DataFrame,
+                       rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(seed)((c, _) => ivfUpdate(ivfAssign(qvAll, c)))
+
+  /** Pre-materialized ANN index — v18's engine and the v-family twin of
+    * d21's ingest index: the √N spherical-Lloyd codebook (v17's
+    * production sizing, T=3) and the corpus cell assignment are trained
+    * ONCE and written to parquet; every serving query then walks
+    * codebook → probed cells → exact re-rank, touching the corpus only
+    * through the materialized cells table. Keyed by the embeddings
+    * file's (length, mtime) fingerprint like the ingest index, so a
+    * regenerated corpus invalidates it; Bench's warmup pass builds it,
+    * so the measured pass times the probe alone. */
+  private def ensureAnnIndex(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_ann_index/${src.length}_${src.lastModified}")
+    val marker = new java.io.File(base, "_BUILT")
+    if (!marker.exists()) {
+      val qvAll = ivfQv(Tables.load(s, dir, "embeddings"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = qvAll.count()
+      val k = math.round(math.sqrt(n.toDouble)).toInt
+      ivfTrain(qvAll, ivfSeed(qvAll, k), 3)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(base, "cents").getPath)
+      // Cells derive from the WRITTEN artifact (not the in-memory
+      // plan), so index contents are self-consistent by construction.
+      val cents = s.read.parquet(new java.io.File(base, "cents").getPath)
+      ivfAssign(qvAll, cents)
+        .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(base, "cells").getPath)
+      qvAll.unpersist()
+      marker.createNewFile()
+    }
+    base.getAbsolutePath
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_brute" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -374,58 +476,11 @@ object Similarity {
       // corpus), one argmin, one (cid, dim) aggregation — linear in N,
       // executor-bound; K would scale ~sqrt(N) in production.
       val e = Tables.load(s, dir, "embeddings")
-      val qvAll = e
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("ed"))
-        .withColumn("nrm", sqrt(aggregate(
-          zip_with(col("ed"), col("ed"), (x, w) => x * w),
-          lit(0.0), (acc, v) => acc + v)))
-        .select(col("vec_id"),
-          transform(col("ed"), x =>
-            when(col("nrm") === 0.0, lit(0L))
-              .otherwise(round(x / col("nrm") * 1000).cast("long")))
-            .as("qv"))
-        // Feeds 2 Lloyd assigns + final assign + probe side.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      def intDist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, v) => acc + v)
-      val seed = qvAll
-        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
-          col("vec_id"))
-        .limit(16)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("cid"))
-        qvAll.crossJoin(broadcast(cents))
-          .withColumn("dist", intDist(col("qv"), col("cv")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("qv"), col("cid"))
-      }
-      def update(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cid"), posexplode_outer(col("qv")).as(Seq("dim", "v")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
-            .cast("long").as("mval"))
-          .groupBy(col("cid"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("mval"))))
-            .as("mv"))
-          // SPHERICAL k-means: the raw mean of near-uniform directions
-          // shrinks toward the global mean and stops anchoring a
-          // direction; re-project every centroid onto the 1000-sphere.
-          // ss is an exact int64 (sum of int squares), so sqrt/round see
-          // the same double in both engines — still bit-deterministic.
-          .withColumn("ss", aggregate(col("mv"), lit(0L),
-            (a, st) => a + st.getField("mval") * st.getField("mval")))
-          .select(col("cid"), transform(col("mv"), st =>
-            when(col("ss") === 0L, lit(0L))
-              .otherwise(round(st.getField("mval").cast("double") /
-                sqrt(col("ss").cast("double")) * 1000).cast("long")))
-            .as("cv"))
-      val trained = update(assign(update(assign(seed))))
+      // Feeds 2 Lloyd assigns + final assign + probe side. Training
+      // arithmetic lives in the shared ivf* helpers above (the
+      // SPHERICAL re-projection note included).
+      val qvAll = ivfQv(e).persist(StorageLevel.MEMORY_AND_DISK)
+      val trained = ivfTrain(qvAll, ivfSeed(qvAll, 16), 2)
       val fixed = qvAll.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("qv").as("cv"))
       // Held-out queries: disjoint from both codebooks' anchor/seed space.
@@ -445,7 +500,7 @@ object Similarity {
       // One IVF leg = assign corpus to this codebook's cells, probe the
       // query's top-4 cells, exact-cosine re-rank, score vs truth.
       def leg(cents: DataFrame, sfx: String): DataFrame = {
-        val cells = assign(cents)
+        val cells = ivfAssign(qvAll, cents)
           .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
           .join(e.select(col("vec_id").as("c_id"),
             col("embedding").as("c_emb")), "c_id")
@@ -454,7 +509,7 @@ object Similarity {
         val probes = qvAll.filter(isQuery)
           .select(col("vec_id").as("q_id"), col("qv"))
           .crossJoin(broadcast(cents))
-          .withColumn("dist", intDist(col("qv"), col("cv")))
+          .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
           .withColumn("prn", row_number().over(wp))
           .filter(col("prn") <= 4)
           .select(col("q_id"), col("cid").as("p_cell"))
@@ -499,59 +554,13 @@ object Similarity {
       // so the DuckDB twin (which derives K/P with scalar subqueries)
       // is still bit-identical.
       val e = Tables.load(s, dir, "embeddings")
-      val qvAll = e
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("ed"))
-        .withColumn("nrm", sqrt(aggregate(
-          zip_with(col("ed"), col("ed"), (x, w) => x * w),
-          lit(0.0), (acc, v) => acc + v)))
-        .select(col("vec_id"),
-          transform(col("ed"), x =>
-            when(col("nrm") === 0.0, lit(0L))
-              .otherwise(round(x / col("nrm") * 1000).cast("long")))
-            .as("qv"))
-        // Feeds the count, 2×(T Lloyd assigns) + final assigns + probes.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Feeds the count, 2×(T Lloyd assigns) + final assigns + probes.
+      val qvAll = ivfQv(e).persist(StorageLevel.MEMORY_AND_DISK)
       val n = qvAll.count()
       val kSq = math.round(math.sqrt(n.toDouble)).toInt
       val probeSq = math.max(1L, math.round(kSq / 4.0)).toInt
-      def intDist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, v) => acc + v)
-      def seedK(k: Int): DataFrame = qvAll
-        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
-          col("vec_id"))
-        .limit(k)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("cid"))
-        qvAll.crossJoin(broadcast(cents))
-          .withColumn("dist", intDist(col("qv"), col("cv")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("qv"), col("cid"))
-      }
-      def update(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cid"), posexplode_outer(col("qv")).as(Seq("dim", "v")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
-            .cast("long").as("mval"))
-          .groupBy(col("cid"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("mval"))))
-            .as("mv"))
-          .withColumn("ss", aggregate(col("mv"), lit(0L),
-            (a, st) => a + st.getField("mval") * st.getField("mval")))
-          .select(col("cid"), transform(col("mv"), st =>
-            when(col("ss") === 0L, lit(0L))
-              .otherwise(round(st.getField("mval").cast("double") /
-                sqrt(col("ss").cast("double")) * 1000).cast("long")))
-            .as("cv"))
-      def train(seed: DataFrame, rounds: Int): DataFrame =
-        (1 to rounds).foldLeft(seed)((c, _) => update(assign(c)))
-      val c16 = train(seedK(16), 2)
-      val csq = train(seedK(kSq), 3)
+      val c16 = ivfTrain(qvAll, ivfSeed(qvAll, 16), 2)
+      val csq = ivfTrain(qvAll, ivfSeed(qvAll, kSq), 3)
       val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
       val qe = e.filter(isQuery)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -565,7 +574,7 @@ object Similarity {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"))
       def leg(cents: DataFrame, nProbe: Int, sfx: String): DataFrame = {
-        val cells = assign(cents)
+        val cells = ivfAssign(qvAll, cents)
           .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
           .join(e.select(col("vec_id").as("c_id"),
             col("embedding").as("c_emb")), "c_id")
@@ -574,7 +583,7 @@ object Similarity {
         val probes = qvAll.filter(isQuery)
           .select(col("vec_id").as("q_id"), col("qv"))
           .crossJoin(broadcast(cents))
-          .withColumn("dist", intDist(col("qv"), col("cv")))
+          .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
           .withColumn("prn", row_number().over(wp))
           .filter(col("prn") <= nProbe)
           .select(col("q_id"), col("cid").as("p_cell"))
@@ -600,6 +609,48 @@ object Similarity {
           col("recall_16"), col("n_cand_sq"), col("hits_sq"),
           col("recall_sq"))
         .orderBy(col("q_id"))
+    },
+
+    "v18_indexed_ann" -> { (s, dir) =>
+      // SERVING shape of the trained-IVF path — the v-family twin of
+      // d21's materialized ingest index, and v17's production
+      // follow-through: the √N codebook and the corpus cell assignment
+      // come from the parquet artifact [[ensureAnnIndex]] maintains;
+      // this query quantizes ONLY the |Q| probe vectors and walks
+      // codebook (broadcast) → probed cells (index scan) → exact
+      // cosine re-rank. The plan contains no training and no corpus
+      // quantization pass — per-query cost is the K-row argmin plus
+      // the probed cells' re-rank, at any corpus size.
+      val idx = ensureAnnIndex(s, dir)
+      val cents = s.read.parquet(s"$idx/cents")
+      val cells = s.read.parquet(s"$idx/cells")
+      val k = cents.count()
+      val nProbe = math.max(1L, math.round(k / 4.0)).toInt
+      val e = Tables.load(s, dir, "embeddings")
+      val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
+      val qe = e.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("cid"))
+      val probes = ivfQv(e.filter(isQuery))
+        .select(col("vec_id").as("q_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= nProbe)
+        .select(col("q_id"), col("cid").as("p_cell"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      probes.join(qe, "q_id")
+        .join(cells, col("p_cell") === col("c_cell") &&
+          col("q_id") =!= col("c_id"))
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), "c_id")
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
     },
 
     "v10_pq_codes" -> { (s, dir) =>
@@ -1400,6 +1451,92 @@ object Similarity {
          | JOIN h_sq ON h_16.q_id = h_sq.q_id
          | JOIN ncand_sq ON h_16.q_id = ncand_sq.q_id
          |ORDER BY h_16.q_id""".stripMargin
+    },
+
+    "v18_indexed_ann" -> {
+      // DuckDB twin of the indexed serving path: recompute the √N/T=3
+      // codebook and cell assignment inline (the index is a
+      // materialized view, not a semantic change), probe K/4 cells,
+      // exact-cosine re-rank, emit each query's top 5 with similarity.
+      val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
+      val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM q)"
+      def dist(a: String, b: String): String =
+        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+      def seedCte(name: String, limitSql: String): String =
+        s"""$name AS (
+           | SELECT cid, cv FROM (
+           |  SELECT vec_id AS cid, qv AS cv,
+           |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |     vec_id) AS srn
+           |  FROM q) t WHERE srn <= $limitSql)""".stripMargin
+      def assignCte(name: String, cents: String): String =
+        s"""$name AS (
+           | SELECT vec_id, qv, cid FROM (
+           |  SELECT q.vec_id, q.qv, c.cid,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+           |  FROM q CROSS JOIN $cents c) t WHERE rn = 1)"""
+          .stripMargin
+      def updateCte(dimsName: String, centsName: String,
+                    assigned: String): String =
+        s"""$dimsName AS (
+           | SELECT cid, dim,
+           |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+           | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
+           |        unnest(qv) AS v FROM $assigned) t
+           | GROUP BY cid, dim),
+           |${dimsName}s AS (
+           | SELECT cid, list(mval ORDER BY dim) AS mv,
+           |  CAST(SUM(mval * mval) AS BIGINT) AS ss
+           | FROM $dimsName GROUP BY cid),
+           |$centsName AS (
+           | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
+           |   THEN CAST(0 AS BIGINT)
+           |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
+           | FROM ${dimsName}s)""".stripMargin
+      s"""WITH q AS (
+         | SELECT vec_id,
+         |  list_transform(ed, x -> CASE WHEN nrm = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings) tq),
+         |${seedCte("seedsq", kSql)},
+         |${assignCte("b1", "seedsq")},
+         |${updateCte("w1", "d1", "b1")},
+         |${assignCte("b2", "d1")},
+         |${updateCte("w2", "d2", "b2")},
+         |${assignCte("b3", "d2")},
+         |${updateCte("w3", "d3", "b3")},
+         |af AS (
+         | SELECT vec_id AS c_id, cid AS c_cell FROM (
+         |  SELECT q.vec_id, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM q CROSS JOIN d3 c) t WHERE rn = 1),
+         |probes AS (
+         | SELECT q_id, p_cell FROM (
+         |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS prn
+         |  FROM q CROSS JOIN d3 c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 120) t
+         | WHERE prn <= $pSql),
+         |reranked AS (
+         | SELECT p.q_id, a.c_id,
+         |  ${cos("qe.embedding", "ce.embedding")} AS sim,
+         |  row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |    ${cos("qe.embedding", "ce.embedding")} DESC, a.c_id) AS rnk
+         | FROM probes p
+         |  JOIN embeddings qe ON p.q_id = qe.vec_id
+         |  JOIN af a ON p.p_cell = a.c_cell AND p.q_id <> a.c_id
+         |  JOIN embeddings ce ON a.c_id = ce.vec_id)
+         |SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim
+         |FROM reranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
     },
 
     "v10_pq_codes" -> {

@@ -185,6 +185,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (never a corpus shuffle per Lloyd round) and the probe side's
     // crossJoin stays |Q|×K.
     "v17_ivf_sqrtn",
+    // indexed ANN serving: the corpus must appear ONLY via the
+    // materialized cents/cells index scans — no training subtree, no
+    // corpus quantization pass; the codebook broadcasts into the probe.
+    "v18_indexed_ann",
     // q5/q22-style grouping-set reports: both must compute ALL rollup
     // prefixes from ONE Expand + hash aggregate (a per-prefix union of
     // aggregations would show as multiple exchanges), c26's flow union
