@@ -392,12 +392,85 @@ object TextAnalysis {
         .select(col("rank"), col("tok"), col("n"),
           (col("rank") * col("n")).as("zipf_rn"))
         .orderBy(col("rank"))
+    },
+
+    "t17_sequence_packing" -> { (s, dir) =>
+      // SEQUENCE PACKING manifest — how a pretraining run turns a
+      // corpus into fixed-budget context windows: documents concatenate
+      // in deterministic doc_id order, every B=512 tokens starts a new
+      // sequence, and each document is assigned to the sequence its
+      // FIRST token lands in. Per sequence: docs started, their token
+      // mass, id range, and the straddle spill (tokens that continue
+      // past the sequence boundary into the next — the cross-document
+      // attention-contamination budget packers track).
+      // Scale design: the global token prefix sum uses d13/m06's
+      // TWO-GRAIN trick — bucket by doc_id div 64 (order-compatible
+      // with the concatenation order), cumulate the bounded bucket
+      // totals in one tiny window, give each doc only its within-bucket
+      // running sum — so no corpus-wide single-partition window exists
+      // at any scale; everything else is exact-integer arithmetic.
+      val B = 512L
+      val wCut = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+        .rowsBetween(Long.MinValue, -1)
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Long.MinValue, -1)
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("bucket", expr("doc_id div 64"))
+      val cuts = base.groupBy(col("bucket"))
+        .agg(sum(col("n_toks")).as("bucket_toks"))
+        .withColumn("cum_bucket_before",
+          coalesce(sum(col("bucket_toks")).over(wCut), lit(0L)))
+        .select(col("bucket"), col("cum_bucket_before"))
+      base
+        .withColumn("cum_in_bucket",
+          coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+        .join(cuts, "bucket")
+        .withColumn("cum_before",
+          col("cum_bucket_before") + col("cum_in_bucket"))
+        .withColumn("seq_id", expr(s"cum_before div $B"))
+        .withColumn("spill",
+          greatest(col("cum_before") + col("n_toks") -
+            (col("seq_id") + 1) * B, lit(0L)))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("doc_toks"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(col("spill")).as("spill_toks"))
+        .orderBy(col("seq_id"))
     }
   )
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    "t17_sequence_packing" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        | FROM documents),
+        |cum AS (
+        | SELECT doc_id, n_toks,
+        |  COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before
+        | FROM base),
+        |assigned AS (
+        | SELECT doc_id, n_toks, cum_before,
+        |  CAST(cum_before // 512 AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(cum_before + n_toks
+        |    - (cum_before // 512 + 1) * 512, 0) AS BIGINT) AS spill
+        | FROM cum)
+        |SELECT seq_id, COUNT(*) AS n_docs,
+        | CAST(SUM(n_toks) AS BIGINT) AS doc_toks,
+        | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        | CAST(SUM(spill) AS BIGINT) AS spill_toks
+        |FROM assigned GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "t01_lang_stats" ->
       s"""WITH d AS (
          | SELECT lang, len(string_split(text,' ')) AS n_toks,
