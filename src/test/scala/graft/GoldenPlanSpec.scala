@@ -195,7 +195,13 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must not double-scan beyond the two legs, and c27's LIMIT must
     // ride TakeOrderedAndProject.
     "c26_sales_returns_rollup",
-    "c27_deep_rollup")
+    "c27_deep_rollup",
+    // co-located q23 report: the three BASE lineitem ⋈ orders passes
+    // must be SMJ over bucketed scans with no Exchange below (Catalyst
+    // additionally pushes the two semi filters beneath the final join,
+    // whose re-partition is then semantically required — the golden
+    // pins exactly that decomposition).
+    "c28_colocated_frequent_best")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
