@@ -164,6 +164,23 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._2 == 1L, s"doc 1's shared chunk must be the dup: $got")
   }
 
+  test("indexed ingest dedup (d21) returns exactly the inline d18 report") {
+    // The materialized index is a VIEW of the corpus side, not a
+    // semantic change: the index-probing query must agree row-for-row
+    // with the inline batch-vs-corpus recompute on the same corpus.
+    // (Both share a DuckDB oracle; this pins the equivalence inside
+    // Spark, independent of the oracle.)
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      Dedup.queries(name)(spark, dir).collect().map(_.toString).toSeq
+    val inline = rows("d18_incremental_dedup")
+    val indexed = rows("d21_indexed_ingest")
+    assert(inline.nonEmpty)
+    assert(indexed == inline,
+      s"index probe diverged from inline recompute " +
+        s"(${indexed.size} vs ${inline.size} rows)")
+  }
+
   test("pointer-jumping CC: same labels as plain propagation on a chain, " +
     "in O(log d) rounds instead of O(d)") {
     val s = spark
