@@ -319,8 +319,10 @@ object Dedup {
     * the shuffle. Pair shuffle carries only (da, db); full sets
     * re-attach by equi-join for exact verification, the d03 discipline.
     * Input needs (doc_id, source, text). */
-  private[graft] def prefixFilterPairsOn(docs: DataFrame): DataFrame = {
-    val t = 0.7
+  /** Shared PPJoin prefix machinery: (base = per-doc distinct token
+    * set, pref = exploded df-ranked prefixes with 0-based positions).
+    * Used by the d19 miner and the d22 filter audit. */
+  private def prefixTables(docs: DataFrame): (DataFrame, DataFrame) = {
     val base = docs
       .select(col("doc_id"), col("source"),
         array_distinct(tokHashes(col("text"))).as("tset"))
@@ -340,6 +342,12 @@ object Dedup {
         posexplode(slice(col("ord"), lit(1), prefLen)).as(Seq("pos", "p")))
       .select(col("doc_id"), col("source"), col("sz"),
         col("pos"), col("p.h").as("h"))
+    (base, pref)
+  }
+
+  private[graft] def prefixFilterPairsOn(docs: DataFrame): DataFrame = {
+    val t = 0.7
+    val (base, pref) = prefixTables(docs)
     val a = pref.select(col("doc_id").as("da"), col("source"),
       col("sz").as("sza"), col("pos").as("pa"), col("h"))
     val b = pref.select(col("doc_id").as("db"), col("source").as("sb"),
@@ -1009,6 +1017,56 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    "d22_ppjoin_filter_audit" -> { (s, dir) =>
+      // PPJoin FILTER AUDIT — the d15-style companion report for d19:
+      // per source, the candidate-pair volume under prefix collisions
+      // alone, + the length filter, + the positional filter, next to
+      // the verified-pair count under each. The last two verified
+      // columns are EQUAL BY THEOREM (both filters are upper-bound
+      // sound for J ≥ 0.7) — the report makes the recall invariant a
+      // graded, data-visible fact while quantifying how much join
+      // volume each filter removes before the shuffle. One collision
+      // join (the prefix-only superset), per-pair flags folded by MAX,
+      // one verification pass over the base candidate set.
+      val (base, pref) = prefixTables(docsWithTokens(s, dir))
+      val a = pref.select(col("doc_id").as("da"), col("source"),
+        col("sz").as("sza"), col("pos").as("pa"), col("h"))
+      val b = pref.select(col("doc_id").as("db"), col("source").as("sb"),
+        col("sz").as("szb"), col("pos").as("pb"), col("h").as("hb"))
+      val lenOk = col("sza") * 7 <= col("szb") * 10 &&
+        col("szb") * 7 <= col("sza") * 10
+      val obound = least(col("pa"), col("pb")) + lit(1) +
+        least(col("sza") - col("pa") - 1, col("szb") - col("pb") - 1)
+      val posOk = lenOk && obound * 17 >= (col("sza") + col("szb")) * 7
+      val pairs = a.join(b, col("source") === col("sb") &&
+          col("h") === col("hb") && col("da") < col("db"))
+        .select(col("source"), col("da"), col("db"),
+          when(lenOk, 1L).otherwise(0L).as("len_ok"),
+          when(posOk, 1L).otherwise(0L).as("pos_ok"))
+        .groupBy(col("source"), col("da"), col("db"))
+        .agg(max(col("len_ok")).as("len_ok"),
+          max(col("pos_ok")).as("pos_ok"))
+      val tsets = base.select(col("doc_id"), col("tset"))
+      pairs
+        .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
+          "da")
+        .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
+          "db")
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_cand_prefix"),
+          sum(col("len_ok")).as("n_cand_len"),
+          sum(col("pos_ok")).as("n_cand_lenpos"),
+          sum(when(col("jac") >= 0.7, 1L).otherwise(0L))
+            .as("n_verified"),
+          sum(when(col("jac") >= 0.7 && col("pos_ok") === 1L, 1L)
+            .otherwise(0L)).as("n_verified_lenpos"))
+        .orderBy(col("source"))
+    },
+
     "d14_epoch_shards" -> { (s, dir) =>
       // Deterministic EPOCH SHUFFLE — how a training run re-orders a
       // 100 TB corpus per epoch without ever materializing a global
@@ -1402,6 +1460,61 @@ object Dedup {
            |   (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset)))
            |   >= 0.7
            |ORDER BY da, db""".stripMargin,
+
+      "d22_ppjoin_filter_audit" ->
+        s"""WITH d AS (
+           | SELECT doc_id, source,
+           |  list_distinct(list_transform(string_split(text, ' '),
+           |    t -> $duckTokHash)) AS tset
+           | FROM documents),
+           |ex AS (SELECT doc_id, source, unnest(tset) AS h FROM d),
+           |dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+           |ord AS (
+           | SELECT doc_id, source,
+           |  list({'df': df, 'h': h} ORDER BY df, h) AS ord,
+           |  COUNT(*) AS sz
+           | FROM ex JOIN dfreq USING (h) GROUP BY doc_id, source),
+           |pref AS (
+           | SELECT doc_id, source, sz,
+           |  generate_subscripts(sl, 1) - 1 AS pos, unnest(sl) AS p
+           | FROM (SELECT doc_id, source, sz,
+           |        list_slice(ord, 1,
+           |          CAST(sz - (sz * 7 + 9) // 10 + 1 AS INT)) AS sl
+           |       FROM ord)),
+           |ph AS (SELECT doc_id, source, sz, pos, p.h AS h FROM pref),
+           |coll AS (
+           | SELECT a.source, a.doc_id AS da, b.doc_id AS db,
+           |  CASE WHEN a.sz * 7 <= b.sz * 10 AND b.sz * 7 <= a.sz * 10
+           |   THEN 1 ELSE 0 END AS len_ok,
+           |  CASE WHEN a.sz * 7 <= b.sz * 10 AND b.sz * 7 <= a.sz * 10
+           |   AND (LEAST(a.pos, b.pos) + 1 +
+           |        LEAST(a.sz - a.pos - 1, b.sz - b.pos - 1)) * 17
+           |       >= (a.sz + b.sz) * 7
+           |   THEN 1 ELSE 0 END AS pos_ok
+           | FROM ph a JOIN ph b
+           |  ON a.source = b.source AND a.h = b.h
+           |   AND a.doc_id < b.doc_id),
+           |pairs AS (
+           | SELECT source, da, db,
+           |  CAST(MAX(len_ok) AS BIGINT) AS len_ok,
+           |  CAST(MAX(pos_ok) AS BIGINT) AS pos_ok
+           | FROM coll GROUP BY source, da, db),
+           |wj AS (
+           | SELECT p.source, p.len_ok, p.pos_ok,
+           |  CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE) /
+           |    (len(x.tset) + len(y.tset)
+           |     - len(list_intersect(x.tset, y.tset))) AS jac
+           | FROM pairs p JOIN d x ON p.da = x.doc_id
+           |  JOIN d y ON p.db = y.doc_id)
+           |SELECT source,
+           | COUNT(*) AS n_cand_prefix,
+           | CAST(SUM(len_ok) AS BIGINT) AS n_cand_len,
+           | CAST(SUM(pos_ok) AS BIGINT) AS n_cand_lenpos,
+           | CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_verified,
+           | CAST(SUM(CASE WHEN jac >= 0.7 AND pos_ok = 1 THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS n_verified_lenpos
+           |FROM wj GROUP BY source ORDER BY source""".stripMargin,
 
       "d18_incremental_dedup" -> oracleD18,
 

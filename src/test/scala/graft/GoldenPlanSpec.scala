@@ -201,7 +201,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // additionally pushes the two semi filters beneath the final join,
     // whose re-partition is then semantically required — the golden
     // pins exactly that decomposition).
-    "c28_colocated_frequent_best")
+    "c28_colocated_frequent_best",
+    // PPJoin filter audit: ONE prefix-collision join feeds all three
+    // filter legs as per-row flags (a per-leg join would triple the
+    // shuffle); verification runs once over the base candidate set.
+    "d22_ppjoin_filter_audit")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
