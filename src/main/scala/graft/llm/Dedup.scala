@@ -422,40 +422,50 @@ object Dedup {
     * materialized shuffle stages consumed by later stages
     * (`core/src/execution_plans/shuffle_reader.rs:100`).
     *
-    * The index lives under java.io.tmpdir keyed by the corpus file's
-    * (length, mtime) fingerprint: a regenerated corpus gets a fresh
-    * index instead of a silently stale one. Build-if-missing runs at
-    * query construction (the daily pipeline's "maintain the index"
-    * step); Bench's warmup pass builds it, so the measured pass times
-    * the probe alone. Returns the index directory. */
+    * The index lives under java.io.tmpdir keyed by
+    * [[IndexStore.fingerprint]] of the corpus (canonical path + child
+    * file names/sizes/mtimes): a regenerated OR different corpus gets a
+    * fresh index instead of a silently stale or colliding one, and the
+    * build publishes atomically (temp dir + rename) so racing sessions
+    * never interleave. Build-if-missing runs at query construction (the
+    * daily pipeline's "maintain the index" step); Bench's warmup pass
+    * builds it, so the measured pass times the probe alone. Returns the
+    * index directory. */
   private def ensureIngestIndex(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_ingest_index/${src.length}_${src.lastModified}")
-    val marker = new java.io.File(base, "_BUILT")
-    if (!marker.exists()) {
+      s"graft_ingest_index/${IndexStore.fingerprint(src)}")
+    IndexStore.ensureBuilt(base) { tmp =>
       val sig = lshSigDf(s, dir).filter(col("doc_id") % 7 =!= 0)
       sig.select(col("doc_id").as("db"),
           posexplode_outer(col("sig")).as(Seq("band", "mh")))
         .write.mode("overwrite")
-        .parquet(new java.io.File(base, "bands").getPath)
+        .parquet(new java.io.File(tmp, "bands").getPath)
       sig.select(col("doc_id").as("db"), col("tset").as("tb"))
         .write.mode("overwrite")
-        .parquet(new java.io.File(base, "tsets").getPath)
+        .parquet(new java.io.File(tmp, "tsets").getPath)
       Tables.load(s, dir, "documents").filter(col("doc_id") % 7 =!= 0)
         .select(md5(col("text").cast("binary")).as("cch")).distinct()
         .write.mode("overwrite")
-        .parquet(new java.io.File(base, "hashes").getPath)
-      marker.createNewFile()
+        .parquet(new java.io.File(tmp, "hashes").getPath)
     }
-    base.getAbsolutePath
   }
 
   /** d03's band-bucket pair miner over a [[lshSigDf]]: candidates share
     * ≥1 MinHash value within a source partition, verified with true
-    * token-set Jaccard ≥ 0.7. Bucket-join, never all-pairs. */
+    * token-set Jaccard ≥ 0.7. Bucket-join, never all-pairs.
+    *
+    * REQUIRES a persisted `sig` (checked below, not remembered): the
+    * signature fans out into THREE consumers here (the band explode and
+    * both token-set re-attach joins), so an unpersisted input would
+    * re-hash the corpus 3×; and the plain `posexplode` is only safe
+    * from the inferred-generator-filter re-run trap because the explode
+    * reads cached rows, not the parquet scan. */
   private def lshPairsFrom(sig: DataFrame): DataFrame = {
+    require(sig.storageLevel != StorageLevel.NONE,
+      "lshPairsFrom requires a persisted signature input: it fans the " +
+        "signature pass into three consumers (bands + two tset joins)")
     val bands = sig.select(col("doc_id"), col("source"),
       posexplode(col("sig")).as(Seq("band", "mh")))
     val a = bands.select(col("doc_id").as("da"), col("source"),

@@ -176,35 +176,34 @@ object Similarity {
     * production sizing, T=3) and the corpus cell assignment are trained
     * ONCE and written to parquet; every serving query then walks
     * codebook → probed cells → exact re-rank, touching the corpus only
-    * through the materialized cells table. Keyed by the embeddings
-    * file's (length, mtime) fingerprint like the ingest index, so a
-    * regenerated corpus invalidates it; Bench's warmup pass builds it,
-    * so the measured pass times the probe alone. */
+    * through the materialized cells table. Keyed by
+    * [[IndexStore.fingerprint]] of the embeddings source (canonical
+    * path + child file names/sizes/mtimes — same scheme as the ingest
+    * index), so a regenerated or different corpus invalidates it, and
+    * published atomically via temp-dir rename; Bench's warmup pass
+    * builds it, so the measured pass times the probe alone. */
   private def ensureAnnIndex(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_ann_index/${src.length}_${src.lastModified}")
-    val marker = new java.io.File(base, "_BUILT")
-    if (!marker.exists()) {
+      s"graft_ann_index/${IndexStore.fingerprint(src)}")
+    IndexStore.ensureBuilt(base) { tmp =>
       val qvAll = ivfQv(Tables.load(s, dir, "embeddings"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = qvAll.count()
       val k = math.round(math.sqrt(n.toDouble)).toInt
       ivfTrain(qvAll, ivfSeed(qvAll, k), 3)
         .write.mode("overwrite")
-        .parquet(new java.io.File(base, "cents").getPath)
+        .parquet(new java.io.File(tmp, "cents").getPath)
       // Cells derive from the WRITTEN artifact (not the in-memory
       // plan), so index contents are self-consistent by construction.
-      val cents = s.read.parquet(new java.io.File(base, "cents").getPath)
+      val cents = s.read.parquet(new java.io.File(tmp, "cents").getPath)
       ivfAssign(qvAll, cents)
         .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
         .write.mode("overwrite")
-        .parquet(new java.io.File(base, "cells").getPath)
+        .parquet(new java.io.File(tmp, "cells").getPath)
       qvAll.unpersist()
-      marker.createNewFile()
     }
-    base.getAbsolutePath
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -624,9 +623,16 @@ object Similarity {
       val idx = ensureAnnIndex(s, dir)
       val cents = s.read.parquet(s"$idx/cents")
       val cells = s.read.parquet(s"$idx/cells")
-      val k = cents.count()
-      val nProbe = math.max(1L, math.round(k / 4.0)).toInt
       val e = Tables.load(s, dir, "embeddings")
+      // nProbe derives from the corpus row count (round(√N)/4), NOT
+      // from cents.count(): a Lloyd round can empty a cell, shrinking
+      // the post-training centroid count below round(√N) — the oracle
+      // and v17 size probes from N, so sizing from the survivor count
+      // would silently diverge on any corpus that empties a cell. The
+      // count is parquet-metadata-only (no data scan).
+      val nEmb = e.count()
+      val kSz = math.round(math.sqrt(nEmb.toDouble))
+      val nProbe = math.max(1L, math.round(kSz / 4.0)).toInt
       val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
       val qe = e.filter(isQuery)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -453,7 +453,7 @@ object TextAnalysis {
       """WITH base AS (
         | SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |cum AS (
         | SELECT doc_id, n_toks,
         |  COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
