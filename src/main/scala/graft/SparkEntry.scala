@@ -50,11 +50,11 @@ object SparkEntry {
     * TPC-H adaptations are blocked by the driver's synthetic schema, not
     * by engine capability. */
   def skipList: Map[String, String] = Map(
-    "q2_min_cost_supplier" -> "synthetic schema has no partsupp table",
-    "q11_important_stock" -> "synthetic schema has no partsupp table",
-    "q16_supplier_cnt" -> "synthetic schema has no partsupp table",
-    "q20_potential_promo" -> "synthetic schema has no partsupp table",
-    "avro_scan" -> ("environment-blocked: spark-avro is a separate jar not " +
+    // q2/q11/q16/q20 left this list in round 8: partsupp is now a
+    // deterministic derivation shared with the oracle
+    // (queries/Relational.scala `partsupp`), closing the last four
+    // TPC-H shapes.
+    "avro_scan" ->("environment-blocked: spark-avro is a separate jar not " +
       "in /opt/spark/jars and the build has zero egress; the reference " +
       "reads Avro via its listing-table machinery (README.md:49). The " +
       "CSV/JSON/Parquet/Arrow-IPC sources cover the same scan surface."),

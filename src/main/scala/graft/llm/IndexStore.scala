@@ -25,7 +25,7 @@ import java.io.File
   * files appear to consumers only once fully written,
   * `core/src/execution_plans/shuffle_writer.rs`).
   */
-private[llm] object IndexStore {
+private[graft] object IndexStore {
 
   /** 16-hex content fingerprint of a parquet source file or directory:
     * md5 over canonical path + recursive child (name, length, mtime). */

@@ -136,6 +136,33 @@ object Similarity {
     .limit(k)
     .select(col("vec_id").as("cid"), col("qv").as("cv"))
 
+  /** Bounded deterministic TRAINING SAMPLE — the md5-top-s prefix of
+    * the corpus under the same (md5(vec_id), vec_id) order [[ivfSeed]]
+    * uses, s = 256·K (the standard IVF training budget: ~256 vectors
+    * per centroid, vs training k-means on the full corpus). Lloyd
+    * rounds assign only the sample — s·K = 256·K² ≈ 256·N distance
+    * evals per round at K=√N, instead of the N·√N = N^1.5 a
+    * full-corpus round costs; the corpus pays exactly ONE full N×K
+    * assignment, at index build / leg-final assign. Because the seed
+    * is the first K rows of the same total order, sampled training
+    * coincides bit-for-bit with full-corpus training whenever s ≥ N,
+    * and the DuckDB twins recompute the identical sample (same md5
+    * order, same row_number cutoff) so the codebooks stay
+    * bit-identical at any N. */
+  private def ivfSample(qvAll: DataFrame, s: Int): DataFrame = qvAll
+    .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+      col("vec_id"))
+    .limit(s)
+
+  /** Sampled-trainer convenience: seed from the sample's own top-K
+    * prefix (== the corpus seed), Lloyd over the sample only. */
+  private def ivfTrainSampled(qvAll: DataFrame, k: Int,
+                              rounds: Int): DataFrame = {
+    val samp = ivfSample(qvAll, 256 * k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ivfTrain(samp, ivfSeed(samp, k), rounds)
+  }
+
   /** Exact integer L2 argmin assignment (tie-break centroid id);
     * codebook broadcasts, the corpus never shuffles. */
   private def ivfAssign(qvAll: DataFrame, cents: DataFrame): DataFrame = {
@@ -192,7 +219,9 @@ object Similarity {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = qvAll.count()
       val k = math.round(math.sqrt(n.toDouble)).toInt
-      ivfTrain(qvAll, ivfSeed(qvAll, k), 3)
+      // Codebook trains on the bounded 256·K sample; the full corpus
+      // is assigned ONCE below (the "cells" write) — the only N×K pass.
+      ivfTrainSampled(qvAll, k, 3)
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "cents").getPath)
       // Cells derive from the WRITTEN artifact (not the in-memory
@@ -551,15 +580,20 @@ object Similarity {
       // derive from ONE driver-side count (a parquet-metadata lookup,
       // not a corpus scan); everything else is v09's exact arithmetic,
       // so the DuckDB twin (which derives K/P with scalar subqueries)
-      // is still bit-identical.
+      // is still bit-identical. The √N codebook trains on the bounded
+      // 256·K md5-sample ([[ivfSample]]): Lloyd rounds cost 256·K²
+      // ≈ 256·N distance evals instead of N·√N, and the corpus pays
+      // one full N×K assignment per leg (the `cells` build) — the
+      // FAISS training-budget shape. The oracle recomputes the same
+      // sample, so results stay bit-identical even where 256·K < N.
       val e = Tables.load(s, dir, "embeddings")
-      // Feeds the count, 2×(T Lloyd assigns) + final assigns + probes.
+      // Feeds the count, the training sample, final assigns + probes.
       val qvAll = ivfQv(e).persist(StorageLevel.MEMORY_AND_DISK)
       val n = qvAll.count()
       val kSq = math.round(math.sqrt(n.toDouble)).toInt
       val probeSq = math.max(1L, math.round(kSq / 4.0)).toInt
       val c16 = ivfTrain(qvAll, ivfSeed(qvAll, 16), 2)
-      val csq = ivfTrain(qvAll, ivfSeed(qvAll, kSq), 3)
+      val csq = ivfTrainSampled(qvAll, kSq, 3)
       val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
       val qe = e.filter(isQuery)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1344,26 +1378,32 @@ object Similarity {
       // DuckDB twin of the K = round(√N) harness: v09's CTE builders
       // with the codebook size and probe count as scalar subqueries
       // over q (so the SQL needs no engine-side row count), the √N leg
-      // trained T=3. Every arithmetic step is the same order-invariant
-      // integer form as v09's, so both codebooks are bit-identical.
+      // trained T=3 over the SAME bounded 256·K md5-sample the engine
+      // trains on (samp CTE — identical total order, identical
+      // row_number cutoff), so both codebooks stay bit-identical even
+      // where the sample is a strict subset of the corpus. Every
+      // arithmetic step is the same order-invariant integer form.
       val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
       val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM q)"
+      val sSql = "(SELECT 256 * CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
       def dist(a: String, b: String): String =
         s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
-      def seedCte(name: String, limitSql: String): String =
+      def seedCte(name: String, limitSql: String,
+                  src: String = "q"): String =
         s"""$name AS (
            | SELECT cid, cv FROM (
            |  SELECT vec_id AS cid, qv AS cv,
            |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
            |     vec_id) AS srn
-           |  FROM q) t WHERE srn <= $limitSql)""".stripMargin
-      def assignCte(name: String, cents: String): String =
+           |  FROM $src) t WHERE srn <= $limitSql)""".stripMargin
+      def assignCte(name: String, cents: String,
+                    src: String = "q"): String =
         s"""$name AS (
            | SELECT vec_id, qv, cid FROM (
            |  SELECT q.vec_id, q.qv, c.cid,
            |   row_number() OVER (PARTITION BY q.vec_id
            |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
-           |  FROM q CROSS JOIN $cents c) t WHERE rn = 1)"""
+           |  FROM $src q CROSS JOIN $cents c) t WHERE rn = 1)"""
           .stripMargin
       def updateCte(dimsName: String, centsName: String,
                     assigned: String): String =
@@ -1430,12 +1470,18 @@ object Similarity {
          |${updateCte("u1", "c1", "a1")},
          |${assignCte("a2", "c1")},
          |${updateCte("u2", "c2", "a2")},
-         |${seedCte("seedsq", kSql)},
-         |${assignCte("b1", "seedsq")},
+         |samp AS (
+         | SELECT vec_id, qv FROM (
+         |  SELECT vec_id, qv,
+         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |     vec_id) AS srn
+         |  FROM q) t WHERE srn <= $sSql),
+         |${seedCte("seedsq", kSql, "samp")},
+         |${assignCte("b1", "seedsq", "samp")},
          |${updateCte("w1", "d1", "b1")},
-         |${assignCte("b2", "d1")},
+         |${assignCte("b2", "d1", "samp")},
          |${updateCte("w2", "d2", "b2")},
-         |${assignCte("b3", "d2")},
+         |${assignCte("b3", "d2", "samp")},
          |${updateCte("w3", "d3", "b3")},
          |tpairs AS (
          | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -1461,27 +1507,31 @@ object Similarity {
 
     "v18_indexed_ann" -> {
       // DuckDB twin of the indexed serving path: recompute the √N/T=3
-      // codebook and cell assignment inline (the index is a
+      // codebook (trained over the same bounded 256·K md5-sample the
+      // index build uses) and cell assignment inline (the index is a
       // materialized view, not a semantic change), probe K/4 cells,
       // exact-cosine re-rank, emit each query's top 5 with similarity.
       val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
       val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM q)"
+      val sSql = "(SELECT 256 * CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
       def dist(a: String, b: String): String =
         s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
-      def seedCte(name: String, limitSql: String): String =
+      def seedCte(name: String, limitSql: String,
+                  src: String = "q"): String =
         s"""$name AS (
            | SELECT cid, cv FROM (
            |  SELECT vec_id AS cid, qv AS cv,
            |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
            |     vec_id) AS srn
-           |  FROM q) t WHERE srn <= $limitSql)""".stripMargin
-      def assignCte(name: String, cents: String): String =
+           |  FROM $src) t WHERE srn <= $limitSql)""".stripMargin
+      def assignCte(name: String, cents: String,
+                    src: String = "q"): String =
         s"""$name AS (
            | SELECT vec_id, qv, cid FROM (
            |  SELECT q.vec_id, q.qv, c.cid,
            |   row_number() OVER (PARTITION BY q.vec_id
            |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
-           |  FROM q CROSS JOIN $cents c) t WHERE rn = 1)"""
+           |  FROM $src q CROSS JOIN $cents c) t WHERE rn = 1)"""
           .stripMargin
       def updateCte(dimsName: String, centsName: String,
                     assigned: String): String =
@@ -1510,12 +1560,18 @@ object Similarity {
          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |        CAST(embedding AS DOUBLE[]))) AS nrm
          |  FROM embeddings) tq),
-         |${seedCte("seedsq", kSql)},
-         |${assignCte("b1", "seedsq")},
+         |samp AS (
+         | SELECT vec_id, qv FROM (
+         |  SELECT vec_id, qv,
+         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |     vec_id) AS srn
+         |  FROM q) t WHERE srn <= $sSql),
+         |${seedCte("seedsq", kSql, "samp")},
+         |${assignCte("b1", "seedsq", "samp")},
          |${updateCte("w1", "d1", "b1")},
-         |${assignCte("b2", "d1")},
+         |${assignCte("b2", "d1", "samp")},
          |${updateCte("w2", "d2", "b2")},
-         |${assignCte("b3", "d2")},
+         |${assignCte("b3", "d2", "samp")},
          |${updateCte("w3", "d3", "b3")},
          |af AS (
          | SELECT vec_id AS c_id, cid AS c_cell FROM (

@@ -60,7 +60,12 @@ object ScaleUp {
       .withColumn("l_suppkey", shifted("l_suppkey", i)))
     replicate("events", (d, i) => d
       .withColumn("event_id", shifted("event_id", i))
-      .withColumn("user_id", shifted("user_id", i)))
+      .withColumn("user_id", shifted("user_id", i))
+      // Tables.load normalizes ts to epoch-ns BIGINT; re-emit the
+      // corpus vintage (timestamp[us] NTZ) so sf1 carries the same
+      // schema as its source and DuckDB sees a timestamp either way.
+      .withColumn("ts",
+        expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")))
     replicate("documents", (d, i) => d
       .withColumn("doc_id", shifted("doc_id", i))
       .withColumn("text", array_join(

@@ -181,6 +181,60 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(${indexed.size} vs ${inline.size} rows)")
   }
 
+  test("delta-append index (d23) probes identically to the monolithic " +
+    "index (d21), and compaction changes nothing") {
+    // base ∪ delta = the full standing corpus, so segmenting the index
+    // must be invisible to the probe; and folding the segments back
+    // into one (compaction — read base+delta, write one segment,
+    // probe) must also be invisible. Together these pin the whole
+    // maintenance cycle: append daily, compact periodically, rebuild
+    // never.
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      Dedup.queries(name)(spark, dir).collect().map(_.toString).toSeq
+    val mono = rows("d21_indexed_ingest")
+    val delta = rows("d23_index_delta_append")
+    assert(mono.nonEmpty)
+    assert(delta == mono,
+      s"delta-segmented probe diverged from monolithic index " +
+        s"(${delta.size} vs ${mono.size} rows)")
+    // Compaction: the d23 plan reads each index part from two segment
+    // directories; folding them through a unionByName+write and
+    // re-probing is exactly what the monolithic d21 index already IS
+    // (same rows, one segment), so mono == delta above covers the
+    // compacted read path. What compaction must additionally preserve
+    // is the PHYSICAL fold: write the union out, probe from the files.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact_test").toFile
+    try {
+      val d21 = Dedup.queries("d21_indexed_ingest")(spark, dir)
+      d21.collect() // forces both segment builds via d23 above + d21
+      // Fold the two segment band tables and compare content equality
+      // with the monolithic band table (same rows, any order).
+      val fp = new java.io.File(s"$dir/documents.parquet")
+      val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      val key = graft.llm.IndexStore.fingerprint(fp)
+      def bands(tag: String) = spark.read
+        .parquet(s"$tmpdir/graft_ingest_index/$key-$tag/bands")
+      val folded = bands("base").unionByName(bands("delta"))
+      folded.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "bands").getPath)
+      val compacted = spark.read
+        .parquet(new java.io.File(tmp, "bands").getPath)
+        .collect().map(_.toString).sorted.toSeq
+      val monoBands = bands("full")
+        .collect().map(_.toString).sorted.toSeq
+      assert(compacted == monoBands,
+        "compacted band segment differs from the monolithic index")
+    } finally {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+        f.delete()
+      }
+      rec(tmp)
+    }
+  }
+
   test("pointer-jumping CC: same labels as plain propagation on a chain, " +
     "in O(log d) rounds instead of O(d)") {
     val s = spark

@@ -23,13 +23,15 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
 
   // Every TPC-H adaptation (the reference freezes all 22 staged plans;
-  // q2/q11/q16/q20 are schema-blocked, SparkEntry.skipList) + one flagship
-  // per module family.
+  // q2/q11/q16/q20 run over the derived partsupp since round 8) + one
+  // flagship per module family.
   private val flagship = Seq(
     "q1_agg", "q3_topk", "q5_join6", "q6_filter_agg", "q7_volume",
     "q9_profit", "q10_returns", "q12_late_ship", "q13_custdist",
     "q14_promo", "q17_small_qty", "q18_large_orders", "q19_disjunctive",
-    "q22_anti", "j01_exists_q4", "j02_not_exists_q21", "j03_mktshare_q8",
+    "q22_anti", "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_cnt", "q20_potential_promo",
+    "j01_exists_q4", "j02_not_exists_q21", "j03_mktshare_q8",
     "j04_top_supplier_q15",
     "w10_topn_per_group", "j08_theta_nlj", "d01_exact_dedup",
     "h15_join_big", "v02_knn_lsh", "c01_channel_rollup",
@@ -70,6 +72,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 64-row broadcast, never shuffle the corpus against it).
     "d12_paragraph_dedup", "t10_pii_redaction", "v10_pq_codes",
     "v11_pq_adc",
+    // round-8: the delta-segmented ingest index must keep its
+    // base+delta union FileScans (a regression to a corpus re-hash or
+    // a single-segment read would show here).
+    "d23_index_delta_append",
     // vocab-profile (two uniform-key shuffles + occurrence re-attach)
     // and the 3-step funnel (all three exchanges on user_id).
     "t11_vocab_profile", "p09_funnel",
