@@ -405,7 +405,13 @@ object Dedup {
     * sessions running many queries must flush between them — Bench/
     * Verify call spark.catalog.clearCache() per query. */
   private def lshSigDf(s: SparkSession, dir: String): DataFrame =
-    docsWithTokens(s, dir)
+    lshSigFrom(docsWithTokens(s, dir))
+
+  /** [[lshSigDf]] over an arbitrary docs slice (doc_id, source, text) —
+    * d24's pipeline composite mines near-dups over the quality-filtered,
+    * exact-deduped survivors rather than the raw corpus. */
+  private def lshSigFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("__th", tokHashes(col("text")))
       .select(col("doc_id"), col("source"),
         array_distinct(col("__th")).as("tset"),
@@ -1081,6 +1087,112 @@ object Dedup {
         seg("tsets", Seq("db", "tb")))
     },
 
+    "d24_training_pipeline" -> { (s, dir) =>
+      // END-TO-END pipeline composite — the 100 TB user's actual job,
+      // chained as ONE plan: t07 quality filter → d01 exact dedup
+      // (min-doc_id canonical per content hash) → d03 near-dup mining
+      // over the SURVIVORS → d06/d07 cluster + keep-best → d13
+      // per-source token quota → d14 epoch shard → t17 packing
+      // manifest. Graded output = the packing manifest of the final
+      // mixture (+ shards touched per sequence). The per-component
+      // semantics are the graded components' own (one definition each:
+      // keepPredicate, lshPairsFrom, ConnectedComponents, the two-grain
+      // prefix); what this entry adds is the CROSS-component plan
+      // hygiene — `filt`/`uniq`/`sig` each persist once and fan out,
+      // so the corpus is scanned once and token-hashed once, and the
+      // quality predicate pushes into that one scan (docs drop BEFORE
+      // the repartition shuffle — the cheap split+count predicate is
+      // parallel across scan tasks at any SF, unlike the md5 fan-out
+      // the repartition exists for). The golden pins the pushed
+      // predicate and that every stage reads the caches.
+      val B = 512L
+      val quota = 40000L
+      val filt = docsWithTokens(s, dir)
+        .filter(TextAnalysis.keepPredicate)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(col("toks")).cast("long").as("n_toks"),
+          md5(col("text").cast("binary")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // feeds exact canon + sig + joins
+      val wEx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      val uniq = filt
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") === 1).drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK) // feeds sig + label join + quota
+      val sig = lshSigFrom(uniq)
+      val pairs = barrier(lshPairsFrom(sig).select(col("da"), col("db")))
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .toDF("src", "dst")
+      val (lab, _) = graft.operators.ConnectedComponents.run(edges)
+      val labeled = uniq
+        .join(lab.select(col("id"), col("lbl")),
+          col("doc_id") === col("id"), "left_outer")
+        .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_toks").desc, col("doc_id"))
+      val kept = labeled
+        .withColumn("rnk", row_number().over(wBest))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("source"), col("n_toks"), col("h"))
+      // d13's two-grain per-source greedy prefix under the token quota.
+      val wBucketCut = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Long.MinValue, -1)
+      val wInBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Long.MinValue, -1)
+      val kb = kept.withColumn("bucket", substring(col("h"), 1, 2))
+      val cuts = kb.groupBy(col("source"), col("bucket"))
+        .agg(sum(col("n_toks")).as("bucket_toks"))
+        .withColumn("cum_bucket_before",
+          coalesce(sum(col("bucket_toks")).over(wBucketCut), lit(0L)))
+        .select(col("source"), col("bucket"), col("cum_bucket_before"))
+      val mixed = kb
+        .withColumn("cum_in_bucket",
+          coalesce(sum(col("n_toks")).over(wInBucket), lit(0L)))
+        .join(cuts, Seq("source", "bucket"))
+        .filter(col("cum_bucket_before") + col("cum_in_bucket") < quota)
+        .select(col("doc_id"), col("n_toks"))
+      // d14 epoch shard + t17 packing (two-grain doc_id-order prefix).
+      val shard = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":ep1"))
+          .cast("binary")), 1, 15), 16, 10).cast("long") % 32
+      val wCut = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pbucket")).rowsBetween(Long.MinValue, -1)
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pbucket")).orderBy(col("doc_id"))
+        .rowsBetween(Long.MinValue, -1)
+      val pbase = mixed
+        .withColumn("shard", shard)
+        .withColumn("pbucket", expr("doc_id div 64"))
+      val pcuts = pbase.groupBy(col("pbucket"))
+        .agg(sum(col("n_toks")).as("bucket_toks"))
+        .withColumn("cum_bucket_before",
+          coalesce(sum(col("bucket_toks")).over(wCut), lit(0L)))
+        .select(col("pbucket"), col("cum_bucket_before"))
+      pbase
+        .withColumn("cum_in_bucket",
+          coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+        .join(pcuts, "pbucket")
+        .withColumn("cum_before",
+          col("cum_bucket_before") + col("cum_in_bucket"))
+        .withColumn("seq_id", expr(s"cum_before div $B"))
+        .withColumn("spill",
+          greatest(col("cum_before") + col("n_toks") -
+            (col("seq_id") + 1) * B, lit(0L)))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("doc_toks"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(col("spill")).as("spill_toks"),
+          countDistinct(col("shard")).as("n_shards"))
+        .orderBy(col("seq_id"))
+    },
+
     "d22_ppjoin_filter_audit" -> { (s, dir) =>
       // PPJoin FILTER AUDIT — the d15-style companion report for d19:
       // per source, the candidate-pair volume under prefix collisions
@@ -1215,12 +1327,12 @@ object Dedup {
 
     // Shared CTE chain: LSH-banded candidate pairs verified at jac >= 0.7
     // (the DuckDB twin of d03's plan; d06's closure builds on it).
-    val lshPairCtes =
+    def lshPairCtesFrom(src: String) =
       s"""sig AS (
          | SELECT doc_id, source,
          |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
          |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
-         | FROM documents),
+         | FROM $src),
          |bands AS (
          | SELECT doc_id, source, tset, generate_subscripts(sig,1)-1 AS band, unnest(sig) AS mh
          | FROM sig),
@@ -1236,6 +1348,7 @@ object Dedup {
          | FROM cand
          | WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
          |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.7)""".stripMargin
+    val lshPairCtes = lshPairCtesFrom("documents")
 
     val bitSums = (0 until 16).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
@@ -1591,6 +1704,71 @@ object Dedup {
       // is invisible to semantics — the probe is over base ∪ delta =
       // the same standing corpus d18/d21 see.
       "d23_index_delta_append" -> oracleD18,
+
+      // d24: the full pipeline unrolled — t07 filter, exact canonical,
+      // near-dup mining over survivors (the shared pair CTEs, sourced
+      // from `uniq` instead of the raw corpus), recursive CC + keep
+      // best, greedy per-source quota in hash order (the ONE-window
+      // form the two-grain Spark prefix must equal), shard + packing.
+      "d24_training_pipeline" ->
+        s"""WITH RECURSIVE ${TextAnalysis.keepFiltCteSql},
+           |uniq AS (
+           | SELECT doc_id, source, text, n_toks, h FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)
+           |    AS rn
+           |  FROM filt) t WHERE rn = 1),
+           |${lshPairCtesFrom("uniq")},
+           |edges AS (
+           | SELECT da AS a, db AS b FROM dup_pairs
+           | UNION SELECT db, da FROM dup_pairs
+           | UNION SELECT da, da FROM dup_pairs
+           | UNION SELECT db, db FROM dup_pairs),
+           |reach AS (
+           | SELECT a, b FROM edges
+           | UNION
+           | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (
+           | SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+           | FROM reach GROUP BY a),
+           |labeled AS (
+           | SELECT u.doc_id, u.source, u.n_toks, u.h,
+           |  COALESCE(c.cluster, u.doc_id) AS cluster
+           | FROM uniq u LEFT JOIN comp c ON u.doc_id = c.doc_id),
+           |kept AS (
+           | SELECT doc_id, source, n_toks, h FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY cluster
+           |    ORDER BY n_toks DESC, doc_id) AS rnk FROM labeled) t
+           | WHERE rnk = 1),
+           |mixq AS (
+           | SELECT doc_id, n_toks,
+           |  COALESCE(SUM(n_toks) OVER (PARTITION BY source
+           |    ORDER BY h, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS cum_before
+           | FROM kept),
+           |mixed AS (
+           | SELECT doc_id, n_toks FROM mixq WHERE cum_before < 40000),
+           |sh AS (
+           | SELECT doc_id, n_toks,
+           |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep1'),
+           |    1, 15))::BIGINT % 32 AS shard,
+           |  COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS cum_before
+           | FROM mixed),
+           |packed AS (
+           | SELECT doc_id, n_toks, shard,
+           |  CAST(cum_before // 512 AS BIGINT) AS seq_id,
+           |  CAST(GREATEST(cum_before + n_toks
+           |    - (cum_before // 512 + 1) * 512, 0) AS BIGINT) AS spill
+           | FROM sh)
+           |SELECT seq_id, COUNT(*) AS n_docs,
+           | CAST(SUM(n_toks) AS BIGINT) AS doc_toks,
+           | CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           | CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           | CAST(SUM(spill) AS BIGINT) AS spill_toks,
+           | COUNT(DISTINCT shard) AS n_shards
+           |FROM packed GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
       "d20_normalized_dedup" ->
         """WITH n AS (

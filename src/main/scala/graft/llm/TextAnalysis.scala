@@ -27,6 +27,45 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(StopWords.map(lit): _*)))
       .cast("long")
 
+  /** t07's keep decision over a non-NULL `text` column, as one boolean
+    * — shared with Dedup's d24 end-to-end pipeline composite so the
+    * filter semantics live in ONE place. Equivalent to t07's CASE
+    * (kept ⇔ none of too_short / repetitive / low_quality fires); the
+    * arithmetic is the same exact integer ratios, so the DuckDB twin
+    * ([[keepFiltCteSql]]) reproduces the decision bit-for-bit. */
+  private[llm] def keepPredicate: Column = {
+    val ntoks = size(toks).cast("long")
+    val ndist = size(array_distinct(toks)).cast("long")
+    val nchars = length(col("text")).cast("long")
+    val avgTok = (nchars - ntoks + 1).cast("double") / ntoks
+    val q = lit(0.4) * least(ntoks.cast("double") / 50.0, lit(1.0)) +
+      lit(0.3) * (stopHits.cast("double") / ntoks) +
+      lit(0.3) * least(avgTok / 5.0, lit(1.0))
+    ntoks >= 10 && ndist * 10 >= ntoks * 3 && q >= 0.5
+  }
+
+  /** DuckDB twin of [[keepPredicate]]: CTEs `tq` (per-doc counts over
+    * non-NULL text) and `filt` (the kept docs with doc_id, source,
+    * text, n_toks, content hash h). */
+  private[llm] def keepFiltCteSql: String =
+    s"""tq AS (
+       | SELECT doc_id, source, text,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+       |    AS n_distinct,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(list_filter(string_split(text,' '),
+       |    t -> t IN (${StopWords.map(w => s"'$w'").mkString(", ")})))
+       |    AS BIGINT) AS n_stop
+       | FROM documents WHERE text IS NOT NULL),
+       |filt AS (
+       | SELECT doc_id, source, text, n_toks, md5(text) AS h FROM tq
+       | WHERE n_toks >= 10 AND n_distinct * 10 >= n_toks * 3
+       |   AND 0.4 * least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) +
+       |       0.3 * (CAST(n_stop AS DOUBLE) / n_toks) +
+       |       0.3 * least((CAST(n_chars - n_toks + 1 AS DOUBLE)
+       |         / n_toks) / 5.0, 1.0) >= 0.5)""".stripMargin
+
   /** PII patterns shared by the graded t10 query, [[piiRedact]], and the
     * unit spec. Hyphen-only phone grammar on purpose: allowing dots
     * would let the phone pattern bite into dotted IPv4 octets.

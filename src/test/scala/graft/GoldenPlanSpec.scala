@@ -74,8 +74,15 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v11_pq_adc",
     // round-8: the delta-segmented ingest index must keep its
     // base+delta union FileScans (a regression to a corpus re-hash or
-    // a single-segment read would show here).
-    "d23_index_delta_append",
+    // a single-segment read would show here); the end-to-end pipeline
+    // composite must keep the quality predicate pushed into the corpus
+    // scan (docs drop BEFORE the repartition shuffle) and every
+    // downstream stage reading the persisted filt/uniq caches — a raw
+    // documents FileScan appearing outside the cache build lineage
+    // would mean a component re-scanned the corpus. (The signature
+    // pass itself sits behind the CC checkpoint barrier, as in d06 —
+    // its single-pass shape is pinned by d03's golden instead.)
+    "d23_index_delta_append", "d24_training_pipeline",
     // vocab-profile (two uniform-key shuffles + occurrence re-attach)
     // and the 3-step funnel (all three exchanges on user_id).
     "t11_vocab_profile", "p09_funnel",
