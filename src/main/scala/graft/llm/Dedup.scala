@@ -1269,8 +1269,195 @@ object Dedup {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("shard"))
+    },
+
+    "d25_cluster_safe_split" -> { (s, dir) =>
+      // SPLIT-SAFETY audit — train/val assignment that respects duplicate
+      // clusters. A near-dup pair straddling the split boundary leaks
+      // training text into evaluation (the cross-SPLIT twin of d09's
+      // cross-source contamination). The naive per-document hash split
+      // scatters nearly every multi-doc cluster across both sides; keying
+      // the SAME md5 split rule by the cluster id instead keeps members
+      // together by construction. Both policies are hash-derived — no
+      // RNG, so the assignment reproduces bit-for-bit across engines and
+      // retries — and the graded report is the per-policy doc/token
+      // balance plus the two leakage counters a pipeline asserts on
+      // before a training run (the cluster policy's are provably zero).
+      // Cost on top of the shared d03 mining pass + CC labels: doc-grain
+      // linear passes and one pair-grain join — nothing quadratic, and
+      // the split hash is uniform, so neither side of the 90/10 cut can
+      // skew a partition at 100 TB.
+      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+        .select(col("da"), col("db")))
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      splitSafetyReport(docs, pairs)
+    },
+
+    "d26_dup_span_removal" -> { (s, dir) =>
+      // EXACT duplicated-SPAN removal — token-grain substring dedup in
+      // the spirit of suffix-array dedup (Lee et al. 2021, "Deduplicating
+      // Training Data Makes Language Models Better"): every K-token
+      // window whose exact token sequence occurs >= 2 times ANYWHERE in
+      // the corpus marks its K tokens as duplicated, and overlapping or
+      // adjacent marks merge into maximal spans (the gaps-and-islands
+      // consolidation p15 runs on time intervals, here on token
+      // positions). Distinct from d10/d12 (fixed chunk grid — a copy
+      // shifted by one token defeats it) and d17 (CDC — chunk-grain):
+      // this finds EVERY repeated run of >= K tokens at any offset, to
+      // the token. The distributed shape is suffix-array-free: one
+      // groupBy on the (uniform, md5) window fingerprint with map-side
+      // partials finds repeated windows — no pair join, no global
+      // suffix sort — then one per-doc window pass merges positions
+      // into spans. Linear in corpus token count at 100 TB; a window
+      // repeated f times costs f aggregate rows, never f² (the hot-span
+      // skew an all-pairs design would hit dies in the partial agg).
+      dupSpanReport(docsWithTokens(s, dir), DupSpanK)
     }
   )
+
+  /** d26's window length: a duplicated run shorter than K tokens is
+    * ignored; runs >= K are found exactly, at any offset. 8 keeps the
+    * graded corpus's ~40% near-dup rate visible at span grain while
+    * staying above incidental 3-gram collisions. */
+  private[graft] val DupSpanK = 8
+
+  /** d26's core: per-source duplicated-span report over a (doc_id,
+    * source, toks) frame. Exposed for `DedupPropSpec`'s brute-force
+    * equivalence check with arbitrary K. */
+  private[graft] def dupSpanReport(docs: DataFrame, k: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).as("n"))
+    val tot = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n").cast("long")).as("total_tokens"))
+    // occ feeds the fingerprint count AND the mark join-back — the
+    // localCheckpoint stops the md5-per-window scan running twice.
+    val occ = barrier(base
+      .withColumn("ps",
+        when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
+          .otherwise(array().cast("array<int>")))
+      // outer + null-filter: the non-outer form would infer
+      // size(ps) > 0 into the scan filter and re-hash below the
+      // repartition (d17's InferFiltersFromGenerate note).
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode_outer(col("ps")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("source"), col("p").cast("long").as("p"),
+        md5(array_join(slice(col("toks"), col("p"), lit(k)), " ")
+          .cast("binary")).as("h")))
+    val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val marks = occ.join(dupH, "h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val prevEnd = max(col("p") + (k - 1)).over(w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    // Same partition+order spec for both window columns — one
+    // Exchange+Sort, one Window operator.
+    val isl = marks
+      .withColumn("st",
+        when(col("p") > coalesce(prevEnd, lit(-1L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("st")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val spans = isl.groupBy(col("doc_id"), col("source"), col("island"))
+      .agg(min(col("p")).as("sp"), (max(col("p")) + (k - 1)).as("ep"))
+    val perDoc = spans.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ep") - col("sp") + 1).as("dup_toks"))
+    val perSrc = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_docs"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("dup_toks")).as("dup_tokens"))
+    tot.join(perSrc, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** d25's core: the two-policy split-safety report over (doc_id,
+    * n_toks) docs and SYMMETRIC-free (da, db) near-dup pairs (da < db,
+    * already persisted by the caller). Exposed for `DedupPropSpec`'s
+    * invariant checks on synthetic pair sets. */
+  private[graft] def splitSafetyReport(docs: DataFrame,
+                                       pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("src", "dst")
+    val (lab, _) = graft.operators.ConnectedComponents.run(edges)
+    def splitOf(id: Column): Column = {
+      val h = conv(substring(md5(
+        concat(id.cast("string"), lit(":split")).cast("binary")),
+        1, 15), 16, 10).cast("long") % 10
+      when(h < 9, "train").otherwise("val")
+    }
+    // assigned is doc-grain and feeds four consumers (two policy
+    // balance passes, the straddle audit, the pair leak join) — the
+    // localCheckpoint stops each from re-running the label join.
+    val assigned = barrier(docs
+      .join(lab.select(col("id").as("cid"), col("lbl").as("cluster")),
+        col("doc_id") === col("cid"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("sp_naive", splitOf(col("doc_id")))
+      .withColumn("sp_cluster", splitOf(col("cluster"))))
+    def balance(sp: String) = assigned.agg(
+      coalesce(sum(when(col(sp) === "train", 1L).otherwise(0L)), lit(0L))
+        .as("n_train_docs"),
+      coalesce(sum(when(col(sp) === "val", 1L).otherwise(0L)), lit(0L))
+        .as("n_val_docs"),
+      coalesce(sum(when(col(sp) === "train", col("n_toks")).otherwise(0L)),
+        lit(0L)).as("n_train_tokens"),
+      coalesce(sum(when(col(sp) === "val", col("n_toks")).otherwise(0L)),
+        lit(0L)).as("n_val_tokens"))
+    val pj = pairs
+      .join(assigned.select(col("doc_id").as("da2"),
+        col("sp_naive").as("na"), col("sp_cluster").as("ca")),
+        col("da") === col("da2"))
+      .join(assigned.select(col("doc_id").as("db2"),
+        col("sp_naive").as("nb"), col("sp_cluster").as("cb")),
+        col("db") === col("db2"))
+    val leaks = pj.agg(
+      coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)),
+        lit(0L)).as("leak_naive"),
+      coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)),
+        lit(0L)).as("leak_cluster"))
+    // Straddle = a cluster whose members land on both sides: min/max of
+    // the split label per cluster (avoids the two-countDistinct
+    // RewriteDistinctAggregates nondeterminism noted in the verify
+    // skill's gotchas).
+    val strad = assigned.groupBy(col("cluster"))
+      .agg(min(col("sp_naive")).as("mn"), max(col("sp_naive")).as("xn"),
+        min(col("sp_cluster")).as("mc"), max(col("sp_cluster")).as("xc"))
+      .agg(coalesce(sum(when(col("mn") =!= col("xn"), 1L).otherwise(0L)),
+        lit(0L)).as("straddle_naive"),
+        coalesce(sum(when(col("mc") =!= col("xc"), 1L).otherwise(0L)),
+          lit(0L)).as("straddle_cluster"))
+    // Scalar-row crossJoins only (1-row aggregates — broadcast, never
+    // cartesian in size).
+    val naiveRow = balance("sp_naive")
+      .crossJoin(leaks.select(col("leak_naive").as("n_leak_pairs")))
+      .crossJoin(strad.select(col("straddle_naive")
+        .as("n_straddle_clusters")))
+      .select(lit("naive").as("policy"), col("n_train_docs"),
+        col("n_val_docs"), col("n_train_tokens"), col("n_val_tokens"),
+        col("n_leak_pairs"), col("n_straddle_clusters"))
+    val clusterRow = balance("sp_cluster")
+      .crossJoin(leaks.select(col("leak_cluster").as("n_leak_pairs")))
+      .crossJoin(strad.select(col("straddle_cluster")
+        .as("n_straddle_clusters")))
+      .select(lit("cluster").as("policy"), col("n_train_docs"),
+        col("n_val_docs"), col("n_train_tokens"), col("n_val_tokens"),
+        col("n_leak_pairs"), col("n_straddle_clusters"))
+    clusterRow.unionByName(naiveRow).orderBy(col("policy"))
+  }
 
   private val duckTokHash = tokHashSqlDuck.format("t")
 
@@ -1794,6 +1981,114 @@ object Dedup {
           | CAST(MIN(doc_id) AS BIGINT) AS min_doc,
           | CAST(MAX(doc_id) AS BIGINT) AS max_doc
           |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+      "d25_cluster_safe_split" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |edges AS (
+           | SELECT da AS a, db AS b FROM dup_pairs
+           | UNION SELECT db, da FROM dup_pairs
+           | UNION SELECT da, da FROM dup_pairs
+           | UNION SELECT db, db FROM dup_pairs),
+           |reach AS (
+           | SELECT a, b FROM edges
+           | UNION
+           | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (
+           | SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+           | FROM reach GROUP BY a),
+           |docs AS (
+           | SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+           | FROM documents WHERE text IS NOT NULL),
+           |asg AS (
+           | SELECT d.doc_id, d.n_toks,
+           |  COALESCE(c.cluster, d.doc_id) AS cluster,
+           |  CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':split'),1,15))::BIGINT % 10 < 9
+           |   THEN 'train' ELSE 'val' END AS sp_naive,
+           |  CASE WHEN ('0x' || substr(md5(CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR) || ':split'),1,15))::BIGINT % 10 < 9
+           |   THEN 'train' ELSE 'val' END AS sp_cluster
+           | FROM docs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+           |cnt AS (
+           | SELECT
+           |  CAST(SUM(CASE WHEN sp_naive = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS tr_n,
+           |  CAST(SUM(CASE WHEN sp_naive = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS va_n,
+           |  CAST(SUM(CASE WHEN sp_naive = 'train' THEN n_toks ELSE 0 END) AS BIGINT) AS trt_n,
+           |  CAST(SUM(CASE WHEN sp_naive = 'val' THEN n_toks ELSE 0 END) AS BIGINT) AS vat_n,
+           |  CAST(SUM(CASE WHEN sp_cluster = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS tr_c,
+           |  CAST(SUM(CASE WHEN sp_cluster = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS va_c,
+           |  CAST(SUM(CASE WHEN sp_cluster = 'train' THEN n_toks ELSE 0 END) AS BIGINT) AS trt_c,
+           |  CAST(SUM(CASE WHEN sp_cluster = 'val' THEN n_toks ELSE 0 END) AS BIGINT) AS vat_c
+           | FROM asg),
+           |leaks AS (
+           | SELECT
+           |  CAST(COALESCE(SUM(CASE WHEN a.sp_naive <> b.sp_naive THEN 1 ELSE 0 END), 0) AS BIGINT) AS ln,
+           |  CAST(COALESCE(SUM(CASE WHEN a.sp_cluster <> b.sp_cluster THEN 1 ELSE 0 END), 0) AS BIGINT) AS lc
+           | FROM dup_pairs p JOIN asg a ON p.da = a.doc_id
+           |  JOIN asg b ON p.db = b.doc_id),
+           |strad AS (
+           | SELECT
+           |  CAST(SUM(CASE WHEN mn <> xn THEN 1 ELSE 0 END) AS BIGINT) AS sn,
+           |  CAST(SUM(CASE WHEN mc <> xc THEN 1 ELSE 0 END) AS BIGINT) AS sc
+           | FROM (SELECT cluster,
+           |   MIN(sp_naive) AS mn, MAX(sp_naive) AS xn,
+           |   MIN(sp_cluster) AS mc, MAX(sp_cluster) AS xc
+           |  FROM asg GROUP BY cluster))
+           |SELECT 'cluster' AS policy, tr_c AS n_train_docs,
+           | va_c AS n_val_docs, trt_c AS n_train_tokens,
+           | vat_c AS n_val_tokens, lc AS n_leak_pairs,
+           | sc AS n_straddle_clusters
+           |FROM cnt, leaks, strad
+           |UNION ALL
+           |SELECT 'naive', tr_n, va_n, trt_n, vat_n, ln, sn
+           |FROM cnt, leaks, strad
+           |ORDER BY policy""".stripMargin,
+
+      "d26_dup_span_removal" ->
+        s"""WITH d AS (
+           | SELECT doc_id, source, string_split(text, ' ') AS tk
+           | FROM documents WHERE text IS NOT NULL),
+           |tot AS (
+           | SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(tk)) AS BIGINT) AS total_tokens
+           | FROM d GROUP BY source),
+           |occ AS (
+           | SELECT doc_id, source, CAST(p AS BIGINT) AS p,
+           |  md5(array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')) AS h
+           | FROM (SELECT doc_id, source, tk,
+           |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1)) AS p
+           |  FROM d)),
+           |dup AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+           |marks AS (SELECT o.doc_id, o.source, o.p FROM occ o JOIN dup USING (h)),
+           |isl AS (
+           | SELECT doc_id, source, p,
+           |  CASE WHEN p > COALESCE(MAX(p + ${DupSpanK - 1}) OVER (
+           |    PARTITION BY doc_id ORDER BY p
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+           |   THEN 1 ELSE 0 END AS st
+           | FROM marks),
+           |isl2 AS (
+           | SELECT doc_id, source, p,
+           |  SUM(st) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           | FROM isl),
+           |spans AS (
+           | SELECT doc_id, source, island, MIN(p) AS sp,
+           |  MAX(p) + ${DupSpanK - 1} AS ep
+           | FROM isl2 GROUP BY doc_id, source, island),
+           |per_doc AS (
+           | SELECT doc_id, source, COUNT(*) AS n_spans,
+           |  SUM(ep - sp + 1) AS dup_toks
+           | FROM spans GROUP BY doc_id, source),
+           |per_src AS (
+           | SELECT source, COUNT(*) AS n_dup_docs,
+           |  CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           |  CAST(SUM(dup_toks) AS BIGINT) AS dup_tokens
+           | FROM per_doc GROUP BY source)
+           |SELECT t.source, t.n_docs,
+           | CAST(COALESCE(p.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+           | CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           | CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           | t.total_tokens
+           |FROM tot t LEFT JOIN per_src p USING (source)
+           |ORDER BY source""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

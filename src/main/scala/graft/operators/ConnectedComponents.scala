@@ -69,7 +69,10 @@ object ConnectedComponents {
           maxRounds: Int = 64, jumpAfter: Int = 5): (DataFrame, Int) = {
     val nodes = edges.select(col("src").as("id")).distinct()
     var lab = barrier(nodes.withColumn("lbl", col("id")))
-    var prevSum = lab.agg(sum(col("lbl"))).head().getLong(0)
+    // coalesce: an EMPTY edge set (a corpus with no near-dup pairs at
+    // all) must converge to empty labels, not NULL-crash the scalar.
+    var prevSum = lab.agg(coalesce(sum(col("lbl")), lit(0L)))
+      .head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -87,7 +90,8 @@ object ConnectedComponents {
         barrier(stepped.join(l2, col("lbl") === col("jid"))
           .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl")))
       } else stepped
-      val curSum = lab.agg(sum(col("lbl"))).head().getLong(0)
+      val curSum = lab.agg(coalesce(sum(col("lbl")), lit(0L)))
+        .head().getLong(0)
       converged = curSum == prevSum
       prevSum = curSum
       rounds += 1

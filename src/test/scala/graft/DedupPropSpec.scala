@@ -441,4 +441,164 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected 45 hot pairs uncapped, got ${uncapped.toSeq}")
     spark.catalog.clearCache()
   }
+
+  /** In-memory d26 reference: per-source (n_docs, n_dup_docs, n_spans,
+    * dup_tokens, total_tokens) with K-token windows, global >= 2
+    * occurrence rule, overlap-or-adjacent span merge. */
+  private def bruteSpans(docs: Seq[(Long, String, String)], k: Int)
+      : Map[String, (Long, Long, Long, Long, Long)] = {
+    val tokd = docs.map { case (id, src, t) => (id, src, t.split(" ", -1)) }
+    val grams = tokd.flatMap { case (id, _, toks) =>
+      (1 to toks.length - k + 1).map(p =>
+        (id, p.toLong, toks.slice(p - 1, p - 1 + k).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val perDoc = tokd.map { case (id, src, toks) =>
+      val ps = grams.filter(g => g._1 == id && counts(g._3) >= 2)
+        .map(_._2).sorted
+      // merge [p, p+k-1] intervals; adjacency (gap 0) merges too
+      val spans = ps.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, p) => acc match {
+          case (s0, e0) :: rest if p <= e0 + 1 => (s0, math.max(e0, p + k - 1)) :: rest
+          case _ => (p, p + k - 1) :: acc
+        }
+      }
+      (id, src, toks.length.toLong, spans.size.toLong,
+        spans.map { case (s0, e0) => e0 - s0 + 1 }.sum)
+    }
+    perDoc.groupBy(_._2).view.mapValues { ds =>
+      (ds.size.toLong, ds.count(_._4 > 0).toLong, ds.map(_._4).sum,
+        ds.map(_._5).sum, ds.map(_._3).sum)
+    }.toMap
+  }
+
+  test("d26 duplicated-span removal equals in-memory brute force " +
+    "(windows, global >=2 rule, overlap merge)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, split => fsplit}
+    val genCase = for {
+      k <- Gen.choose(2, 4)
+      nDocs <- Gen.choose(3, 10)
+      docs <- Gen.sequence[Seq[(Long, String, String)], (Long, String, String)](
+        (0 until nDocs).map { id =>
+          for {
+            n <- Gen.choose(1, 30)
+            src <- Gen.oneOf("web", "code")
+            toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+          } yield (id.toLong, src, toks.mkString(" "))
+        })
+    } yield (k, docs)
+    val prop = Prop.forAll(genCase) { case (k, docs) =>
+      val df = docs.toDF("doc_id", "source", "text")
+        .withColumn("toks", fsplit(col("text"), " "))
+      val got = Dedup.dupSpanReport(df, k).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+      val want = bruteSpans(docs, k)
+      val ok = got == want
+      if (!ok) println(s"d26 k=$k got $got != brute $want on $docs")
+      spark.catalog.clearCache()
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("d26 finds a shifted copied run the fixed chunk grid misses") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, split => fsplit}
+    // doc 0: tokens u0..u39 with a 10-token run r0..r9 at offset 5;
+    // doc 1: tokens w0..w39 with the SAME run at offset 17 — no K-gram
+    // aligns on d10's 40-token chunk grid, so chunk dedup sees nothing,
+    // while span dedup must find exactly the 10-token run in each doc.
+    val run = (0 until 10).map(i => s"r$i")
+    val t0 = ((0 until 5).map(i => s"u$i") ++ run ++
+      (15 until 40).map(i => s"u$i")).mkString(" ")
+    val t1 = ((0 until 17).map(i => s"w$i") ++ run ++
+      (27 until 40).map(i => s"w$i")).mkString(" ")
+    val df = Seq((0L, "web", t0), (1L, "web", t1))
+      .toDF("doc_id", "source", "text")
+      .withColumn("toks", fsplit(col("text"), " "))
+    val got = Dedup.dupSpanReport(df, 8).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // 2 docs, both with dup spans, one span each, 10 dup tokens each
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((2L, 2L, 2L, 20L, 80L)),
+      s"unexpected span report: ${r.toSeq}")
+    val chunks = Dedup.chunkDedup(
+      Seq((0L, t0), (1L, t1)).toDF("doc_id", "text"), 40, 40).collect()
+    assert(chunks.forall(_.getLong(2) == 0L),
+      s"chunk grid unexpectedly saw the shifted run: ${chunks.toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  /** JVM twin of d25's split hash. */
+  private def splitJvm(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:split".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10 < 9) "train"
+    else "val"
+  }
+
+  test("d25 split safety: cluster policy has zero leaks/straddles by " +
+    "construction; naive counters match union-find brute force") {
+    val s = spark
+    import s.implicits._
+    val genCase = for {
+      nDocs <- Gen.choose(4, 20)
+      nPairs <- Gen.choose(0, 12)
+      pairs <- Gen.listOfN(nPairs, for {
+        a <- Gen.choose(0, nDocs - 1); b <- Gen.choose(0, nDocs - 1)
+        if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield (nDocs, pairs.distinct)
+    val prop = Prop.forAll(genCase) { case (nDocs0, pairs0) =>
+      // shrinking can step outside the generator's range — clamp
+      val nDocs = math.max(nDocs0, 1)
+      val pairs = pairs0.filter { case (a, b) => a != b && b < nDocs }
+      val docs = (0 until nDocs).map(id => (id.toLong, (id + 1).toLong))
+      val got = Dedup.splitSafetyReport(
+          docs.toDF("doc_id", "n_toks"),
+          pairs.toDF("da", "db").localCheckpoint())
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6))).toMap
+      // union-find brute force
+      val parent = collection.mutable.Map((0L until nDocs.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val cluster = (0L until nDocs.toLong).map(i => i -> find(i)).toMap
+      def report(sp: Long => String) = {
+        val splits = (0L until nDocs.toLong).map(i => i -> sp(i)).toMap
+        val tr = splits.filter(_._2 == "train").keys
+        val va = splits.filter(_._2 == "val").keys
+        (tr.size.toLong, va.size.toLong,
+          tr.map(_ + 1).sum, va.map(_ + 1).sum,
+          pairs.count { case (a, b) => splits(a) != splits(b) }.toLong,
+          cluster.groupBy(_._2).values
+            .count(m => m.keys.map(splits).toSet.size > 1).toLong)
+      }
+      val want = Map(
+        "naive" -> report(splitJvm),
+        "cluster" -> report(i => splitJvm(cluster(i))))
+      val zeroOk = got("cluster")._5 == 0L && got("cluster")._6 == 0L
+      val ok = got == want && zeroOk
+      if (!ok) println(s"d25 got $got != brute $want on n=$nDocs $pairs")
+      spark.catalog.clearCache()
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -218,7 +218,17 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // PPJoin filter audit: ONE prefix-collision join feeds all three
     // filter legs as per-row flags (a per-leg join would triple the
     // shuffle); verification runs once over the base candidate set.
-    "d22_ppjoin_filter_audit")
+    "d22_ppjoin_filter_audit",
+    // split safety: every policy/leak/straddle consumer must read the
+    // checkpointed doc-grain assignment (an InMemory/checkpoint scan) —
+    // a rebuilt label join per consumer would show as repeated CC
+    // lineage; the two leak joins stay doc-grain equi-joins.
+    "d25_cluster_safe_split",
+    // duplicated-span removal: repeated windows come from ONE
+    // partial-aggregated groupBy on the window fingerprint (no pair
+    // join, no global sort), and both island windows (cummax + running
+    // island id) share ONE Exchange+Sort, as in p15.
+    "d26_dup_span_removal")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
