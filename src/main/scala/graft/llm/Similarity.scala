@@ -235,7 +235,95 @@ object Similarity {
     }
   }
 
+  /** v19's artifact: codebook trained on the BASE corpus only
+    * (vec_id % 7 != 0), base cell assignment, and a DELTA segment —
+    * the % 7 == 0 batch quantized with the base codebook (no retrain,
+    * the FAISS IVF-append discipline). Same fingerprint-keyed cache
+    * and atomic publish as [[ensureAnnIndex]]. */
+  private def ensureAnnDeltaIndex(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_ann_dindex/${IndexStore.fingerprint(src)}")
+    IndexStore.ensureBuilt(base) { tmp =>
+      val qvAll = ivfQv(Tables.load(s, dir, "embeddings"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val baseQv = qvAll.filter(col("vec_id") % 7 =!= 0)
+      val n = baseQv.count()
+      val k = math.round(math.sqrt(n.toDouble)).toInt
+      ivfTrainSampled(baseQv, k, 3)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "cents").getPath)
+      val cents = s.read.parquet(new java.io.File(tmp, "cents").getPath)
+      ivfAssign(baseQv, cents)
+        .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "cells_base").getPath)
+      // The append pass: |delta| × K assignment against the FROZEN
+      // codebook — the only work a nightly batch pays.
+      ivfAssign(qvAll.filter(col("vec_id") % 7 === 0), cents)
+        .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "cells_delta").getPath)
+      qvAll.unpersist()
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v19_delta_ann" -> { (s, dir) =>
+      // DELTA-APPEND ANN serving — the v-family twin of d23's
+      // delta-segmented ingest index, closing the loop v18 opened: a
+      // nightly embedding batch (vec_id ≡ 0 mod 7, the d18/d21 batch
+      // convention) does NOT retrain the codebook — production (the
+      // FAISS IVF append discipline) quantizes arrivals with the
+      // EXISTING centroids and appends a delta cell-assignment
+      // segment; queries probe base ∪ delta. Each hit carries its
+      // segment, so codebook staleness (delta vectors quantized by
+      // centroids trained before they existed) is a graded, visible
+      // fact instead of silent drift. The plan has no training subtree
+      // and no corpus quantization: |Q|×K probe argmin + probed-cell
+      // re-rank, at any corpus size; the append itself cost |delta|×K
+      // once at ingest.
+      val idx = ensureAnnDeltaIndex(s, dir)
+      val cents = s.read.parquet(s"$idx/cents")
+      val cells = s.read.parquet(s"$idx/cells_base")
+        .withColumn("seg", lit("base"))
+        .unionByName(s.read.parquet(s"$idx/cells_delta")
+          .withColumn("seg", lit("delta")))
+      val e = Tables.load(s, dir, "embeddings")
+      // K and nProbe size from the BASE row count (what the codebook
+      // was trained on), mirroring v18's N-derived sizing rule; the
+      // count is a pushed-filter scan of one int column.
+      val nBase = e.filter(col("vec_id") % 7 =!= 0).count()
+      val kSz = math.round(math.sqrt(nBase.toDouble))
+      val nProbe = math.max(1L, math.round(kSz / 4.0)).toInt
+      val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
+      val qe = e.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("cid"))
+      val probes = ivfQv(e.filter(isQuery))
+        .select(col("vec_id").as("q_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= nProbe)
+        .select(col("q_id"), col("cid").as("p_cell"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      probes.join(qe, "q_id")
+        .join(cells, col("p_cell") === col("c_cell") &&
+          col("q_id") =!= col("c_id"))
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), "c_id")
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("sim"),
+          col("seg"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     "v01_knn_brute" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
@@ -1503,6 +1591,111 @@ object Similarity {
          | JOIN h_sq ON h_16.q_id = h_sq.q_id
          | JOIN ncand_sq ON h_16.q_id = ncand_sq.q_id
          |ORDER BY h_16.q_id""".stripMargin
+    },
+
+    "v19_delta_ann" -> {
+      // DuckDB twin of the delta-append serving path: identical to
+      // v18's inline recomputation except the codebook/sample/sizing
+      // derive from the BASE slice (vec_id % 7 <> 0) and the cell set
+      // is the union of the base assignment and the frozen-codebook
+      // delta assignment, each tagged with its segment.
+      val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM qb)"
+      val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM qb)"
+      val sSql = "(SELECT 256 * CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM qb)"
+      def dist(a: String, b: String): String =
+        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+      def assignCte(name: String, cents: String,
+                    src: String = "qb"): String =
+        s"""$name AS (
+           | SELECT vec_id, qv, cid FROM (
+           |  SELECT q.vec_id, q.qv, c.cid,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+           |  FROM $src q CROSS JOIN $cents c) t WHERE rn = 1)"""
+          .stripMargin
+      def updateCte(dimsName: String, centsName: String,
+                    assigned: String): String =
+        s"""$dimsName AS (
+           | SELECT cid, dim,
+           |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+           | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
+           |        unnest(qv) AS v FROM $assigned) t
+           | GROUP BY cid, dim),
+           |${dimsName}s AS (
+           | SELECT cid, list(mval ORDER BY dim) AS mv,
+           |  CAST(SUM(mval * mval) AS BIGINT) AS ss
+           | FROM $dimsName GROUP BY cid),
+           |$centsName AS (
+           | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
+           |   THEN CAST(0 AS BIGINT)
+           |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
+           | FROM ${dimsName}s)""".stripMargin
+      s"""WITH q AS (
+         | SELECT vec_id,
+         |  list_transform(ed, x -> CASE WHEN nrm = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings) tq),
+         |qb AS (SELECT vec_id, qv FROM q WHERE vec_id % 7 <> 0),
+         |qd AS (SELECT vec_id, qv FROM q WHERE vec_id % 7 = 0),
+         |samp AS (
+         | SELECT vec_id, qv FROM (
+         |  SELECT vec_id, qv,
+         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |     vec_id) AS srn
+         |  FROM qb) t WHERE srn <= $sSql),
+         |seedsq AS (
+         | SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, qv AS cv,
+         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |     vec_id) AS srn
+         |  FROM samp) t WHERE srn <= $kSql),
+         |${assignCte("b1", "seedsq", "samp")},
+         |${updateCte("w1", "d1", "b1")},
+         |${assignCte("b2", "d1", "samp")},
+         |${updateCte("w2", "d2", "b2")},
+         |${assignCte("b3", "d2", "samp")},
+         |${updateCte("w3", "d3", "b3")},
+         |afb AS (
+         | SELECT vec_id AS c_id, cid AS c_cell FROM (
+         |  SELECT q.vec_id, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM qb q CROSS JOIN d3 c) t WHERE rn = 1),
+         |afd AS (
+         | SELECT vec_id AS c_id, cid AS c_cell FROM (
+         |  SELECT q.vec_id, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM qd q CROSS JOIN d3 c) t WHERE rn = 1),
+         |cells AS (
+         | SELECT c_id, c_cell, 'base' AS seg FROM afb
+         | UNION ALL
+         | SELECT c_id, c_cell, 'delta' AS seg FROM afd),
+         |probes AS (
+         | SELECT q_id, p_cell FROM (
+         |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS prn
+         |  FROM q CROSS JOIN d3 c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 120) t
+         | WHERE prn <= $pSql),
+         |reranked AS (
+         | SELECT p.q_id, a.c_id, a.seg,
+         |  ${cos("qe.embedding", "ce.embedding")} AS sim,
+         |  row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |    ${cos("qe.embedding", "ce.embedding")} DESC, a.c_id) AS rnk
+         | FROM probes p
+         |  JOIN embeddings qe ON p.q_id = qe.vec_id
+         |  JOIN cells a ON p.p_cell = a.c_cell AND p.q_id <> a.c_id
+         |  JOIN embeddings ce ON a.c_id = ce.vec_id)
+         |SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim, seg
+         |FROM reranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
     },
 
     "v18_indexed_ann" -> {

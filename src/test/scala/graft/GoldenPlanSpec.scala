@@ -228,7 +228,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partial-aggregated groupBy on the window fingerprint (no pair
     // join, no global sort), and both island windows (cummax + running
     // island id) share ONE Exchange+Sort, as in p15.
-    "d26_dup_span_removal")
+    "d26_dup_span_removal",
+    // delta-append ANN serving: the corpus appears ONLY via the
+    // cells_base/cells_delta index FileScans (union of two segment
+    // scans, as d23) — no training subtree, no delta re-quantization
+    // at query time; the codebook broadcasts into the probe.
+    "v19_delta_ann")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
