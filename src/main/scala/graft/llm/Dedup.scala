@@ -1315,6 +1315,52 @@ object Dedup {
       // repeated f times costs f aggregate rows, never f² (the hot-span
       // skew an all-pairs design would hit dies in the partial agg).
       dupSpanReport(docsWithTokens(s, dir), DupSpanK)
+    },
+
+    "d27_bloom_ingest" -> { (s, dir) =>
+      // BLOOM-FILTER ingest pre-filter — the cheap gate in front of
+      // d18/d21's exact probe: the standing corpus's content hashes
+      // fold into a k=3, m=4096 Bloom bitset, and each batch doc pays
+      // three O(1) bit probes before any index join. A batch doc whose
+      // three bits are all set is a CANDIDATE (possible duplicate —
+      // false positives expected at this m); a doc with any bit clear
+      // is PROVABLY fresh and skips the exact join entirely. The graded
+      // row carries both the bloom verdict and the exact-join truth, so
+      // the false-positive rate (bloom_pass=1, exact_dup=0) is a
+      // data-visible fact — the audit that sizes m in production.
+      // Scale: the bitset is represented as the DISTINCT set-bit table
+      // (≤ m rows — broadcast, never corpus-sized); corpus-side work is
+      // one linear hash projection + a bounded distinct; batch-side
+      // work is 3 broadcast probes + the exact hash join d18 already
+      // pays. At 100 TB the bitset build is the only full-corpus pass
+      // and is a pure map + 4096-key aggregate. Bit positions derive
+      // from md5(ch # j) — both engines recompute them bit-identically.
+      val mBits = 4096
+      val isNew = col("doc_id") % 7 === 0
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+      def bit(j: Int): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(col("ch"), lit(s"#$j"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % mBits
+      val bits = docs.filter(!isNew)
+        .select(explode(array(bit(0), bit(1), bit(2))).as("sb"))
+        .distinct()
+      val corpusH = docs.filter(!isNew)
+        .select(col("ch").as("cch")).distinct()
+      val batch = docs.filter(isNew)
+        .withColumn("b0", bit(0)).withColumn("b1", bit(1))
+        .withColumn("b2", bit(2))
+      val probed = Seq("b0", "b1", "b2").foldLeft(batch) { (df, c) =>
+        df.join(broadcast(bits.select(col("sb").as(s"hit_$c"))),
+          col(c) === col(s"hit_$c"), "left_outer")
+      }
+      probed
+        .join(corpusH, col("ch") === col("cch"), "left_outer")
+        .select(col("doc_id"),
+          when(col("hit_b0").isNotNull && col("hit_b1").isNotNull &&
+            col("hit_b2").isNotNull, 1L).otherwise(0L).as("bloom_pass"),
+          when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2089,6 +2135,36 @@ object Dedup {
            | t.total_tokens
            |FROM tot t LEFT JOIN per_src p USING (source)
            |ORDER BY source""".stripMargin,
+
+      "d27_bloom_ingest" -> {
+        def bit(e: String, j: Int): String =
+          s"(('0x' || substr(md5($e || '#$j'), 1, 8))::BIGINT % 4096)"
+        s"""WITH h AS (
+           | SELECT doc_id, md5(text) AS ch FROM documents),
+           |bits AS (
+           | SELECT DISTINCT sb FROM (
+           |  SELECT unnest([${bit("ch", 0)}, ${bit("ch", 1)},
+           |    ${bit("ch", 2)}]) AS sb
+           |  FROM h WHERE doc_id % 7 <> 0)),
+           |corpus AS (
+           | SELECT DISTINCT ch AS cch FROM h WHERE doc_id % 7 <> 0),
+           |batch AS (
+           | SELECT doc_id, ch, ${bit("ch", 0)} AS b0,
+           |  ${bit("ch", 1)} AS b1, ${bit("ch", 2)} AS b2
+           | FROM h WHERE doc_id % 7 = 0)
+           |SELECT b.doc_id,
+           | CAST(CASE WHEN t0.sb IS NOT NULL AND t1.sb IS NOT NULL
+           |   AND t2.sb IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |  AS bloom_pass,
+           | CAST(CASE WHEN c.cch IS NOT NULL THEN 1 ELSE 0 END
+           |   AS BIGINT) AS exact_dup
+           |FROM batch b
+           | LEFT JOIN bits t0 ON b.b0 = t0.sb
+           | LEFT JOIN bits t1 ON b.b1 = t1.sb
+           | LEFT JOIN bits t2 ON b.b2 = t2.sb
+           | LEFT JOIN corpus c ON b.ch = c.cch
+           |ORDER BY b.doc_id""".stripMargin
+      },
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -324,6 +324,136 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    "v20_ivfpq_adc" -> { (s, dir) =>
+      // IVF-PQ — the two halves finally composed (FAISS's IndexIVFPQ,
+      // the billion-vector production layout): a TRAINED coarse
+      // quantizer (K=16 spherical-Lloyd cells, v09's arithmetic, T=1)
+      // partitions the corpus; each vector stores only its cell id plus
+      // M=8 one-byte codes of its RESIDUAL (vector − cell centroid) —
+      // PQ on residuals, not raw vectors, because residual energy is
+      // what's left after the coarse quantizer explains the cell mean
+      // (the core IVF-PQ insight; same M×K codebook spent on raw
+      // vectors wastes bits re-encoding the cell offset). Serving:
+      // probe top-4 cells, build the query's PER-CELL residual distance
+      // table (probes × M × K = 640 integer rows — broadcast), scan
+      // ONLY probed cells' codes via M table lookups + adds, exact
+      // re-rank the 20-candidate shortlist. Scale: training broadcasts
+      // codebooks (never the corpus), encode is linear map-side work,
+      // and the serving scan touches |probed cells| · codes — no float
+      // payloads until the shortlist re-rank. All arithmetic is the
+      // v09/v10 integer discipline, so codebooks, codes, and ADC ranks
+      // are bit-identical in the oracle.
+      val e = Tables.load(s, dir, "embeddings")
+      val qvAll = ivfQv(e).persist(StorageLevel.MEMORY_AND_DISK)
+      val cents = ivfTrain(qvAll, ivfSeed(qvAll, 16), 1)
+      def subSlices(src: Column): Column =
+        array((0 until PqM).map(m =>
+          slice(src, m * PqSub + 1, PqSub)): _*)
+      // Residual = quantized vector − its cell's centroid, exact int64.
+      val resid = ivfAssign(qvAll, cents)
+        .join(broadcast(cents), "cid")
+        .select(col("vec_id"), col("cid").as("cell"),
+          zip_with(col("qv"), col("cv"), (x, c) => x - c).as("rv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rsubs = resid.select(col("vec_id"), col("cell"),
+        posexplode_outer(subSlices(col("rv"))).as(Seq("m", "sub")))
+      // Residual PQ codebook: md5-seeded sub-vectors + one floor-mean
+      // Lloyd round (pqEncode's recipe, trained on residual space).
+      val mk = md5(col("vec_id").cast("string").cast("binary"))
+      val seeds = resid.orderBy(mk, col("vec_id")).limit(PqK)
+        .withColumn("code",
+          (row_number().over(Window.orderBy(mk, col("vec_id"))) - 1)
+            .cast("long"))
+      val seedSub = seeds.select(col("code"),
+        posexplode(subSlices(col("rv"))).as(Seq("m", "cv")))
+      def assign(cb: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d"), col("code"))
+        rsubs.join(broadcast(cb), "m")
+          .withColumn("d", intSqDist(col("sub"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cell"), col("m"), col("sub"),
+            col("code"))
+      }
+      val rcb = assign(seedSub)
+        .select(col("m"), col("code"),
+          posexplode_outer(col("sub")).as(Seq("dim", "v")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("mval"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mval"))))
+          .as("mv"))
+        .select(col("m"), col("code"),
+          transform(col("mv"), st => st.getField("mval")).as("cv"))
+      val codes = assign(rcb)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"))
+      // Held-out queries: top-4 cells, per-cell residual distance table.
+      val isQ = col("vec_id") >= 100 && col("vec_id") < 120
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("cid"))
+      val probes = qvAll.filter(isQ)
+        .select(col("vec_id").as("q_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= 4)
+        .select(col("q_id"), col("qv"), col("cid").as("p_cell"),
+          col("cv"))
+      val qrsubs = probes
+        .select(col("q_id"), col("p_cell"),
+          zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+        .select(col("q_id"), col("p_cell"),
+          posexplode_outer(subSlices(col("qr"))).as(Seq("m", "qsub")))
+      val dtab = qrsubs.join(broadcast(rcb), "m")
+        .select(col("q_id"), col("p_cell"), col("m").as("dm"),
+          col("code").as("dcode"), intSqDist(col("qsub"), col("cv")).as("d"))
+      val adc = codes.join(broadcast(dtab),
+          col("p_cell") === col("cell") && col("dm") === col("m") &&
+            col("dcode") === col("code") && col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adc_dist"))
+      val wa = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+      val short = adc.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") <= PqShortlist)
+      val top5 = short.filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id").as("c_id"), lit(1L).as("hit"))
+      val qe = e.filter(isQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wt = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val truth = qe
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wt))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val rr5 = short
+        .select(col("q_id"), col("vec_id").as("c_id"))
+        .join(qe, "q_id")
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), "c_id")
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rrk", row_number().over(wt))
+        .filter(col("rrk") <= 5)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val ncand = adc.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      val hits = truth.join(top5, Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id")).agg(count(col("hit")).as("hits_adc"))
+      val hitsRr = truth.join(rr5, Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id")).agg(count(col("hit")).as("hits_rr"))
+      ncand.join(hits, "q_id").join(hitsRr, "q_id")
+        .select(col("q_id"), col("n_cand"), col("hits_adc"),
+          (col("hits_adc").cast("double") / 5.0).as("recall_adc"),
+          col("hits_rr"),
+          (col("hits_rr").cast("double") / 5.0).as("recall_rr"))
+        .orderBy(col("q_id"))
+    },
+
     "v01_knn_brute" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
@@ -1858,6 +1988,159 @@ object Similarity {
       | hits_rr, CAST(hits_rr AS DOUBLE) / 5.0 AS recall_rr, adc_top5
       |FROM h JOIN hr ON h.q_id = hr.q_id
       | JOIN asum ON h.q_id = asum.q_id ORDER BY h.q_id""".stripMargin,
+
+    "v20_ivfpq_adc" -> {
+      // DuckDB twin of IVF-PQ: v09's integer coarse training (T=1) +
+      // pqCtes' residual-space codebook + the cell-scoped ADC scan.
+      def dist64(a: String, b: String): String =
+        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+      s"""WITH q AS (
+         | SELECT vec_id,
+         |  list_transform(ed, x -> CASE WHEN nrm = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings) tq),
+         |seed AS (
+         | SELECT vec_id AS cid, qv AS cv FROM q
+         | ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |a1 AS (
+         | SELECT vec_id, qv, cid FROM (
+         |  SELECT q.vec_id, q.qv, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist64("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM q CROSS JOIN seed c) t WHERE rn = 1),
+         |u1 AS (
+         | SELECT cid, dim,
+         |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+         | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
+         |        unnest(qv) AS v FROM a1) t
+         | GROUP BY cid, dim),
+         |u1s AS (
+         | SELECT cid, list(mval ORDER BY dim) AS mv,
+         |  CAST(SUM(mval * mval) AS BIGINT) AS ss
+         | FROM u1 GROUP BY cid),
+         |c1 AS (
+         | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
+         |   THEN CAST(0 AS BIGINT)
+         |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
+         | FROM u1s),
+         |af AS (
+         | SELECT vec_id, qv, cid FROM (
+         |  SELECT q.vec_id, q.qv, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist64("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM q CROSS JOIN c1 c) t WHERE rn = 1),
+         |resid AS (
+         | SELECT a.vec_id, a.cid AS cell,
+         |  list_transform(range(64), ii -> a.qv[ii+1] - c.cv[ii+1]) AS rv
+         | FROM af a JOIN c1 c ON a.cid = c.cid),
+         |ms AS (SELECT unnest(range($PqM)) AS m),
+         |rsubs AS (
+         | SELECT vec_id, cell, m,
+         |  list_slice(rv, m * $PqSub + 1, m * $PqSub + $PqSub) AS sub
+         | FROM resid CROSS JOIN ms),
+         |pseed8 AS (
+         | SELECT vec_id, rv, md5(CAST(vec_id AS VARCHAR)) AS mk FROM resid
+         | ORDER BY mk, vec_id LIMIT $PqK),
+         |pseeds AS (
+         | SELECT vec_id, rv,
+         |  CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS BIGINT) AS code
+         | FROM pseed8),
+         |seedsub AS (
+         | SELECT code, m,
+         |  list_slice(rv, m * $PqSub + 1, m * $PqSub + $PqSub) AS cv
+         | FROM pseeds CROSS JOIN ms),
+         |pa1 AS (
+         | SELECT vec_id, cell, m, sub, code FROM (
+         |  SELECT s.vec_id, s.cell, s.m, s.sub, c.code,
+         |   row_number() OVER (PARTITION BY s.vec_id, s.m
+         |     ORDER BY ${pqDist("s.sub", "c.cv")}, c.code) AS rn
+         |  FROM rsubs s JOIN seedsub c ON s.m = c.m) t WHERE rn = 1),
+         |pu1 AS (
+         | SELECT m, code, dim,
+         |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+         | FROM (SELECT m, code, generate_subscripts(sub, 1) AS dim,
+         |        unnest(sub) AS v FROM pa1) t
+         | GROUP BY m, code, dim),
+         |rcb AS (SELECT m, code, list(mval ORDER BY dim) AS cv
+         |        FROM pu1 GROUP BY m, code),
+         |codes AS (
+         | SELECT vec_id, cell, m, code FROM (
+         |  SELECT s.vec_id, s.cell, s.m, c.code,
+         |   row_number() OVER (PARTITION BY s.vec_id, s.m
+         |     ORDER BY ${pqDist("s.sub", "c.cv")}, c.code) AS rn
+         |  FROM rsubs s JOIN rcb c ON s.m = c.m) t WHERE rn = 1),
+         |probes AS (
+         | SELECT q_id, qv, p_cell, cv FROM (
+         |  SELECT q.vec_id AS q_id, q.qv, c.cid AS p_cell, c.cv,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist64("q.qv", "c.cv")}, c.cid) AS prn
+         |  FROM q CROSS JOIN c1 c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 120) t WHERE prn <= 4),
+         |qres AS (
+         | SELECT q_id, p_cell,
+         |  list_transform(range(64), ii -> qv[ii+1] - cv[ii+1]) AS qr
+         | FROM probes),
+         |qrsubs AS (
+         | SELECT q_id, p_cell, m,
+         |  list_slice(qr, m * $PqSub + 1, m * $PqSub + $PqSub) AS qsub
+         | FROM qres CROSS JOIN ms),
+         |dtab AS (
+         | SELECT s.q_id, s.p_cell, s.m, c.code,
+         |  CAST(${pqDist("s.qsub", "c.cv")} AS BIGINT) AS d
+         | FROM qrsubs s JOIN rcb c ON s.m = c.m),
+         |adc AS (
+         | SELECT d.q_id, k.vec_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
+         | FROM codes k JOIN dtab d
+         |  ON k.cell = d.p_cell AND k.m = d.m AND k.code = d.code
+         | WHERE d.q_id <> k.vec_id GROUP BY d.q_id, k.vec_id),
+         |short AS (
+         | SELECT q_id, vec_id, adc_dist, rn FROM (
+         |  SELECT q_id, vec_id, adc_dist,
+         |   row_number() OVER (PARTITION BY q_id
+         |     ORDER BY adc_dist, vec_id) AS rn
+         |  FROM adc) t WHERE rn <= $PqShortlist),
+         |top5 AS (SELECT q_id, vec_id AS c_id FROM short WHERE rn <= 5),
+         |tpairs AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id >= 100 AND q.vec_id < 120),
+         |truth AS (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+         |  FROM tpairs) t WHERE rnk <= 5),
+         |rr5 AS (
+         | SELECT q_id, c_id FROM (
+         |  SELECT s.q_id, s.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY s.q_id ORDER BY
+         |     ${cos("qe.embedding", "ce.embedding")} DESC, s.vec_id) AS rrk
+         |  FROM short s
+         |   JOIN embeddings qe ON s.q_id = qe.vec_id
+         |   JOIN embeddings ce ON s.vec_id = ce.vec_id) t WHERE rrk <= 5),
+         |ncand AS (
+         | SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+         | FROM adc GROUP BY q_id),
+         |h AS (
+         | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_adc
+         | FROM truth t LEFT JOIN top5 a
+         |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id),
+         |hr AS (
+         | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_rr
+         | FROM truth t LEFT JOIN rr5 a
+         |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id)
+         |SELECT h.q_id, n_cand, hits_adc,
+         | CAST(hits_adc AS DOUBLE) / 5.0 AS recall_adc,
+         | hits_rr, CAST(hits_rr AS DOUBLE) / 5.0 AS recall_rr
+         |FROM ncand JOIN h ON ncand.q_id = h.q_id
+         | JOIN hr ON h.q_id = hr.q_id
+         |ORDER BY h.q_id""".stripMargin
+    },
 
     "v12_dim_stats" ->
       """WITH m AS (

@@ -482,6 +482,50 @@ object TextAnalysis {
           max(col("doc_id")).as("last_doc"),
           sum(col("spill")).as("spill_toks"))
         .orderBy(col("seq_id"))
+    },
+
+    "t18_bigram_typicality" -> { (s, dir) =>
+      // Character-bigram TYPICALITY scoring — the exact-arithmetic core
+      // of an n-gram LM quality filter (the KenLM-perplexity gate of
+      // CCNet/FineWeb, minus the log): a bigram frequency model trained
+      // on the corpus itself scores each document by how typical its
+      // character transitions are. Logs would hash-flake (libm ulps
+      // differ across engines), so the graded signal is the exact
+      // rational family: per doc, total bigram instances, distinct
+      // bigrams, bigrams occurring NOWHERE else in the corpus
+      // (corpus count == own count — the gibberish indicator), and mean
+      // corpus frequency per instance (one closing double division —
+      // low = atypical character sequences, the same ranking a log
+      // model yields monotonically for unigram-factored scores).
+      // Scale: normalization + bigram explode are per-row projections
+      // (work ∝ corpus chars); the model is a ≤27² = 729-key aggregate
+      // that BROADCASTS back (never a corpus-side shuffle); the per-doc
+      // profile re-aggregates on doc_id — two shuffles total, both on
+      // uniform keys. Sums stay under 2^53 through sf1 (≈4e14), so the
+      // closing int64→double casts are exact in both engines.
+      val nd = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z ]", "").as("nt"))
+      val bg = nd.select(col("doc_id"),
+          explode(when(length(col("nt")) >= 2,
+            expr("transform(sequence(1, length(nt) - 1)," +
+              " i -> substring(nt, i, 2))"))
+            .otherwise(array())).as("b"))
+      val perDoc = bg.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("c_doc"))
+      val model = perDoc.groupBy(col("b"))
+        .agg(sum(col("c_doc")).as("cnt"))
+      perDoc.join(broadcast(model), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c_doc")).as("n_bg"),
+          count(lit(1)).as("n_distinct_bg"),
+          sum(when(col("cnt") === col("c_doc"), 1L).otherwise(0L))
+            .as("n_own_only"),
+          sum(col("c_doc") * col("cnt")).as("typ_mass"))
+        .withColumn("typicality",
+          col("typ_mass").cast("double") / col("n_bg").cast("double"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -510,6 +554,32 @@ object TextAnalysis {
         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
         | CAST(SUM(spill) AS BIGINT) AS spill_toks
         |FROM assigned GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "t18_bigram_typicality" ->
+      """WITH nd AS (
+        | SELECT doc_id,
+        |  regexp_replace(lower(text), '[^a-z ]', '', 'g') AS nt
+        | FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, length(nt)),
+        |    i -> nt[i:i+1])) AS b
+        | FROM nd),
+        |per_doc AS (
+        | SELECT doc_id, b, COUNT(*) AS c_doc FROM bg GROUP BY doc_id, b),
+        |model AS (
+        | SELECT b, CAST(SUM(c_doc) AS BIGINT) AS cnt
+        | FROM per_doc GROUP BY b)
+        |SELECT p.doc_id,
+        | CAST(SUM(p.c_doc) AS BIGINT) AS n_bg,
+        | COUNT(*) AS n_distinct_bg,
+        | CAST(SUM(CASE WHEN m.cnt = p.c_doc THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_own_only,
+        | CAST(SUM(p.c_doc * m.cnt) AS BIGINT) AS typ_mass,
+        | CAST(CAST(SUM(p.c_doc * m.cnt) AS BIGINT) AS DOUBLE)
+        |  / CAST(CAST(SUM(p.c_doc) AS BIGINT) AS DOUBLE) AS typicality
+        |FROM per_doc p JOIN model m ON p.b = m.b
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "t01_lang_stats" ->
       s"""WITH d AS (
          | SELECT lang, len(string_split(text,' ')) AS n_toks,

@@ -901,6 +901,108 @@ object Composite {
           col("p_brand").asc_nulls_first, col("sz_bucket").asc_nulls_first,
           col("p_size").asc_nulls_first)
         .limit(100)
+    },
+
+    "c29_zorder_layout" -> { (s, dir) =>
+      // Z-ORDER layout audit — the multi-dimensional data-clustering
+      // decision (Delta/Iceberg `OPTIMIZE ... ZORDER BY`) as a graded,
+      // data-visible fact: lineitem rows are laid out two ways into 32
+      // equal files — sorted by l_partkey alone vs by the bit-INTERLEAVED
+      // z-value of (l_partkey, l_suppkey) — and the audit reports each
+      // file's (min, max) bounding box on BOTH keys. Per-file key spans
+      // are exactly what parquet min/max file skipping prunes on: the
+      // 1-d sort gives tight partkey spans but full-range suppkey spans
+      // (a suppkey predicate scans every file); the z-order gives
+      // bounded spans on BOTH, which is the whole point of the curve.
+      // The keys are RANGE-NORMALIZED to a common 10-bit space from
+      // column min/max stats before interleaving — the step every real
+      // Z-ORDER implementation performs, and it is load-bearing: raw
+      // interleave lets the wider key's high bits dominate (partkey has
+      // ~4 bits on suppkey here) and degenerates to a 1-d sort with
+      // full-range spans on the narrow key (measured: avg sk_span 99 =
+      // the whole suppkey range at sf0.01 without normalization).
+      // Scale: the z-value is a pure 21-bit/k shift-or projection
+      // (codegen, no shuffle); the 32-file assignment replicates
+      // ntile's exact tile boundaries from a GLOBAL ROW NUMBER built
+      // with the t17/d13 two-grain prefix-sum trick (coarse key-prefix
+      // buckets → bounded cumulative window → within-bucket
+      // row_number), so no corpus-wide single-partition window exists —
+      // in production this assignment IS the repartitionByRange write;
+      // the audit aggregate is 64 rows. The span-product column makes
+      // the comparison one ORDER BY away.
+      val nBits = 10
+      def zval(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (0 until nBits).map { i =>
+          shiftleft(shiftrightunsigned(a, i).bitwiseAND(1), 2 * i + 1) +
+            shiftleft(shiftrightunsigned(b, i).bitwiseAND(1), 2 * i)
+        }.reduce(_ + _)
+      val l0 = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      // Column stats (one tiny scalar agg — production reads these from
+      // file footers) drive the 10-bit range normalization of each key.
+      val stats = l0.agg(min(col("l_partkey")).as("pkmn"),
+        max(col("l_partkey")).as("pkmx"),
+        min(col("l_suppkey")).as("skmn"),
+        max(col("l_suppkey")).as("skmx"))
+      val l = l0.crossJoin(broadcast(stats))
+        .withColumn("npk", expr(
+          "CASE WHEN pkmx = pkmn THEN CAST(0 AS BIGINT)" +
+            " ELSE ((l_partkey - pkmn) * 1023) div (pkmx - pkmn) END"))
+        .withColumn("nsk", expr(
+          "CASE WHEN skmx = skmn THEN CAST(0 AS BIGINT)" +
+            " ELSE ((l_suppkey - skmn) * 1023) div (skmx - skmn) END"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("npk"), col("nsk"))
+      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val uFol = org.apache.spark.sql.expressions.Window.unboundedFollowing
+      def leg(name: String, key: org.apache.spark.sql.Column,
+              bucketShift: Int): DataFrame = {
+        // Coarse bucket = high bits of the sort key: order-compatible
+        // with the total order, bounded count, so the only global
+        // window runs over bucket TOTALS, not rows.
+        val keyed = l.withColumn("k", key)
+          .withColumn("bucket", shiftrightunsigned(col("k"), bucketShift))
+        val wCut = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+        val cuts = keyed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("cum_before",
+            coalesce(sum(col("bn")).over(wCut.rowsBetween(uPre, -1)),
+              lit(0L)))
+          .withColumn("total", sum(col("bn")).over(wCut.rowsBetween(uPre, uFol)))
+          .select(col("bucket"), col("cum_before"), col("total"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"))
+          .orderBy(col("k"), col("l_orderkey"), col("l_linenumber"))
+        // Exact ntile(32) boundaries from (rn, total): the first
+        // total%32 tiles carry one extra row.
+        keyed.join(broadcast(cuts), "bucket")
+          .withColumn("rn", col("cum_before") + row_number().over(wIn))
+          .withColumn("base", expr("total div 32"))
+          .withColumn("rem", col("total") % 32)
+          .withColumn("cutoff", col("rem") * (col("base") + 1))
+          .withColumn("f", expr(
+            "CAST(CASE WHEN rn <= cutoff THEN (rn - 1) div (base + 1) + 1" +
+              " ELSE rem + (rn - cutoff - 1) div base + 1 END AS BIGINT)"))
+          .groupBy(col("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("pk_min"),
+            max(col("l_partkey")).as("pk_max"),
+            min(col("l_suppkey")).as("sk_min"),
+            max(col("l_suppkey")).as("sk_max"))
+          .withColumn("layout", lit(name))
+          .withColumn("span_product",
+            (col("pk_max") - col("pk_min")) *
+              (col("sk_max") - col("sk_min")))
+      }
+      leg("pk_sort", col("l_partkey"), 8)
+        .unionByName(leg("zorder", zval(col("npk"), col("nsk")), 13))
+        .select(col("layout"), col("f"), col("n_rows"),
+          col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+          col("span_product"))
+        .orderBy(col("layout"), col("f"))
     }
   )
 
@@ -1474,6 +1576,52 @@ object Composite {
         |GROUP BY ROLLUP (p_type, p_brand, sz_bucket, p_size)
         |ORDER BY qoh, p_type ASC NULLS FIRST, p_brand ASC NULLS FIRST,
         | sz_bucket ASC NULLS FIRST, p_size ASC NULLS FIRST
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "c29_zorder_layout" -> {
+      val z = (0 until 10).map(i =>
+        s"(((npk >> $i) & 1) << ${2 * i + 1})" +
+          s" + (((nsk >> $i) & 1) << ${2 * i})")
+        .mkString("\n    + ")
+      def leg(name: String, key: String): String =
+        s"""SELECT '$name' AS layout, f, COUNT(*) AS n_rows,
+           |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+           |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,
+           |  (MAX(l_partkey) - MIN(l_partkey))
+           |    * (MAX(l_suppkey) - MIN(l_suppkey)) AS span_product
+           | FROM (
+           |  SELECT l_partkey, l_suppkey,
+           |   CAST(CASE WHEN rn <= rem * (base + 1)
+           |     THEN (rn - 1) // (base + 1) + 1
+           |     ELSE rem + (rn - rem * (base + 1) - 1) // base + 1 END
+           |    AS BIGINT) AS f
+           |  FROM (
+           |   SELECT l_partkey, l_suppkey,
+           |    row_number() OVER
+           |      (ORDER BY $key, l_orderkey, l_linenumber) AS rn,
+           |    COUNT(*) OVER () // 32 AS base,
+           |    COUNT(*) OVER () % 32 AS rem
+           |   FROM zl))
+           | GROUP BY f""".stripMargin
+      s"""WITH stats AS (
+         | SELECT MIN(l_partkey) AS pkmn, MAX(l_partkey) AS pkmx,
+         |  MIN(l_suppkey) AS skmn, MAX(l_suppkey) AS skmx
+         | FROM lineitem),
+         |nl AS (
+         | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CASE WHEN pkmx = pkmn THEN CAST(0 AS BIGINT)
+         |   ELSE ((l_partkey - pkmn) * 1023) // (pkmx - pkmn) END AS npk,
+         |  CASE WHEN skmx = skmn THEN CAST(0 AS BIGINT)
+         |   ELSE ((l_suppkey - skmn) * 1023) // (skmx - skmn) END AS nsk
+         | FROM lineitem CROSS JOIN stats),
+         |zl AS (
+         | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ($z) AS zk
+         | FROM nl)
+         |${leg("pk_sort", "l_partkey")}
+         |UNION ALL
+         |${leg("zorder", "zk")}
+         |ORDER BY layout, f""".stripMargin
+    }
   )
 }

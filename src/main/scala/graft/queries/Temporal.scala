@@ -357,6 +357,108 @@ object Temporal {
         .orderBy(col("user_id"), col("island"))
     },
 
+    "p16_gap_fill" -> { (s, dir) =>
+      // GAP-FILL / RESAMPLE — the time-series regularization every
+      // feature pipeline runs before training: per user, an HOURLY grid
+      // spanning [first event, last event], each grid point carrying
+      // last-observation-carried-forward (LOCF) and LINEAR-INTERPOLATED
+      // value. Shape: grid rows (sequence+explode — |hours| per user,
+      // never corpus-sized) UNION the events, then ONE shuffle + sort on
+      // (user_id, t) feeds BOTH ignore-nulls windows (prev = running
+      // last, next = first over the following frame — same partition/
+      // order spec, no second exchange). This beats the as-of-join
+      // formulation by one full join. Arithmetic discipline: cents are
+      // exact ints, the interpolation numerator cents·gap_us stays in
+      // int64 (≤ 1e5 · 2.6e12 ≈ 2.6e17 per term, two terms < 9.2e18),
+      // and the ONLY doubles are the two closing casts — int64→double
+      // and the division round identically (IEEE nearest) in both
+      // engines. Grid rows sort AFTER a same-instant event (is_grid 1 >
+      // 0), so an exact-hit grid point takes that event as prev (gap 0
+      // ⇒ interp == locf exactly) and strictly-later events as next —
+      // denominators are never zero by construction.
+      val hourUs = 3600L * 1000 * 1000
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 10)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(expr(s"ts_us div $hourUs")).as("h0"),
+          max(expr(s"ts_us div $hourUs")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+        .select(col("user_id"), (col("h") * hourUs).as("t_us"),
+          lit(1).as("is_grid"), lit(-1L).as("ek"),
+          lit(null).cast("long").as("cents"))
+      val pts = ev.select(col("user_id"), col("ts_us").as("t_us"),
+          lit(0).as("is_grid"), col("event_id").as("ek"), col("cents"))
+        .unionByName(grid)
+        .withColumn("pv", when(col("is_grid") === 0,
+          struct(col("t_us").as("pts"), col("cents").as("pc"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("is_grid"), col("ek"))
+      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val uFol = org.apache.spark.sql.expressions.Window.unboundedFollowing
+      val filled = pts
+        .withColumn("prev", last(col("pv"), ignoreNulls = true)
+          .over(w.rowsBetween(uPre, 0)))
+        .withColumn("nxt", first(col("pv"), ignoreNulls = true)
+          .over(w.rowsBetween(1, uFol)))
+        .filter(col("is_grid") === 1)
+      val pc = col("prev").getField("pc")
+      val pt = col("prev").getField("pts")
+      val nc = col("nxt").getField("pc")
+      val nt = col("nxt").getField("pts")
+      filled.select(col("user_id"), col("t_us"),
+          (pc.cast("double") / 100.0).as("locf"),
+          when(col("prev").isNotNull && col("nxt").isNotNull,
+            (pc * (nt - col("t_us")) + nc * (col("t_us") - pt))
+              .cast("double") / (nt - pt).cast("double") / 100.0)
+            .as("interp"))
+        .orderBy(col("user_id"), col("t_us"))
+    },
+
+    "p17_ewma" -> { (s, dir) =>
+      // Bounded-window EWMA (α = 3/4 decay over the last 16
+      // observations) — the smoothing primitive behind monitoring
+      // baselines and feature decay. The recursive definition doesn't
+      // distribute; the BOUNDED form is a 16-term lag combination, i.e.
+      // ONE window pass over one shuffle on user_id — no self-join, no
+      // fan-out, scale = the p03 sessionize shape. Exactness: the
+      // rational weights (3/4)^k are cleared to INTEGERS w_k =
+      // 3^k·4^(15-k) (num and denom both scale by 4^15, which
+      // cancels); every cents·w_k term and both sums stay under 2^53
+      // (≤ 1e5·4^15·Σ(3/4)^k ≈ 4.3e14), so the closing int64→double
+      // casts are EXACT — not merely identically rounded — in both
+      // engines (a 10^15-scaled 0.9-decay variant fails the gate by one
+      // ulp: DuckDB's hugeint→double cast is not correctly rounded past
+      // 2^53). The normalizing denominator sums only the weights whose
+      // lag exists, so the leading-edge partial window stays exact
+      // instead of zero-padded. One closing double division.
+      val W = 16
+      val weights: Seq[Long] = (0 until W).map(k =>
+        (BigInt(3).pow(k) * BigInt(4).pow(W - 1 - k)).toLong)
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 40)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val num = weights.zipWithIndex.map { case (wk, k) =>
+        val lk = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+        when(lk.isNotNull, lk * lit(wk)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val den = weights.zipWithIndex.map { case (wk, k) =>
+        val lk = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+        when(lk.isNotNull, lit(wk)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      ev.withColumn("n_terms",
+          least(row_number().over(w).cast("long"), lit(W.toLong)))
+        .withColumn("ewma",
+          num.cast("double") / den.cast("double") / 100.0)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("n_terms"), col("ewma"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
     "p14_daily_bars" -> { (s, dir) =>
       // OHLC daily BARS per user — open/high/low/close of the event
       // value stream: open and close are the first/last value by the
@@ -529,6 +631,70 @@ object Temporal {
         | COUNT(*) AS n_events
         |FROM isl GROUP BY user_id, island
         |ORDER BY user_id, island""".stripMargin,
+
+    "p16_gap_fill" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS t_us, 0 AS is_grid,
+        |  event_id AS ek,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE user_id < 10),
+        |b AS (
+        | SELECT user_id, MIN(t_us) // 3600000000 AS h0,
+        |  MAX(t_us) // 3600000000 AS h1
+        | FROM ev GROUP BY user_id),
+        |grid AS (
+        | SELECT user_id, unnest(range(h0, h1 + 1)) * 3600000000 AS t_us,
+        |  1 AS is_grid, CAST(-1 AS BIGINT) AS ek,
+        |  CAST(NULL AS BIGINT) AS cents
+        | FROM b),
+        |pts AS (
+        | SELECT user_id, t_us, is_grid, ek, cents,
+        |  CASE WHEN is_grid = 0
+        |       THEN {'pts': t_us, 'pc': cents} END AS pv
+        | FROM (SELECT * FROM ev UNION ALL SELECT * FROM grid)),
+        |m AS (
+        | SELECT user_id, t_us, is_grid,
+        |  last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, is_grid, ek
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        |  first_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, is_grid, ek
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        | FROM pts)
+        |SELECT user_id, t_us,
+        | CAST((prev).pc AS DOUBLE) / 100.0 AS locf,
+        | CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+        |  CAST((prev).pc * ((nxt).pts - t_us)
+        |       + (nxt).pc * (t_us - (prev).pts) AS DOUBLE)
+        |   / CAST((nxt).pts - (prev).pts AS DOUBLE) / 100.0
+        | END AS interp
+        |FROM m WHERE is_grid = 1
+        |ORDER BY user_id, t_us""".stripMargin,
+
+    "p17_ewma" -> {
+      val W = 16
+      val weights = (0 until W).map(k =>
+        (BigInt(3).pow(k) * BigInt(4).pow(W - 1 - k)).toLong)
+      val num = weights.zipWithIndex.map { case (wk, k) =>
+        val lk = if (k == 0) "cents" else s"lag(cents, $k) OVER w"
+        s"CASE WHEN $lk IS NOT NULL THEN CAST($lk AS BIGINT) * $wk ELSE 0 END"
+      }.mkString("\n    + ")
+      val den = weights.zipWithIndex.map { case (wk, k) =>
+        val lk = if (k == 0) "cents" else s"lag(cents, $k) OVER w"
+        s"CASE WHEN $lk IS NOT NULL THEN CAST($wk AS BIGINT) ELSE 0 END"
+      }.mkString("\n    + ")
+      s"""WITH ev AS (
+         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         | FROM events WHERE user_id < 40)
+         |SELECT user_id, event_id, ts_us,
+         | LEAST(CAST(row_number() OVER w AS BIGINT), $W) AS n_terms,
+         | CAST($num AS DOUBLE)
+         |  / CAST($den AS DOUBLE) / 100.0 AS ewma
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin
+    },
 
     "p14_daily_bars" ->
       """WITH e AS (

@@ -601,4 +601,21 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("d27 Bloom pre-filter is SOUND: no exact duplicate ever fails " +
+    "the bloom probe (zero false negatives, by construction)") {
+    // The Bloom guarantee the pipeline relies on to SKIP the exact join
+    // for bloom_pass=0 docs: every corpus hash set all three of its
+    // bits, so a batch doc whose hash IS in the corpus must find all
+    // three bits present. A violation means the probe and the build
+    // disagree on the bit derivation.
+    val r = Dedup.queries("d27_bloom_ingest")(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    val fn = r.filter(col("exact_dup") === 1L && col("bloom_pass") === 0L)
+      .count()
+    assert(fn == 0, s"$fn false negatives — the Bloom invariant is broken")
+    // And the filter actually filters: some batch docs are pruned.
+    assert(r.filter(col("bloom_pass") === 0L).count() > 0,
+      "bloom filter never pruned anything at sf0.001 — m is mis-sized")
+  }
 }

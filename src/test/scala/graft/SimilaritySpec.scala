@@ -119,4 +119,20 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = r.filter(col("hits_rr") < col("hits_adc")).count()
     assert(bad == 0, s"$bad queries where re-rank lost raw-ADC hits")
   }
+
+  test("IVF-PQ (v20): cell-scoped scan prunes the corpus and exact " +
+    "re-rank dominates raw ADC@5") {
+    val r = graft.llm.Similarity.queries("v20_ivfpq_adc")(spark, sf)
+      .cache()
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    // Probing 4 of 16 cells must scan a strict subset of the corpus —
+    // the whole point of the coarse quantizer.
+    val unpruned = r.filter(col("n_cand") >= nVecs - 1).count()
+    assert(unpruned == 0, s"$unpruned queries scanned the whole corpus")
+    // Same shortlist-superset argument as v11: truth ∩ adc-top5 ⊆
+    // truth ∩ rr5, so re-ranking never loses a truth hit.
+    val bad = r.filter(col("hits_rr") < col("hits_adc")).count()
+    assert(bad == 0, s"$bad queries where re-rank lost raw-ADC hits")
+    assert(r.count() == 20, "one graded row per held-out query")
+  }
 }
