@@ -211,6 +211,43 @@ object Multimodal {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("shard_id"))
+    },
+
+    "m07_energy_windows" -> { (s, dir) =>
+      import s.implicits._
+      // FAKE windowed ENERGY profile — the audio VAD / silence-trimming
+      // shape: each payload splits into fixed 256-byte frames, each
+      // frame scores sum-of-squared-samples energy, and the per-blob
+      // profile reports frame count, the PEAK frame (energy + index —
+      // what a highlight extractor seeks to), and the count of LOW
+      // frames under a fixed threshold (what silence trimming drops).
+      // A real pipeline computes identical per-frame reductions over
+      // decoded PCM; the byte arithmetic stands in (see decodeFake).
+      // Shape: one mapPartitions pass, one frame loop per blob, O(1)
+      // state — no shuffle at all until the final ORDER BY; work is
+      // linear in corpus bytes at any scale.
+      val W = 256
+      val thresh = 500000L
+      blobs(s, dir)
+        .mapPartitions(_.map { b =>
+          var wi = 0
+          var peakE = -1L; var peakI = -1L; var nLow = 0L; var n = 0L
+          while (wi * W < b.payload.length) {
+            var e = 0L
+            var i = wi * W
+            val end = math.min(i + W, b.payload.length)
+            while (i < end) {
+              val v = b.payload(i) & 0xffL; e += v * v; i += 1
+            }
+            if (e > peakE) { peakE = e; peakI = wi.toLong }
+            if (e < thresh) nLow += 1
+            n += 1; wi += 1
+          }
+          (b.doc_id, n, peakE, peakI, nLow)
+        })
+        .toDF("doc_id", "n_frames", "peak_energy", "peak_frame", "n_low")
+        .filter(col("n_frames") > 0)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -305,6 +342,37 @@ object Multimodal {
         | CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
         | CAST(MIN(doc_id) AS BIGINT) AS min_doc,
         | CAST(MAX(doc_id) AS BIGINT) AS max_doc
-        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+    // Codepoint arithmetic == byte arithmetic on the ASCII corpus (the
+    // m01 rule), so the frame-energy pipeline verifies end-to-end.
+    "m07_energy_windows" ->
+      """WITH fr AS (
+        | SELECT doc_id,
+        |  unnest(range((length(text) + 255) // 256)) AS wi, text
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |fe AS (
+        | SELECT doc_id, wi,
+        |  CAST(list_sum(list_transform(
+        |    range(length(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256))),
+        |    i -> ord(substr(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256),
+        |           CAST(i + 1 AS BIGINT), 1))
+        |       * ord(substr(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256),
+        |           CAST(i + 1 AS BIGINT), 1)))) AS BIGINT) AS e
+        | FROM fr),
+        |rk AS (
+        | SELECT doc_id, wi, e,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, wi)
+        |    AS rn
+        | FROM fe)
+        |SELECT f.doc_id, COUNT(*) AS n_frames,
+        | CAST(MAX(CASE WHEN r.rn = 1 THEN r.e END) AS BIGINT)
+        |   AS peak_energy,
+        | CAST(MAX(CASE WHEN r.rn = 1 THEN r.wi END) AS BIGINT)
+        |   AS peak_frame,
+        | CAST(SUM(CASE WHEN f.e < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_low
+        |FROM fe f JOIN rk r ON f.doc_id = r.doc_id AND f.wi = r.wi
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
   )
 }

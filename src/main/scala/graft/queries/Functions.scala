@@ -232,6 +232,41 @@ object Functions {
           expr("try_element_at(split(concat(l_returnflag, ' ', " +
             "l_linestatus), ' '), 1)").as("first_tok"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    "f14_variant" -> { (s, dir) =>
+      // Spark 4's VARIANT semi-structured type — the modern replacement
+      // for string-JSON round-tripping (and the engine-native analogue
+      // of DataFusion's JSON registry surface f09 covers): `parse_json`
+      // builds the binary variant once, `variant_get` extracts typed
+      // paths without re-parsing, and `try_parse_json` degrades
+      // malformed input to NULL instead of failing the query. The
+      // malformed leg is DETERMINISTIC (every event_id % 10 == 0 row is
+      // TRUNCATED by one character — a dangling object both parsers
+      // reject; a trailing-garbage suffix would NOT do: Spark's
+      // try_parse_json stops after the first complete JSON value while
+      // DuckDB's json_valid rejects the suffix, and the engines would
+      // disagree), so both engines agree on which rows parse. Scale: a
+      // pure codegen projection + one bounded groupBy —
+      // at 100 TB the win VARIANT represents is parse-once-read-many,
+      // which this plan shape preserves (one parse_json feeding two
+      // variant_gets).
+      Tables.load(s, dir, "events")
+        .withColumn("v", expr("parse_json(props)"))
+        .withColumn("corrupt",
+          when(col("event_id") % 10 === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")))
+        .withColumn("tv", expr("try_parse_json(corrupt)"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(expr("variant_get(v, '$.k', 'long')")).as("sum_k"),
+          count(expr("variant_get(v, '$.k', 'long')")).as("n_k"),
+          sum(when(expr("variant_get(v, '$.missing', 'long')").isNull,
+            1L).otherwise(0L)).as("n_missing_null"),
+          sum(when(col("tv").isNull, 1L).otherwise(0L)).as("n_malformed"),
+          sum(expr("variant_get(tv, '$.k', 'long')")).as("sum_k_surviving"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -373,6 +408,26 @@ object Functions {
         | string_split(l_returnflag || ' ' || l_linestatus, ' ')[5] AS oob,
         | string_split(l_returnflag || ' ' || l_linestatus, ' ')[1] AS first_tok
         |FROM lineitem WHERE l_orderkey < 500
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f14_variant" ->
+      """WITH e AS (
+        | SELECT event_type, props,
+        |  CASE WHEN event_id % 10 = 0
+        |   THEN substr(props, 1, length(props) - 1) ELSE props END
+        |    AS corrupt
+        | FROM events)
+        |SELECT event_type,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS sum_k,
+        | COUNT(json_extract(props, '$.k')) AS n_k,
+        | CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
+        | CAST(SUM(CASE WHEN NOT json_valid(corrupt) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_malformed,
+        | CAST(SUM(CASE WHEN json_valid(corrupt)
+        |   THEN CAST(json_extract(corrupt, '$.k') AS BIGINT) END)
+        |   AS BIGINT) AS sum_k_surviving
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

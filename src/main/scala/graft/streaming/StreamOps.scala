@@ -397,4 +397,67 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  case class EwmaEv(user_id: Long, event_id: Long, ts: Timestamp,
+                    value: Double)
+  /** Ring of the ≤15 most-recent cents (most recent FIRST) + the last
+    * consumed (ts, eid) so stragglers are detected, not mis-ordered. */
+  case class EwmaState(lastTs: Long, lastEid: Long, recent: Seq[Long])
+  case class EwmaRow(user_id: Long, event_id: Long, ts: Timestamp,
+                     n_terms: Long, ewma: Double)
+
+  /** p17's bounded EWMA, incrementally: one row per event with the
+    * α = 3/4, 16-term smoothed value — the SAME integer weights
+    * 3^k·4^(15−k) as the batch window (every sum < 2^53, see
+    * `Temporal.p17`), so stream and batch agree bit-for-bit on
+    * in-order input. State is O(W) = 16 longs per user — the ring of
+    * recent cents — independent of stream length; no watermark-bounded
+    * buffering is needed because the operator is causal (each output
+    * depends only on the event and its predecessors). Events older
+    * than the last consumed (ts, event_id) are dropped (the
+    * transitionStream straggler rule): a bounded-memory stream cannot
+    * retro-insert into an already-emitted suffix — the documented
+    * stream-vs-batch delta shared by every stateful twin here. */
+  def ewmaStream(events: Dataset[EwmaEv],
+                 watermark: String = "10 minutes"): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    val W = 16
+    val weights: IndexedSeq[Long] = (0 until W).map(k =>
+      (BigInt(3).pow(k) * BigInt(4).pow(W - 1 - k)).toLong)
+
+    def cents(v: Double): Long =
+      (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+        .toLongExact
+
+    def update(uid: Long, evs: Iterator[EwmaEv],
+               state: GroupState[EwmaState]): Iterator[EwmaRow] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(
+        EwmaState(Long.MinValue, Long.MinValue, Seq.empty))
+      val out = Seq.newBuilder[EwmaRow]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val inOrder = t > st.lastTs ||
+          (t == st.lastTs && e.event_id > st.lastEid)
+        if (inOrder) {
+          val c = cents(e.value)
+          val window = c +: st.recent // k=0 is the current observation
+          var num = 0L; var den = 0L; var k = 0
+          window.foreach { ck =>
+            num += ck * weights(k); den += weights(k); k += 1
+          }
+          out += EwmaRow(uid, e.event_id, e.ts, window.length.toLong,
+            num.toDouble / den.toDouble / 100.0)
+          st = EwmaState(t, e.event_id, window.take(W - 1))
+        } // else: straggler older than consumed state — dropped
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -233,7 +233,34 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cells_base/cells_delta index FileScans (union of two segment
     // scans, as d23) — no training subtree, no delta re-quantization
     // at query time; the codebook broadcasts into the probe.
-    "v19_delta_ann")
+    "v19_delta_ann",
+    // round-8 second wave. Gap-fill: grid∪events must feed BOTH
+    // ignore-nulls windows (prev last + next first) from ONE
+    // Exchange+Sort — a second sort or an as-of join pass is a
+    // regression.
+    "p16_gap_fill",
+    // EWMA: all 16 lag terms must ride ONE Window operator over one
+    // user_id exchange (a per-term window or a self-join would show).
+    "p17_ewma",
+    // bigram typicality: the ≤729-row model must BROADCAST back into
+    // the per-doc join (a corpus-side shuffle against the model would
+    // show), and the bigram explode stays a single Generate.
+    "t18_bigram_typicality",
+    // Bloom ingest: all three bit probes are BROADCAST left joins of
+    // the ≤4096-row set-bit table; the corpus contributes one hash
+    // projection + bounded distincts, the batch side keeps its pushed
+    // (doc_id % 7) = 0 scans.
+    "d27_bloom_ingest",
+    // IVF-PQ: every codebook (coarse cells, residual PQ, per-query
+    // distance tables) must BROADCAST into its join — the corpus never
+    // shuffles against a codebook, and the ADC scan joins codes to the
+    // broadcast distance table on (cell, m, code).
+    "v20_ivfpq_adc",
+    // z-order audit: both legs run the TWO-GRAIN assignment (bucket
+    // windows + bounded bucket-cut window) — an unpartitioned
+    // row-grain Window over lineitem would show here; the stats
+    // aggregate broadcasts into the normalization projection.
+    "c29_zorder_layout")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()

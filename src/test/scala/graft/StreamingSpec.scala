@@ -594,4 +594,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "day-8 spike not flagged")
     } finally q.stop()
   }
+
+  test("streaming EWMA matches the batch p17 window bit-for-bit across " +
+    "micro-batches; stragglers drop") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.EwmaEv
+    // In-order per-user series split across TWO micro-batches (the
+    // cross-batch ring-state path), plus one straggler in batch 2 older
+    // than batch 1's consumed suffix (must drop, not re-order).
+    val b1 = Seq(EwmaEv(1, 10, ts(60), 1.0), EwmaEv(1, 11, ts(70), 2.5),
+      EwmaEv(1, 12, ts(80), 3.0), EwmaEv(2, 20, ts(61), 9.75))
+    val b2 = Seq(EwmaEv(1, 13, ts(90), 4.0),
+      EwmaEv(1, 9, ts(65), 100.0)) // straggler
+    val input = MemoryStream[EwmaEv]
+    val q = StreamOps.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_rows")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("ewma_rows")
+        .select(col("user_id"), col("event_id"), col("n_terms"),
+          col("ewma"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(!got.exists(_._2 == 9L), "straggler was emitted")
+      // Batch twin: write the IN-ORDER rows as an events corpus and run
+      // the graded p17 query — the exact arithmetic, not a re-derivation.
+      val tmp = java.nio.file.Files.createTempDirectory("ewmastream").toFile
+      try {
+        (b1 ++ b2.take(1)).toDF()
+          .select(col("event_id"),
+            (col("ts").cast("long") * 1000000000L).as("ts"),
+            col("user_id"), lit("click").as("event_type"), col("value"),
+            lit("{}").as("props"))
+          .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        val batch = graft.queries.Temporal.queries("p17_ewma")(
+            spark, tmp.getPath)
+          .select(col("user_id"), col("event_id"), col("n_terms"),
+            col("ewma"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        assert(got == batch, s"stream $got != batch $batch")
+      } finally {
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+          f.delete()
+        }
+        rec(tmp)
+      }
+    } finally q.stop()
+  }
 }
