@@ -1361,6 +1361,59 @@ object Dedup {
             col("hit_b2").isNotNull, 1L).otherwise(0L).as("bloom_pass"),
           when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
         .orderBy(col("doc_id"))
+    },
+
+    "d28_pagerank_authority" -> { (s, dir) =>
+      // AUTHORITY scoring on the near-dup graph — iterative numeric
+      // graph computation beyond d06's reachability: 3 rounds of
+      // INTEGER PageRank over the d03 pair graph, plus a local-peak
+      // flag (rank above every neighbor, doc_id tie-break) — the
+      // graph-centrality alternative to d07's length-based canonical
+      // pick (a doc near-duplicating MANY others is the natural cluster
+      // representative; peaks ≈ one canonical per dense region without
+      // running CC at all). Exact arithmetic: ranks start at 10^6,
+      // each round r'(v) = 150000 + (85·Σ_{u~v}(r(u) div deg(u)))
+      // div 100 — integer floor division twice, so both engines compute
+      // identical int64 ranks at any iteration count (damping 0.85
+      // cleared to /100; the symmetric graph has no dangling nodes —
+      // every node in the edge set has deg ≥ 1 and inflow ≥ 1).
+      // Scale: classic distributed PR — each round is one equi-join of
+      // the edge list with the rank table (both partitioned on the
+      // join key) + one groupBy(dst) with map-side partial sums; the
+      // edge list materializes ONCE behind the same barrier d06 uses,
+      // so the miner doesn't re-run per round; 3 bounded rounds, state
+      // is one (node, rank) row per doc. The peak flag is one more
+      // edge-join + struct-max groupBy.
+      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+        .select(col("da"), col("db")))
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .toDF("src", "dst")
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val r0 = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+        edges
+          .join(r, col("src") === col("id"))
+          .join(deg, "src")
+          .select(col("dst"), expr("r div d").as("c"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L) +
+            expr("(85 * sum(c)) div 100")).as("r"))
+          .select(col("dst").as("id"), col("r"))
+      }
+      // Local peak: my (rank, -id) beats every neighbor's.
+      val nbr = edges
+        .join(r3.select(col("id").as("dst"), col("r").as("nr"),
+          (-col("id")).as("nni")), "dst")
+        .groupBy(col("src"))
+        .agg(max(struct(col("nr"), col("nni"))).as("best_nbr"))
+      r3.join(deg, col("id") === col("src")).drop("src")
+        .join(nbr, col("id") === col("src")).drop("src")
+        .select(col("id").as("doc_id"), col("d").as("degree"),
+          col("r").as("pr"),
+          when(struct(col("r").as("nr"), (-col("id")).as("nni")) >
+            col("best_nbr"), 1L).otherwise(0L).as("is_peak"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2164,6 +2217,38 @@ object Dedup {
            | LEFT JOIN bits t2 ON b.b2 = t2.sb
            | LEFT JOIN corpus c ON b.ch = c.cch
            |ORDER BY b.doc_id""".stripMargin
+      },
+
+      "d28_pagerank_authority" -> {
+        def iter(prev: String, name: String): String =
+          s"""$name AS (
+             | SELECT e.dst AS id,
+             |  150000 + (85 * SUM(p.r // g.d)) // 100 AS r
+             | FROM edges e
+             |  JOIN $prev p ON e.src = p.id
+             |  JOIN deg g ON e.src = g.src
+             | GROUP BY e.dst)""".stripMargin
+        s"""WITH $lshPairCtes,
+           |edges AS (
+           | SELECT da AS src, db AS dst FROM dup_pairs
+           | UNION ALL SELECT db, da FROM dup_pairs),
+           |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+           |pr0 AS (
+           | SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |${iter("pr0", "pr1")},
+           |${iter("pr1", "pr2")},
+           |${iter("pr2", "pr3")},
+           |nbr AS (
+           | SELECT e.src, MAX({'nr': p.r, 'nni': -p.id}) AS best
+           | FROM edges e JOIN pr3 p ON e.dst = p.id GROUP BY e.src)
+           |SELECT p.id AS doc_id, g.d AS degree,
+           | CAST(p.r AS BIGINT) AS pr,
+           | CAST(CASE WHEN {'nr': p.r, 'nni': -p.id} > n.best
+           |  THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+           |FROM pr3 p
+           | JOIN deg g ON p.id = g.src
+           | JOIN nbr n ON p.id = n.src
+           |ORDER BY doc_id""".stripMargin
       },
 
       "d07_keep_best" ->

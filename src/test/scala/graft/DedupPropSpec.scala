@@ -618,4 +618,26 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.filter(col("bloom_pass") === 0L).count() > 0,
       "bloom filter never pruned anything at sf0.001 — m is mis-sized")
   }
+
+  test("d28 PageRank authority: damping floor holds, peaks exist and " +
+    "are never adjacent") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = Dedup.queries("d28_pagerank_authority")(spark, dir).cache()
+    // Every node's rank carries at least the teleport mass.
+    assert(r.filter(col("pr") < 150000L).count() == 0,
+      "rank below the damping floor")
+    assert(r.filter(col("is_peak") === 1L).count() > 0, "no peaks found")
+    // Two adjacent nodes cannot both be peaks: the peak predicate is a
+    // strict total-order comparison against the neighborhood max, so
+    // for any edge (a, b) at most one side can dominate the other.
+    val peaks = r.filter(col("is_peak") === 1L).select(col("doc_id"))
+    val pairs = Dedup.queries("d03_minhash_lsh_pairs")(spark, dir)
+      .select(col("da"), col("db"))
+    val adjPeaks = pairs
+      .join(peaks.select(col("doc_id").as("da")), "da")
+      .join(peaks.select(col("doc_id").as("db")), "db")
+      .count()
+    assert(adjPeaks == 0, s"$adjPeaks adjacent peak pairs")
+  }
 }

@@ -260,7 +260,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // windows + bounded bucket-cut window) — an unpartitioned
     // row-grain Window over lineitem would show here; the stats
     // aggregate broadcasts into the normalization projection.
-    "c29_zorder_layout")
+    "c29_zorder_layout",
+    // PageRank authority: each of the 3 rounds is ONE edge⋈rank
+    // equi-join + partial-aggregated groupBy(dst); the edge list reads
+    // off the d06-style checkpoint barrier (a re-mined pair join per
+    // round would show as repeated signature lineage).
+    "d28_pagerank_authority")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
