@@ -140,5 +140,29 @@ object GraftExtensions {
           s"kll_sketch: capacity must be >= 8, got $cap")
         graft.functions.KllSketchAgg(children(0), cap)
       }))
+    e.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[graft.functions.MgTopK].getName,
+        "mg_topk"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "mg_topk", "expectedNum" -> "2",
+              "actualNum" -> children.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val kExpr = children(1)
+        if (!kExpr.foldable) throw new IllegalArgumentException(
+          s"mg_topk: k must be a literal, got ${kExpr.sql}")
+        val k = kExpr.eval() match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"mg_topk: non-numeric k literal $other")
+        }
+        if (k < 2) throw new IllegalArgumentException(
+          s"mg_topk: k must be >= 2, got $k")
+        graft.functions.MgTopK(children(0), k)
+      }))
   }
 }

@@ -526,6 +526,39 @@ object TextAnalysis {
         .withColumn("typicality",
           col("typ_mass").cast("double") / col("n_bg").cast("double"))
         .orderBy(col("doc_id"))
+    },
+
+    "t19_heavy_tokens" -> { (s, dir) =>
+      // HEAVY-HITTER discovery with the Misra-Gries sketch ON the
+      // graded path: tokens whose exact frequency strictly exceeds
+      // n/50 of the corpus token stream (k=50 — the stopword band on a
+      // Zipf vocabulary), with an `in_sketch` column computed from the
+      // live `mg_topk` aggregate. The mergeable-summaries guarantee
+      // says every such token MUST survive the 49-slot sketch under
+      // ANY partitioning/merge order — so in_sketch is deterministically
+      // 1, the DuckDB twin asserts the constant, and a sketch that ever
+      // violates its bound fails the hash gate. (Stored sketch COUNTS
+      // are merge-order-sensitive lower bounds, so they stay off the
+      // graded row; `HeavyHittersSpec` pins the count bound instead —
+      // the a19/a20 split: exact regime graded, error bound
+      // spec-pinned.) Scale: one token explode feeds BOTH the exact
+      // groupBy (partial-aggregated, uniform key) and the O(k)-state
+      // sketch aggregate; the 1-row total and the ≤49-key sketch map
+      // broadcast back — nothing corpus-sized shuffles twice.
+      val toks = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
+        .select(explode_outer(split(col("text"), " ")).as("tok"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val sketch = toks.agg(expr("mg_topk(tok, 50)").as("mg"))
+        .select(explode(map_keys(col("mg"))).as("sk_tok"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(total))
+        .filter(col("freq") * 50 > col("n"))
+        .join(broadcast(sketch), col("tok") === col("sk_tok"),
+          "left_outer")
+        .select(col("tok"), col("freq"),
+          when(col("sk_tok").isNotNull, 1L).otherwise(0L).as("in_sketch"))
+        .orderBy(col("tok"))
     }
   )
 
@@ -580,6 +613,20 @@ object TextAnalysis {
         |  / CAST(CAST(SUM(p.c_doc) AS BIGINT) AS DOUBLE) AS typicality
         |FROM per_doc p JOIN model m ON p.b = m.b
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // in_sketch = 1 is the Misra-Gries presence GUARANTEE for tokens
+    // with freq > n/50 — the oracle asserts the invariant the Spark
+    // side must earn from the live sketch (see the t19 design note).
+    "t19_heavy_tokens" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split(text, ' ')) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |total AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT tok, COUNT(*) AS freq,
+        | CAST(1 AS BIGINT) AS in_sketch
+        |FROM toks CROSS JOIN total
+        |GROUP BY tok, n HAVING COUNT(*) * 50 > n
+        |ORDER BY tok""".stripMargin,
     "t01_lang_stats" ->
       s"""WITH d AS (
          | SELECT lang, len(string_split(text,' ')) AS n_toks,

@@ -459,6 +459,44 @@ object Temporal {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     },
 
+    "p18_scd2_history" -> { (s, dir) =>
+      // SCD TYPE-2 history build — the warehouse-dimension staple: per
+      // user, consecutive events with the SAME event_type collapse into
+      // one validity interval [valid_from, valid_to), the last run left
+      // open (is_current). The gaps-and-islands run-id trick (lag +
+      // running sum — p03's machinery on attribute CHANGE instead of
+      // time gaps), then lead() over the run grain fills each interval's
+      // close from the next run's open — so the whole build is TWO
+      // window passes and one groupBy, all on the same user_id
+      // partitioning (one shuffle, reused). Exact integer micros
+      // everywhere; at 100 TB this is the standard incremental-dimension
+      // backfill shape (runs per user ≪ events per user).
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 40)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val runs = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(w.rowsBetween(uPre, 0)))
+        .groupBy(col("user_id"), col("run_id"), col("event_type"))
+        .agg(min(col("ts_us")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("run_id"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+        .withColumn("is_current",
+          when(col("valid_to").isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("run_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("run_id"))
+    },
+
     "p14_daily_bars" -> { (s, dir) =>
       // OHLC daily BARS per user — open/high/low/close of the event
       // value stream: open and close are the first/last value by the
@@ -695,6 +733,38 @@ object Temporal {
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          |ORDER BY user_id, ts_us, event_id""".stripMargin
     },
+
+    "p18_scd2_history" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        | FROM events WHERE user_id < 40),
+        |marked AS (
+        | SELECT user_id, event_id, event_type, ts_us,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |        OR lag(event_type) OVER w <> event_type
+        |       THEN 1 ELSE 0 END AS chg
+        | FROM ev
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |runs AS (
+        | SELECT user_id, event_type, ts_us,
+        |  CAST(SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_id
+        | FROM marked),
+        |grp AS (
+        | SELECT user_id, run_id, event_type,
+        |  CAST(MIN(ts_us) AS BIGINT) AS valid_from,
+        |  COUNT(*) AS n_events
+        | FROM runs GROUP BY user_id, run_id, event_type)
+        |SELECT user_id, run_id, event_type, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |   AS valid_to,
+        | n_events,
+        | CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+        |     ORDER BY run_id) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_current
+        |FROM grp ORDER BY user_id, run_id""".stripMargin,
 
     "p14_daily_bars" ->
       """WITH e AS (

@@ -265,7 +265,19 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // equi-join + partial-aggregated groupBy(dst); the edge list reads
     // off the d06-style checkpoint barrier (a re-mined pair join per
     // round would show as repeated signature lineage).
-    "d28_pagerank_authority")
+    "d28_pagerank_authority",
+    // SCD-2 history: both window passes (run-id cumsum on the event
+    // grain, valid_to lead on the run grain) plus the run groupBy ride
+    // ONE user_id partitioning — a second hash exchange between them
+    // is a regression.
+    "p18_scd2_history",
+    // heavy-token discovery: one token Generate feeds BOTH the exact
+    // partial-aggregated groupBy and the O(k)-state mg_topk aggregate;
+    // the 1-row total and the sketch map come back as broadcasts
+    // (BroadcastNestedLoopJoin over the scalar + a broadcast hash join
+    // on the ≤49-key sketch) — a corpus-sized shuffle against either
+    // would show here.
+    "t19_heavy_tokens")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
