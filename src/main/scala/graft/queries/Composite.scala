@@ -1003,6 +1003,33 @@ object Composite {
           col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
           col("span_product"))
         .orderBy(col("layout"), col("f"))
+    },
+
+    "c30_colocated_window" -> { (s, dir) =>
+      // Co-location for SORT-BASED operators — c28's claim extended
+      // from joins to WINDOWS: a window partitioned on the bucket key
+      // of a bucketed+sorted fact needs NO Exchange (the scan's
+      // HashPartitioning(l_orderkey, 32) already satisfies the window's
+      // clustered distribution; only the cheap local secondary sort
+      // remains). Per-order line sequencing + running order amount —
+      // the order-book shape every co-located fact table serves without
+      // shuffling a single row; the plan golden pins the bucketed scan
+      // with zero Exchange below the Window. Exact decimal running sum
+      // (the Dx rule), one closing double cast.
+      val (l, _) = ensureBucketedFacts(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      l.filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .withColumn("line_seq", row_number().over(w).cast("long"))
+        .withColumn("run_amount",
+          sum(dec(col("l_extendedprice"))).over(w.rowsBetween(uPre, 0))
+            .cast("double"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("line_seq"),
+          col("run_amount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 
@@ -1622,6 +1649,17 @@ object Composite {
          |UNION ALL
          |${leg("zorder", "zk")}
          |ORDER BY layout, f""".stripMargin
-    }
+    },
+
+    "c30_colocated_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(row_number() OVER w AS BIGINT) AS line_seq,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER
+        |   (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) AS run_amount
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -460,4 +460,56 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  case class ScdEv(user_id: Long, event_id: Long, ts: Timestamp,
+                   event_type: String)
+  case class OpenRun(typ: String, from: Long, n: Long,
+                     lastTs: Long, lastEid: Long)
+  case class Scd2Row(user_id: Long, event_type: String, valid_from: Long,
+                     valid_to: Long, n_events: Long)
+
+  /** p18's SCD Type-2 build, incrementally — streaming dimension
+    * maintenance: per user, one OPEN run (attribute value, start, count)
+    * of O(1) state; an attribute CHANGE closes the run and emits its
+    * [valid_from, valid_to) row. Append mode emits CLOSED intervals
+    * only — the open run is the state store's "is_current" row (the
+    * batch twin's valid_to IS NULL rows), which a dimension service
+    * reads from state, not from the sink. Stragglers older than the
+    * consumed suffix drop (the shared stateful-twin rule); timestamps
+    * are epoch ms (the Ev convention). */
+  def scd2Stream(events: Dataset[ScdEv],
+                 watermark: String = "10 minutes"): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+
+    def update(uid: Long, evs: Iterator[ScdEv],
+               state: GroupState[OpenRun]): Iterator[Scd2Row] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var open = state.getOption
+      val out = Seq.newBuilder[Scd2Row]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val inOrder = open.forall(o => t > o.lastTs ||
+          (t == o.lastTs && e.event_id > o.lastEid))
+        if (inOrder) {
+          open match {
+            case Some(o) if o.typ == e.event_type =>
+              open = Some(o.copy(n = o.n + 1, lastTs = t,
+                lastEid = e.event_id))
+            case Some(o) =>
+              out += Scd2Row(uid, o.typ, o.from, t, o.n)
+              open = Some(OpenRun(e.event_type, t, 1L, t, e.event_id))
+            case None =>
+              open = Some(OpenRun(e.event_type, t, 1L, t, e.event_id))
+          }
+        } // else: straggler older than consumed state — dropped
+      }
+      open.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

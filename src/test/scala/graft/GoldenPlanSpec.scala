@@ -277,7 +277,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (BroadcastNestedLoopJoin over the scalar + a broadcast hash join
     // on the ≤49-key sketch) — a corpus-sized shuffle against either
     // would show here.
-    "t19_heavy_tokens")
+    "t19_heavy_tokens",
+    // co-located window: the bucketed scan's HashPartitioning satisfies
+    // the window's clustered distribution — the golden pins
+    // `Bucketed: true` with ZERO Exchange below the Window (c28's
+    // join claim extended to sort-based operators).
+    "c30_colocated_window")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()

@@ -649,4 +649,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("streaming SCD-2 emits closed validity intervals; matches the " +
+    "batch p18 runs across micro-batches") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.ScdEv
+    // user 1: click-run (2 events), view-run (1), then click again —
+    // split across batches so the open run crosses the batch boundary.
+    val b1 = Seq(ScdEv(1, 10, ts(60), "click"), ScdEv(1, 11, ts(70), "click"),
+      ScdEv(1, 12, ts(80), "view"), ScdEv(2, 20, ts(61), "view"))
+    val b2 = Seq(ScdEv(1, 13, ts(90), "click"),
+      ScdEv(2, 21, ts(75), "purchase"))
+    val input = MemoryStream[ScdEv]
+    val q = StreamOps.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_rows")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("scd2_rows")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // Batch twin: p18's run logic on the same rows — CLOSED runs only
+      // (the stream's open runs live in state, matching p18's
+      // valid_to IS NULL rows).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("run_id"))
+      val batch = (b1 ++ b2).toDF()
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("chg", when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(w.rowsBetween(uPre, 0)))
+        .groupBy(col("user_id"), col("run_id"), col("event_type"))
+        .agg(min(col("ts").cast("long") * 1000).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.exists(r => r._1 == 1L && r._2 == "view"),
+        "the cross-batch view run never closed")
+    } finally q.stop()
+  }
 }
