@@ -1414,6 +1414,99 @@ object Dedup {
           when(struct(col("r").as("nr"), (-col("id")).as("nni")) >
             col("best_nbr"), 1L).otherwise(0L).as("is_peak"))
         .orderBy(col("doc_id"))
+    },
+
+    "d29_triangle_cc" -> { (s, dir) =>
+      // TRIANGLE COUNT + local clustering coefficient on the near-dup
+      // graph — the graph-structure audit d28's PageRank doesn't see:
+      // a doc whose neighbors all near-duplicate EACH OTHER (cc → 1)
+      // sits inside one dense template family (safe to keep one of),
+      // while a high-degree doc with cc → 0 bridges unrelated families
+      // (boilerplate shared across sources — the doc to inspect, not
+      // blindly drop). Triangles enumerate ONCE each via the ordered
+      // edge list (a<b<c): wedge join on the middle vertex + one
+      // closing equi-join — the standard distributed triangle count.
+      // Production note: at adversarial degree distributions the
+      // orientation should be by (degree, id), bounding wedge fan-out
+      // by arboricity; here the miner's per-bucket population cap (τ =
+      // 64 per band) already caps collision-driven degree, so id-order
+      // keeps the plan simpler and the DuckDB twin identical. The
+      // coefficient is exact integer basis points:
+      // cc_bp = (2·t·10⁴) div (deg·(deg−1)), 0 when deg < 2.
+      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+        .select(col("da"), col("db")))
+      val eo = pairs // oriented: da < db, each undirected edge once
+      val sym = eo.unionByName(
+        eo.select(col("db").as("da"), col("da").as("db")))
+      val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("degree"))
+        .select(col("da").as("id"), col("degree"))
+      val ab = eo.select(col("da").as("a"), col("db").as("b"))
+      val bc = eo.select(col("da").as("b2"), col("db").as("c"))
+      val ac = eo.select(col("da").as("a2"), col("db").as("c2"))
+      val tri = ab.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+        .select(col("a"), col("b"), col("c"))
+      val tcnt = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("t"))
+      deg.join(tcnt, Seq("id"), "left_outer")
+        .withColumn("t", coalesce(col("t"), lit(0L)))
+        .select(col("id").as("doc_id"), col("degree"),
+          col("t").as("triangles"),
+          when(col("degree") >= 2,
+            expr("(2 * t * 10000) div (degree * (degree - 1))"))
+            .otherwise(lit(0L)).as("cc_bp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "d30_importance_select" -> { (s, dir) =>
+      // DSIR-style IMPORTANCE-WEIGHTED data selection (Xie et al. 2023,
+      // "Data Selection for Language Models via Importance Resampling"):
+      // score every doc by how much its hashed-bigram distribution looks
+      // like a TARGET distribution (here: the English subset standing in
+      // for a curated high-quality corpus) relative to the RAW corpus,
+      // then keep a deterministic top quota per language. Features are
+      // the fused shingle_hashes(text, 2) bigram hashes folded into
+      // m=4096 buckets (DSIR's hashed n-gram feature space). Per-bucket
+      // weight is the add-one-smoothed count ratio in exact fixed point:
+      // w(b) = ((tc+1)·10⁴) div (rc+1) — a monotone surrogate of DSIR's
+      // log-likelihood ratio whose constant |raw|/|target| normalization
+      // cancels in the per-language ranking, and since target ⊆ raw
+      // implies tc ≤ rc, w(b) ≤ ~10⁴ and the per-doc sum never
+      // approaches int64 at ANY corpus size (no overflow cliff, unlike
+      // a p_t/p_r fixed-point which scales with corpus totals). Scale:
+      // two linear corpus passes (bigram explode → 4096-bucket counts
+      // with map-side partials) + one broadcast of the ≤4096-row weight
+      // table + a top-5-per-lang window (WindowGroupLimit prunes to 5
+      // rows per partition before the final exchange).
+      val m = 4096
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val bi = docs.select(col("doc_id"), col("lang"),
+        explode(expr("shingle_hashes(text, 2)")).as("h"))
+        .select(col("doc_id"), col("lang"), (col("h") % m).as("b"))
+      val rc = bi.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val tc = bi.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val wtab = rc.join(tc, Seq("b"), "left_outer")
+        .select(col("b"),
+          expr("((coalesce(tc, 0) + 1) * 10000) div (rc + 1)").as("w"))
+      val scored = bi.join(broadcast(wtab), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
+      val ranked = docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("score"), lit(0L)).as("score"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("doc_id"))
+      ranked.withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("doc_id"),
+          col("n_bigrams"), col("score"))
+        .orderBy(col("lang"), col("rnk"))
     }
   )
 
@@ -2249,6 +2342,59 @@ object Dedup {
            | JOIN deg g ON p.id = g.src
            | JOIN nbr n ON p.id = n.src
            |ORDER BY doc_id""".stripMargin
+      },
+
+      "d29_triangle_cc" ->
+        s"""WITH $lshPairCtes,
+           |eo AS (SELECT da AS a, db AS b FROM dup_pairs),
+           |sym AS (SELECT a, b FROM eo UNION ALL SELECT b, a FROM eo),
+           |deg AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a),
+           |tri AS (
+           | SELECT ab.a, ab.b, bc.b AS c
+           | FROM eo ab JOIN eo bc ON ab.b = bc.a
+           |  JOIN eo ac ON ac.a = ab.a AND ac.b = bc.b),
+           |tv AS (SELECT unnest([a, b, c]) AS id FROM tri),
+           |tc AS (SELECT id, COUNT(*) AS t FROM tv GROUP BY id)
+           |SELECT d.id AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+           | CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+           | CAST(CASE WHEN d.degree >= 2
+           |  THEN (2 * COALESCE(tc.t, 0) * 10000)
+           |       // (d.degree * (d.degree - 1))
+           |  ELSE 0 END AS BIGINT) AS cc_bp
+           |FROM deg d LEFT JOIN tc ON d.id = tc.id
+           |ORDER BY doc_id""".stripMargin,
+
+      "d30_importance_select" -> {
+        val bg = tokHashSqlDuck.format("toks[i+1] || ' ' || toks[i+2]")
+        s"""WITH d AS (
+           | SELECT doc_id, lang, string_split(text, ' ') AS toks
+           | FROM documents WHERE text IS NOT NULL),
+           |bi AS (
+           | SELECT doc_id, lang,
+           |  unnest(list_transform(range(len(toks) - 1),
+           |    i -> $bg % 4096)) AS b
+           | FROM d),
+           |rc AS (SELECT b, COUNT(*) AS rc FROM bi GROUP BY b),
+           |tcn AS (
+           | SELECT b, COUNT(*) AS tc FROM bi WHERE lang = 'en'
+           | GROUP BY b),
+           |w AS (
+           | SELECT r.b,
+           |  ((COALESCE(t.tc, 0) + 1) * 10000) // (r.rc + 1) AS w
+           | FROM rc r LEFT JOIN tcn t ON r.b = t.b),
+           |sc AS (
+           | SELECT bi.doc_id, COUNT(*) AS n_bigrams, SUM(w.w) AS score
+           | FROM bi JOIN w ON bi.b = w.b GROUP BY bi.doc_id),
+           |ranked AS (
+           | SELECT d.lang, d.doc_id,
+           |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+           |  CAST(row_number() OVER (PARTITION BY d.lang
+           |    ORDER BY COALESCE(sc.score, 0) DESC, d.doc_id)
+           |   AS BIGINT) AS rnk
+           | FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+           |SELECT lang, rnk, doc_id, n_bigrams, score
+           |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
       },
 
       "d07_keep_best" ->

@@ -248,6 +248,57 @@ object Multimodal {
         .toDF("doc_id", "n_frames", "peak_energy", "peak_frame", "n_low")
         .filter(col("n_frames") > 0)
         .orderBy(col("doc_id"))
+    },
+
+    "m08_scene_cuts" -> { (s, dir) =>
+      import s.implicits._
+      // FAKE shot-boundary detection — the video scene-segmentation
+      // shape on top of m07's frame grid: a CUT is a consecutive-frame
+      // energy jump |e − prev_e| above a fixed threshold (a real
+      // pipeline thresholds a histogram/feature distance between
+      // decoded frames — same per-frame reduction, same lag compare),
+      // and the frames between cuts are SHOTS, consolidated
+      // gaps-and-islands style (the p15 running-flag-sum trick on frame
+      // index instead of time). Per blob: frame count, cut count, shot
+      // count, longest shot — what a frame-sampler uses to pick one
+      // keyframe per shot instead of every Nth frame. Shape: one
+      // mapPartitions pass emits (doc_id, frame, energy) rows — work
+      // linear in corpus bytes — then ONE window partitioned by doc_id
+      // carries both the lag and the running cut sum (same spec → one
+      // Exchange + Sort), then two bounded aggregations. Frame rows per
+      // task are bounded by blob size, never corpus size.
+      val W = 256
+      val C = 300000L
+      val frames = blobs(s, dir)
+        .mapPartitions(_.flatMap { b =>   // codec init would live here
+          val n = (b.payload.length + W - 1) / W
+          (0 until n).iterator.map { wi =>
+            var e = 0L
+            var i = wi * W
+            val end = math.min(i + W, b.payload.length)
+            while (i < end) {
+              val v = b.payload(i) & 0xffL; e += v * v; i += 1
+            }
+            (b.doc_id, wi.toLong, e)
+          }
+        })
+        .toDF("doc_id", "wi", "e")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("wi"))
+      val shots = frames
+        .withColumn("pe", lag(col("e"), 1).over(w))
+        .withColumn("cut",
+          when(col("pe").isNotNull && abs(col("e") - col("pe")) > C, 1L)
+            .otherwise(0L))
+        .withColumn("shot", sum(col("cut")).over(w))
+        .groupBy(col("doc_id"), col("shot"))
+        .agg(count(lit(1)).as("shot_len"))
+      shots.groupBy(col("doc_id"))
+        .agg(sum(col("shot_len")).as("n_frames"),
+          (count(lit(1)) - 1).as("n_cuts"),
+          count(lit(1)).as("n_shots"),
+          max(col("shot_len")).as("longest_shot"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -373,6 +424,45 @@ object Multimodal {
         | CAST(SUM(CASE WHEN f.e < 500000 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_low
         |FROM fe f JOIN rk r ON f.doc_id = r.doc_id AND f.wi = r.wi
-        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // Same frame-energy CTE as m07; cuts/shots from a lag + running-sum
+    // window pair (the p15 gaps-and-islands consolidation on frame
+    // index).
+    "m08_scene_cuts" ->
+      """WITH fr AS (
+        | SELECT doc_id,
+        |  unnest(range((length(text) + 255) // 256)) AS wi, text
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |fe AS (
+        | SELECT doc_id, wi,
+        |  CAST(list_sum(list_transform(
+        |    range(length(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256))),
+        |    i -> ord(substr(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256),
+        |           CAST(i + 1 AS BIGINT), 1))
+        |       * ord(substr(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256),
+        |           CAST(i + 1 AS BIGINT), 1)))) AS BIGINT) AS e
+        | FROM fr),
+        |lg AS (
+        | SELECT doc_id, wi, e,
+        |  lag(e) OVER (PARTITION BY doc_id ORDER BY wi) AS pe
+        | FROM fe),
+        |ct AS (
+        | SELECT doc_id, wi,
+        |  CASE WHEN pe IS NOT NULL AND abs(e - pe) > 300000
+        |   THEN 1 ELSE 0 END AS cut
+        | FROM lg),
+        |sh AS (
+        | SELECT doc_id, wi,
+        |  SUM(cut) OVER (PARTITION BY doc_id ORDER BY wi) AS shot
+        | FROM ct),
+        |sl AS (
+        | SELECT doc_id, shot, COUNT(*) AS shot_len
+        | FROM sh GROUP BY doc_id, shot)
+        |SELECT doc_id, CAST(SUM(shot_len) AS BIGINT) AS n_frames,
+        | CAST(COUNT(*) - 1 AS BIGINT) AS n_cuts,
+        | CAST(COUNT(*) AS BIGINT) AS n_shots,
+        | CAST(MAX(shot_len) AS BIGINT) AS longest_shot
+        |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

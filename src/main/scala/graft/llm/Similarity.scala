@@ -1117,8 +1117,66 @@ object Similarity {
       nT.crossJoin(nM).crossJoin(nH)
         .select(col("n_truth"), col("n_mined"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+    },
+
+    "v21_hamming_rerank" -> { (s, dir) =>
+      // BINARY-SIGNATURE ANN — sign (1-bit-per-plane) quantization with
+      // a Hamming-distance shortlist and exact cosine re-rank: the
+      // binary-embedding serving design (Hamming embedding / "binary
+      // quantization" in production vector stores), complementing v05's
+      // int8 codes and v10/v11's PQ bytes with the cheapest code of all
+      // (HamBits bits per vector, one int64). The corpus scan side
+      // carries ONLY (c_id, sig) — 16 bytes/row instead of a 256-byte
+      // float vector, a 16× scan-bandwidth cut — and candidate scoring
+      // is one xor + popcount per vector (vs 64 fused multiply-adds),
+      // so the full-scan shortlist pass is memory-bound cheap at any
+      // corpus size. Queries broadcast (bounded |Q|, the v01 contract);
+      // only the HamShortlist survivors per query re-attach their float
+      // embeddings by equi-join for the exact re-rank (the d03 rule:
+      // never drag the payload through the scoring shuffle). Signatures
+      // come from the codegen'd hyperplane_sig — the identical
+      // integer-weight hyperplane family the DuckDB twin unrolls, so
+      // sigs, Hamming ranks, and the final top-3 hash-match exactly.
+      val e = Tables.load(s, dir, "embeddings")
+      val sigs = e.select(col("vec_id"),
+        expr(s"hyperplane_sig(embedding, $HamBits)").as("sig"))
+      val q = sigs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+      val c = sigs.select(col("vec_id").as("c_id"), col("sig").as("c_sig"))
+      val wh = Window.partitionBy(col("q_id"))
+        .orderBy(col("ham"), col("c_id"))
+      val short = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("ham",
+          expr("CAST(bit_count(q_sig ^ c_sig) AS BIGINT)"))
+        .withColumn("hrn", row_number().over(wh))
+        .filter(col("hrn") <= HamShortlist)
+        .select(col("q_id"), col("c_id"), col("ham"))
+      val emb = e.select(col("vec_id"), col("embedding"))
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      short
+        .join(emb.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), "c_id")
+        .join(broadcast(emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"))), "q_id")
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(ws).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("ham"),
+          col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
     }
   )
+
+  /** v21's signature width (bits per vector; one int64 code). 48 keeps
+    * the per-plane weight family inside hyperplane_sig's 63-bit bound
+    * while giving ~sqrt(48)/2 ≈ 3.5-bit Hamming resolution between
+    * random 64-dim directions — enough to rank near-neighbors first. */
+  private val HamBits = 48
+  /** v21's Hamming shortlist size (candidates kept per query for the
+    * exact cosine re-rank). */
+  private val HamShortlist = 32
 
   private val PqM = 8   // subspaces
   private val PqK = 8   // centroids per subspace
@@ -1257,6 +1315,16 @@ object Similarity {
       s"""CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
          |  list_transform(range(64), i -> CAST($w AS DOUBLE))) > 0
          |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+  /** DuckDB twin of `hyperplane_sig(embedding, n)` — the full n-bit
+    * signature as a sum of per-plane CASE terms (v21's HamBits code). */
+  private def duckSigBits(n: Int): String =
+    (0 until n).map { p =>
+      val w = s"(((i + 1) * ${p + 7} * 2654435761) % 1000003 - 500001) / 500001.0"
+      s"""CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+         |  list_transform(range(64), i -> CAST($w AS DOUBLE))) > 0
+         |  THEN CAST(${1L << p} AS BIGINT) ELSE 0 END""".stripMargin
     }.mkString(" + ")
 
   /** DuckDB twin of one band's 8-bit key (band b = planes b*8..b*8+7). */
@@ -2228,7 +2296,36 @@ object Similarity {
          | FROM neardup n JOIN truth t ON n.va = t.va AND n.vb = t.vb)
          |SELECT n_truth, n_mined, n_hit,
          | CAST(n_hit AS DOUBLE) / n_truth AS recall
-         |FROM nt, nm, nh""".stripMargin
+         |FROM nt, nm, nh""".stripMargin,
+
+    "v21_hamming_rerank" ->
+      s"""WITH sigs AS (
+         | SELECT vec_id, (${duckSigBits(HamBits)}) AS sig
+         | FROM embeddings),
+         |ham AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS ham
+         | FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |short AS (
+         | SELECT q_id, c_id, ham,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY ham, c_id)
+         |    AS hrn
+         | FROM ham),
+         |rr AS (
+         | SELECT s.q_id, s.c_id, s.ham,
+         |  ${cos("eq.embedding", "ec.embedding")} AS sim
+         | FROM short s
+         |  JOIN embeddings eq ON s.q_id = eq.vec_id
+         |  JOIN embeddings ec ON s.c_id = ec.vec_id
+         | WHERE s.hrn <= $HamShortlist),
+         |ranked AS (
+         | SELECT q_id, c_id, ham, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+         | FROM rr)
+         |SELECT q_id, c_id, rnk, ham, sim FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
   )
 
   /** Exact integer squared L2 over a PqSub-dim DuckDB list pair. */

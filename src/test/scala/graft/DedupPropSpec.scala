@@ -640,4 +640,68 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count()
     assert(adjPeaks == 0, s"$adjPeaks adjacent peak pairs")
   }
+
+  test("d29 triangle counts equal an in-memory brute force on the mined " +
+    "graph; clustering coefficient stays in [0, 10000] basis points") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Dedup.queries("d03_minhash_lsh_pairs")(spark, dir)
+      .select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val triOf = adj.keys.map { v =>
+      val ns = adj(v).toSeq
+      var t = 0L
+      for (i <- ns.indices; j <- i + 1 until ns.size)
+        if (adj(ns(i)).contains(ns(j))) t += 1
+      v -> t
+    }.toMap
+    val rows = Dedup.queries("d29_triangle_cc")(spark, dir).collect()
+    assert(rows.nonEmpty, "empty triangle report")
+    assert(rows.length == adj.size, "node set differs from the pair graph")
+    rows.foreach { row =>
+      val (id, deg, tri, cc) = (row.getLong(0), row.getLong(1),
+        row.getLong(2), row.getLong(3))
+      assert(deg == adj(id).size.toLong, s"degree mismatch at $id")
+      assert(tri == triOf(id), s"triangle count mismatch at $id")
+      assert(cc >= 0L && cc <= 10000L, s"cc out of range at $id: $cc")
+      if (deg >= 2)
+        assert(cc == 2L * tri * 10000L / (deg * (deg - 1)),
+          s"cc formula mismatch at $id")
+      else assert(cc == 0L)
+    }
+  }
+
+  test("d30 importance selection: a target-distribution copy outranks " +
+    "unique-token docs within its language; weights bounded by the " +
+    "target-subset rule") {
+    val s = spark
+    import s.implicits._
+    // doc 2 ('de') is a verbatim copy of the English target doc, so its
+    // bigrams all carry target mass (tc=1, rc=2 → w=6666); docs 3/4 use
+    // vocabulary the target never saw (tc=0, rc=1 → w=5000). The DSIR
+    // ranking must therefore put doc 2 first within 'de'.
+    val en = "the cat sat on the mat and the dog ran to the park"
+    val docs = Seq(
+      (1L, en, "en", "src0", en.length.toLong),
+      (2L, en, "de", "src0", en.length.toLong),
+      (3L, "zug bahnhof fenster himmel wolke berg tal fluss wald wiese",
+        "de", "src0", 10L),
+      (4L, "une phrase unique sans recouvrement lexical aucun jamais",
+        "fr", "src0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("d30corpus").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.queries("d30_importance_select")(spark, dir).collect()
+    val deTop = r.filter(_.getString(0) == "de").minBy(_.getLong(1))
+    assert(deTop.getLong(2) == 2L,
+      s"English-copy doc must rank first within de, got $deTop")
+    // target ⊆ raw ⇒ tc ≤ rc ⇒ every bigram weight ≤ 10000 ⇒ the doc
+    // score can never exceed 10000 × its bigram count.
+    r.foreach(row =>
+      assert(row.getLong(4) <= 10000L * row.getLong(3),
+        s"weight bound violated: $row"))
+  }
 }

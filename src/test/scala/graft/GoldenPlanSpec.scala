@@ -282,7 +282,31 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the window's clustered distribution — the golden pins
     // `Bucketed: true` with ZERO Exchange below the Window (c28's
     // join claim extended to sort-based operators).
-    "c30_colocated_window")
+    "c30_colocated_window",
+    // round-8 wave 6. Hamming re-rank: the corpus-wide shortlist scan
+    // must carry ONLY (c_id, sig) with the bounded query set broadcast
+    // (a float-embedding column in the scan-side projection, or a
+    // shuffle of the corpus against the queries, would show here);
+    // embeddings re-attach by equi-join ONLY for the ≤32-row-per-query
+    // shortlist.
+    "v21_hamming_rerank",
+    // triangle count: wedges come from the ordered edge list's
+    // self-join on the middle vertex + ONE closing equi-join, all off
+    // the d06-style checkpoint barrier (re-mined signature lineage per
+    // leg would show here); the per-vertex count is one explode + a
+    // partial-aggregated groupBy.
+    "d29_triangle_cc",
+    // DSIR importance selection: the ≤4096-row weight table must
+    // BROADCAST back into the bigram stream (a corpus-sized shuffle
+    // against the weights would show), the bucket counts stay
+    // partial-aggregated, and the per-lang top-5 rides
+    // WindowGroupLimit.
+    "d30_importance_select",
+    // scene cuts: the lag + running-cut-sum pair must ride ONE Window
+    // operator over one doc_id Exchange+Sort (the p15 shared-spec
+    // rule), then two bounded aggregations — a second sort between lag
+    // and cumsum is a regression.
+    "m08_scene_cuts")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()

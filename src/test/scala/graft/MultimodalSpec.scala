@@ -44,4 +44,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected $nParts codec inits (one per partition), got ${inits.value}")
     assert(rows.value == n)
   }
+
+  test("m08 scene cuts: a crafted energy jump yields exactly one cut; " +
+    "uniform and single-frame payloads yield none") {
+    val s = spark
+    import s.implicits._
+    // Frame energies under the fake decode: 'a'=97 → 97²·256 ≈ 2.41M,
+    // 'z'=122 → 122²·256 ≈ 3.81M; the jump (≈1.4M) clears the 300k cut
+    // threshold, equal frames and lone frames cannot.
+    val docs = Seq(
+      (1L, "a" * 512, "en"),
+      (2L, "a" * 256 + "z" * 256, "en"),
+      (3L, "b" * 100, "en")
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("m08corpus").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.llm.Multimodal.queries("m08_scene_cuts")(spark, dir)
+      .collect()
+      .map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))))
+      .toMap
+    assert(r(1L) == ((2L, 0L, 1L, 2L)), s"uniform payload: ${r(1L)}")
+    assert(r(2L) == ((2L, 1L, 2L, 1L)), s"energy jump: ${r(2L)}")
+    assert(r(3L) == ((1L, 0L, 1L, 1L)), s"single frame: ${r(3L)}")
+  }
 }

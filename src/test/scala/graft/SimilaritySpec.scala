@@ -135,4 +135,45 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0, s"$bad queries where re-rank lost raw-ADC hits")
     assert(r.count() == 20, "one graded row per held-out query")
   }
+
+  test("v21 Hamming shortlist + re-rank equals an in-memory brute force " +
+    "over the codegen signatures") {
+    // Recomputes the whole pipeline in memory from the SAME hyperplane
+    // signatures and float embeddings: per query, Hamming-rank all
+    // candidates (xor+popcount, (ham, c_id) tie-break), keep 32, exact
+    // cosine re-rank (double accumulation in index order — the
+    // CosineSimilarity arithmetic), keep 3. The distributed result must
+    // match tuple-for-tuple, pinning the shortlist logic independently
+    // of the DuckDB twin.
+    val e = Tables.load(spark, sf, "embeddings")
+    val sigs = e.select(col("vec_id"),
+      expr("hyperplane_sig(embedding, 48)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val expected = sigs.keys.filter(_ < 20).toSeq.sorted.flatMap { q =>
+      val shortlist = sigs.keys.filter(_ != q).toSeq
+        .map(c => (java.lang.Long.bitCount(sigs(q) ^ sigs(c)), c))
+        .sorted.take(32)
+      shortlist.map { case (h, c) => (c, h, cos(emb(q), emb(c))) }
+        .sortBy { case (c, _, s) => (-s, c) }.take(3)
+        .zipWithIndex
+        .map { case ((c, h, s), i) => (q, c, (i + 1).toLong, h.toLong, s) }
+    }
+    val actual = graft.llm.Similarity.queries("v21_hamming_rerank")(
+        spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(actual == expected)
+  }
 }
