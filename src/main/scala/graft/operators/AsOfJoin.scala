@@ -54,6 +54,69 @@ object AsOfJoin {
     asof(left, right, key, ts, rightCols, forwardDir = false,
       tolerance = Some((tolerance, truncateTo)))
 
+  /** NEAREST as-of (the pandas `merge_asof direction='nearest'`
+    * semantic): for every left row, the right row minimizing
+    * |right.ts − left.ts| within the key group; an exact tie
+    * (equidistant earlier and later rights) resolves BACKWARD. `ts`
+    * must be numeric (integer epoch units) so the distance compare is
+    * exact.
+    *
+    * Shape: the same tagged union as [[backward]], with BOTH directions'
+    * running `last(..., ignoreNulls)` windows over ONE hash exchange on
+    * the key (ascending and descending passes share the partitioning;
+    * the plan is Exchange → Sort+Window ×2 → projection — still no
+    * point-in-time subquery, no range join, no second shuffle). The
+    * closer side is picked per row in a final codegen'd projection, and
+    * `asof_dir_back` (1 backward / 0 forward) makes the choice a
+    * data-visible fact. */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+              rightCols: Seq[String]): DataFrame = {
+    val passthrough = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val bCar = rightCols.map(c => s"__b_$c") :+ "__brts"
+    val fCar = rightCols.map(c => s"__f_$c") :+ "__frts"
+
+    val taggedRight = right.select(
+      (col(key) +: col(ts).as("__ts") +: lit(0).as("__src") +:
+        (rightCols.map(c => col(c).as(s"__b_$c")) ++
+          Seq(col(ts).as("__brts")) ++
+          rightCols.map(c => col(c).as(s"__f_$c")) ++
+          Seq(col(ts).as("__frts")))) ++
+        passthrough.map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      (col(key) +: col(ts).as("__ts") +: lit(1).as("__src") +:
+        (bCar ++ fCar).map(c => lit(null).as(c))) ++
+        passthrough.map(col): _*)
+
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val matched = taggedRight.unionByName(taggedLeft)
+      .select(col(key) +: col("__ts") +: col("__src") +:
+        (passthrough.map(col) ++
+          bCar.map(c => last(col(c), ignoreNulls = true).over(wB).as(c)) ++
+          fCar.map(c => last(col(c), ignoreNulls = true).over(wF).as(c))): _*)
+
+    val backWins = col("__frts").isNull ||
+      (col("__brts").isNotNull &&
+        (col("__ts") - col("__brts")) <= (col("__frts") - col("__ts")))
+    val picked = rightCols.foldLeft(matched) { (d, c) =>
+      d.withColumn(s"asof_$c",
+        when(backWins, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+    }
+    picked
+      .withColumn("asof_dir_back",
+        when(col("__brts").isNull && col("__frts").isNull,
+          lit(null).cast("long"))
+          .otherwise(when(backWins, 1L).otherwise(0L)))
+      .filter(col("__src") === 1)
+      .drop(bCar ++ fCar :+ "__src": _*)
+      .withColumnRenamed("__ts", ts)
+  }
+
   private def asof(left: DataFrame, right: DataFrame, key: String,
                    ts: String, rightCols: Seq[String],
                    forwardDir: Boolean,

@@ -54,6 +54,30 @@ object Temporal {
         .orderBy(col("event_id"))
     },
 
+    "p19_asof_nearest" -> { (s, dir) =>
+      // NEAREST direction — for each purchase, the click closest in
+      // time EITHER way (ties resolve backward): the sensor-alignment /
+      // quote-matching semantic pandas ships as
+      // merge_asof(direction='nearest') that neither backward (p01) nor
+      // forward (p06) alone expresses. Both direction passes ride ONE
+      // user_id exchange (operators/AsOfJoin.nearest); asof_dir_back
+      // grades which side won per row, so the pick rule itself is
+      // oracle-checked, not just the carried values.
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("value").as("click_value"), col("ts").as("click_ts"))
+      AsOfJoin.nearest(purchases, clicks, key = "user_id", ts = "ts",
+          rightCols = Seq("click_ts", "click_value"))
+        .filter(col("asof_click_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("asof_click_ts div 1000").as("near_click_us"),
+          col("asof_click_value"), col("asof_dir_back"))
+        .orderBy(col("event_id"))
+    },
+
     "p07_session_window" -> { (s, dir) =>
       // Spark's NATIVE session_window in batch — the built-in twin of
       // p03's manual lag+running-sum sessionization. Interval semantics:
@@ -535,6 +559,39 @@ object Temporal {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // Nearest = the closer of DuckDB's two native ASOF directions, ties
+    // backward; distances compare at ns so the pick matches Spark's
+    // ns-long arithmetic exactly.
+    "p19_asof_nearest" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (
+        | SELECT l.event_id, r.ts AS bts, r.value AS bval
+        | FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (
+        | SELECT l.event_id, r.ts AS fts, r.value AS fval
+        | FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts),
+        |j AS (
+        | SELECT l.event_id, l.user_id, l.value,
+        |  b.bts, b.bval, f.fts, f.fval,
+        |  CASE WHEN f.fts IS NULL OR (b.bts IS NOT NULL AND
+        |    epoch_ns(l.ts) - epoch_ns(b.bts)
+        |      <= epoch_ns(f.fts) - epoch_ns(l.ts))
+        |   THEN 1 ELSE 0 END AS back
+        | FROM l
+        |  JOIN b ON l.event_id = b.event_id
+        |  JOIN f ON l.event_id = f.event_id)
+        |SELECT event_id, user_id, value,
+        | CAST(epoch_us(CASE WHEN back = 1 THEN bts ELSE fts END)
+        |   AS BIGINT) AS near_click_us,
+        | CASE WHEN back = 1 THEN bval ELSE fval END AS asof_click_value,
+        | CAST(back AS BIGINT) AS asof_dir_back
+        |FROM j
+        |WHERE (CASE WHEN back = 1 THEN bts ELSE fts END) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     "p08_event_transitions" ->
       """WITH t AS (

@@ -121,6 +121,56 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("nearest as-of equals brute force incl. the backward tie rule") {
+    val s = spark
+    import s.implicits._
+    val genRow = for {
+      k <- Gen.choose(0L, 4L)
+      ts <- Gen.choose(0L, 20L)     // dense domain → many exact-tie cases
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, ts, v)
+    val genCase = for {
+      ls <- Gen.listOfN(40, genRow)
+      rs <- Gen.listOfN(25, genRow)
+    } yield (ls, rs)
+
+    val prop = Prop.forAll(genCase) { case (ls0, rs0) =>
+      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val ls = ls0.distinct
+      val left = ls.toDF("k", "ts", "lv")
+      val right = rs.toDF("k", "ts", "rv")
+      val got = AsOfJoin.nearest(left, right, "k", "ts", Seq("rv"))
+        .select(col("k"), col("ts"), col("lv"), col("asof_rv"),
+          col("asof_dir_back"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toSet
+      // Brute force: closest |r.ts - ts| in the key group, equidistant
+      // tie → backward (the earlier right row).
+      val expected = ls.map { case (k, ts, lv) =>
+        val back = rs.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption
+        val fwd = rs.filter(r => r._1 == k && r._2 >= ts)
+          .sortBy(_._2).headOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (ts - b._2 <= f._2 - ts) Some((b._3, 1L))
+            else Some((f._3, 0L))
+          case (Some(b), None) => Some((b._3, 1L))
+          case (None, Some(f)) => Some((f._3, 0L))
+          case _ => None
+        }
+        (k, ts, lv, pick.map(_._1), pick.map(_._2))
+      }.toSet
+      got == expected
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tolerance-bounded as-of equals brute force incl. truncation rule") {
     val s = spark
     import s.implicits._

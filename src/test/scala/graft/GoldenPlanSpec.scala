@@ -306,7 +306,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // operator over one doc_id Exchange+Sort (the p15 shared-spec
     // rule), then two bounded aggregations — a second sort between lag
     // and cumsum is a regression.
-    "m08_scene_cuts")
+    "m08_scene_cuts",
+    // nearest as-of: both direction passes (asc + desc running last())
+    // must share ONE user_id hash exchange — a second Exchange between
+    // the two Window operators (or a join-based rewrite) is a
+    // regression; only the re-sort differs between passes.
+    "p19_asof_nearest")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
