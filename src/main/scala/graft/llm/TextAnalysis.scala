@@ -559,12 +559,68 @@ object TextAnalysis {
         .select(col("tok"), col("freq"),
           when(col("sk_tok").isNotNull, 1L).otherwise(0L).as("in_sketch"))
         .orderBy(col("tok"))
+    },
+
+    "t20_charset_audit" -> { (s, dir) =>
+      // ENCODING-SANITY audit — the ingest gate every web-scale corpus
+      // runs before any tokenization: per source, how much of the text
+      // is multibyte (UTF-8 bytes vs codepoints — zh/de/fr content is
+      // SUPPOSED to be multibyte, an all-ASCII "zh" shard means the
+      // decoder upstream lost it), how many U+FFFD replacement chars
+      // survived decoding (each one is a byte sequence some transcoder
+      // destroyed), and how many U+00C2/U+00C3 marks appear (the
+      // classic UTF-8-read-as-Latin-1 mojibake signature: 'Ã©' where
+      // 'é' belongs). Occurrence counts are exact via the
+      // length-minus-replace trick — no regex, so both engines count
+      // identically on any input. Scale: one codegen'd projection over
+      // the scan + one bounded per-source aggregate; zero shuffles
+      // before the ≤|sources| groupBy.
+      val repl = "�"; val m1 = "Ã"; val m2 = "Â"
+      def occ(ch: String) =
+        (length(col("text")) -
+          length(expr(s"replace(text, '$ch', '')"))).cast("long")
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
+        .select(col("source"),
+          length(col("text")).cast("long").as("chars"),
+          expr("octet_length(text)").cast("long").as("bytes"),
+          occ(repl).as("n_repl"), (occ(m1) + occ(m2)).as("n_moji"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bytes") > col("chars"), 1L).otherwise(0L))
+            .as("n_multibyte_docs"),
+          sum(col("chars")).as("total_chars"),
+          sum(col("bytes")).as("total_bytes"),
+          sum(col("n_repl")).as("n_replacement"),
+          sum(col("n_moji")).as("n_mojibake_marks"))
+        .orderBy(col("source"))
     }
   )
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // chr(65533) = U+FFFD, chr(195)/chr(194) = the mojibake marks;
+    // length() counts codepoints and strlen() UTF-8 bytes in DuckDB,
+    // matching Spark's length/octet_length on any valid UTF-8.
+    "t20_charset_audit" ->
+      """WITH d AS (
+        | SELECT source, length(text) AS chars, strlen(text) AS bytes,
+        |  length(text) - length(replace(text, chr(65533), ''))
+        |    AS n_repl,
+        |  (length(text) - length(replace(text, chr(195), ''))) +
+        |  (length(text) - length(replace(text, chr(194), '')))
+        |    AS n_moji
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN bytes > chars THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_multibyte_docs,
+        | CAST(SUM(chars) AS BIGINT) AS total_chars,
+        | CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        | CAST(SUM(n_repl) AS BIGINT) AS n_replacement,
+        | CAST(SUM(n_moji) AS BIGINT) AS n_mojibake_marks
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
     "t17_sequence_packing" ->
       """WITH base AS (
         | SELECT doc_id,

@@ -1030,6 +1030,28 @@ object Composite {
         .select(col("l_orderkey"), col("l_linenumber"), col("line_seq"),
           col("run_amount"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    "c31_bucket_pruned_lookup" -> { (s, dir) =>
+      // BUCKET PRUNING — the third payoff of the bucketed layout after
+      // c28 (exchange-free joins) and c30 (exchange-free windows): an
+      // equality/IN predicate on the bucket column prunes the SCAN to
+      // the buckets those keys can hash into — the plan golden pins
+      // `SelectedBucketsCount: ≤4 out of 32`, i.e. a point lookup reads
+      // ≤1/8 of the table's files before a single row is filtered. At
+      // 100 TB this is the difference between a point query touching
+      // ~N/32 file bytes and touching all of them: scan work scales
+      // with the key count, not the table, and the same pruning
+      // composes with the zero-Exchange join/window shapes on the same
+      // layout. The aggregate itself is a bounded per-order summary
+      // (the Dx decimal rule for the money sums).
+      val (l, _) = ensureBucketedFacts(s, dir)
+      l.filter(col("l_orderkey").isin(1L, 7L, 33L, 129L))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_orderkey"))
     }
   )
 
@@ -1660,6 +1682,17 @@ object Composite {
         |   AS DOUBLE) AS run_amount
         |FROM lineitem WHERE l_orderkey <= 2000
         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Bucketing is physical layout only — the pruned scan must return
+    // exactly what the plain parquet scan returns.
+    "c31_bucket_pruned_lookup" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey IN (1, 7, 33, 129)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 }

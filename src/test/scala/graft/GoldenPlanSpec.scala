@@ -311,7 +311,16 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must share ONE user_id hash exchange — a second Exchange between
     // the two Window operators (or a join-based rewrite) is a
     // regression; only the re-sort differs between passes.
-    "p19_asof_nearest")
+    "p19_asof_nearest",
+    // bucket pruning: the IN predicate on the bucket column must prune
+    // the bucketed scan (`SelectedBucketsCount: ≤4 out of 32` in the
+    // golden) — a scan reading all 32 buckets for a 4-key point lookup
+    // is a regression.
+    "c31_bucket_pruned_lookup",
+    // charset audit: one codegen'd projection over the scan + one
+    // bounded per-source aggregate — any Exchange before the groupBy's
+    // partial aggregate (or a regex-bearing filter) would show here.
+    "t20_charset_audit")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
