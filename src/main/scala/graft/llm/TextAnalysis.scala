@@ -594,6 +594,51 @@ object TextAnalysis {
           sum(col("n_repl")).as("n_replacement"),
           sum(col("n_moji")).as("n_mojibake_marks"))
         .orderBy(col("source"))
+    },
+
+    "t21_countmin_sketch" -> { (s, dir) =>
+      // COUNT-MIN sketch frequency estimation (Cormode & Muthukrishnan
+      // 2005) — the third mergeable sketch after KLL (a19) and
+      // Misra-Gries (t19), and the only one whose ESTIMATES grade
+      // hash-exact: CMS counters are plain sums, so the d=3 × w=1024
+      // matrix is identical under any partitioning/merge order (unlike
+      // MG's merge-order-sensitive lower bounds, which t19 had to keep
+      // off the graded row). The sketch is built as one explode into 3
+      // (row, bucket) keys per token + a partial-aggregated groupBy
+      // (state O(d·w), never O(vocabulary)); the probe takes the exact
+      // heavy tokens (freq·100 > n — the t19 band widened) and reads
+      // est = min_j cms[j][h_j(tok)] via three ≤1024-row broadcast
+      // joins. The one-sided guarantee est ≥ freq is graded as data
+      // (`overcounted` flags collisions — the audit that sizes w).
+      // Bucket hashes derive from md5(tok#j), bit-identical across
+      // engines (the d27 rule).
+      val W = 1024
+      def bucket(j: Int, c: Column): Column =
+        conv(substring(md5(concat(c, lit(s"#$j")).cast("binary")), 1, 8),
+          16, 10).cast("long") % W
+      val toks = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL-text guard (see t04)
+        .select(explode_outer(split(col("text"), " ")).as("tok"))
+      val cms = toks
+        .select(explode(array((0 until 3).map(j =>
+          struct(lit(j.toLong).as("j"),
+            bucket(j, col("tok")).as("b"))): _*)).as("jb"))
+        .select(col("jb.j").as("j"), col("jb.b").as("b"))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val heavy = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(total))
+        .filter(col("freq") * 100 > col("n"))
+      val probed = (0 until 3).foldLeft(heavy) { (df, j) =>
+        df.withColumn(s"b$j", bucket(j, col("tok")))
+          .join(broadcast(cms.filter(col("j") === j.toLong)
+            .select(col("b").as(s"b$j"), col("c").as(s"c$j"))), Seq(s"b$j"))
+      }
+      probed.select(col("tok"), col("freq"),
+          least(col("c0"), col("c1"), col("c2")).as("cms_est"),
+          when(least(col("c0"), col("c1"), col("c2")) > col("freq"), 1L)
+            .otherwise(0L).as("overcounted"))
+        .orderBy(col("tok"))
     }
   )
 
@@ -620,6 +665,33 @@ object TextAnalysis {
         | CAST(SUM(n_repl) AS BIGINT) AS n_replacement,
         | CAST(SUM(n_moji) AS BIGINT) AS n_mojibake_marks
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "t21_countmin_sketch" -> {
+      def bk(e: String, j: String): String =
+        s"(('0x' || substr(md5($e || '#' || $j), 1, 8))::BIGINT % 1024)"
+      s"""WITH toks AS (
+         | SELECT unnest(string_split(text, ' ')) AS tok
+         | FROM documents WHERE text IS NOT NULL),
+         |n AS (SELECT COUNT(*) AS n FROM toks),
+         |ex AS (
+         | SELECT js.j, ${bk("tok", "js.j")} AS b
+         | FROM toks CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js),
+         |cms AS (SELECT j, b, COUNT(*) AS c FROM ex GROUP BY j, b),
+         |heavy AS (
+         | SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+         | HAVING COUNT(*) * 100 > (SELECT n FROM n)),
+         |probe AS (
+         | SELECT h.tok, h.freq, least(c0.c, c1.c, c2.c) AS cms_est
+         | FROM heavy h
+         |  JOIN cms c0 ON c0.j = 0 AND c0.b = ${bk("h.tok", "0")}
+         |  JOIN cms c1 ON c1.j = 1 AND c1.b = ${bk("h.tok", "1")}
+         |  JOIN cms c2 ON c2.j = 2 AND c2.b = ${bk("h.tok", "2")})
+         |SELECT tok, CAST(freq AS BIGINT) AS freq,
+         | CAST(cms_est AS BIGINT) AS cms_est,
+         | CAST(CASE WHEN cms_est > freq THEN 1 ELSE 0 END AS BIGINT)
+         |   AS overcounted
+         |FROM probe ORDER BY tok""".stripMargin
+    },
 
     "t17_sequence_packing" ->
       """WITH base AS (

@@ -320,7 +320,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // charset audit: one codegen'd projection over the scan + one
     // bounded per-source aggregate — any Exchange before the groupBy's
     // partial aggregate (or a regex-bearing filter) would show here.
-    "t20_charset_audit")
+    "t20_charset_audit",
+    // Count-Min: the sketch builds from ONE token explode into 3
+    // (row, bucket) keys with partial aggregation (state O(d·w), never
+    // O(vocab)); all three probe joins read ≤1024-row broadcasts — a
+    // corpus-sized shuffle against any counter table would show here.
+    "t21_countmin_sketch")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()

@@ -75,4 +75,53 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = (0 until 5).map(i => s"v$i" -> 60L).toMap
     assert(m.toMap == exact, s"sub-capacity sketch not exact: $m")
   }
+
+  test("t21 Count-Min estimates equal an in-memory CMS on a vocabulary " +
+    "larger than the sketch (collisions forced), and never undercount") {
+    val s = spark
+    import s.implicits._
+    // 5000 distinct fillers over 3×1024 counters force collisions into
+    // the heavy tokens' buckets — the regime where est > freq appears
+    // and the one-sided guarantee (never est < freq) earns its keep.
+    val heavyToks = Seq("alpha", "beta", "gamma")
+    val fillers = (0 until 5000).map(i => f"w$i%04d")
+    val words = heavyToks.flatMap(Seq.fill(1000)(_)) ++ fillers
+    val docs = words.grouped(200).zipWithIndex
+      .map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "en", "src0", 1L)
+      }.toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t21corpus").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // In-memory reference CMS with the same md5 bucket derivation.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String, j: Int): Int = {
+      val h = md.digest(s"$tok#$j".getBytes("UTF-8"))
+      val hex = h.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 1024L).toInt
+    }
+    val cms = Array.fill(3, 1024)(0L)
+    words.foreach(t => (0 until 3).foreach(j => cms(j)(bucket(t, j)) += 1))
+    val exact = words.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong
+    }
+    val n = words.size.toLong
+    val expected = exact.filter { case (_, f) => f * 100 > n }
+      .map { case (t, f) =>
+        val est = (0 until 3).map(j => cms(j)(bucket(t, j))).min
+        (t, f, est, if (est > f) 1L else 0L)
+      }.toSet
+    assert(expected.nonEmpty, "no heavy tokens in the synthetic corpus")
+
+    val got = graft.llm.TextAnalysis.queries("t21_countmin_sketch")(
+        spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    got.foreach { case (t, f, est, _) =>
+      assert(est >= f, s"CMS undercounted $t: $est < $f")
+    }
+  }
 }
