@@ -1507,6 +1507,37 @@ object Dedup {
         .select(col("lang"), col("rnk"), col("doc_id"),
           col("n_bigrams"), col("score"))
         .orderBy(col("lang"), col("rnk"))
+    },
+
+    "d31_fuzzy_entity" -> { (s, dir) =>
+      // FUZZY entity matching — edit-distance record linkage, the
+      // entity-resolution face of dedup (same records, different
+      // spellings — the problem MinHash can't see because one typo in
+      // a short name destroys most of its shingles): each probe entity
+      // links to its nearest-name neighbor by exact Levenshtein
+      // distance, custkey tie-break. Both engines implement the
+      // standard unit-cost edit distance, so distances and the argmin
+      // hash-match. Bounded probe set (|Q| = 30) against a bounded
+      // candidate slice (500) — the v01/v15 bounded-reference
+      // contract: at production scale the candidate set comes from
+      // BLOCKING (q-gram / prefix buckets, exactly the d19
+      // prefix-filter machinery) before any distance evaluation, never
+      // an all-pairs scan; this query grades the distance + argmin
+      // semantics that blocked candidates feed into.
+      val c = Tables.load(s, dir, "customer")
+      val q = c.filter(col("c_custkey") < 30)
+        .select(col("c_custkey").as("qk"), col("c_name").as("qn"))
+      val cand = c.filter(col("c_custkey") < 500)
+        .select(col("c_custkey").as("ck"), col("c_name").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qk")).orderBy(col("dist"), col("ck"))
+      q.join(cand, col("qk") =!= col("ck"))
+        .withColumn("dist", levenshtein(col("qn"), col("cn")).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qk").as("c_custkey"), col("ck").as("match_key"),
+          col("dist"))
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -2396,6 +2427,21 @@ object Dedup {
            |SELECT lang, rnk, doc_id, n_bigrams, score
            |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
       },
+
+      "d31_fuzzy_entity" ->
+        """WITH q AS (
+          | SELECT c_custkey AS qk, c_name AS qn FROM customer
+          | WHERE c_custkey < 30),
+          |cand AS (
+          | SELECT c_custkey AS ck, c_name AS cn FROM customer
+          | WHERE c_custkey < 500),
+          |p AS (
+          | SELECT qk, ck, CAST(levenshtein(qn, cn) AS BIGINT) AS dist,
+          |  row_number() OVER (PARTITION BY qk
+          |    ORDER BY levenshtein(qn, cn), ck) AS rn
+          | FROM q JOIN cand ON qk <> ck)
+          |SELECT qk AS c_custkey, ck AS match_key, dist
+          |FROM p WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -639,6 +639,42 @@ object TextAnalysis {
           when(least(col("c0"), col("c1"), col("c2")) > col("freq"), 1L)
             .otherwise(0L).as("overcounted"))
         .orderBy(col("tok"))
+    },
+
+    "t22_quality_sweep" -> { (s, dir) =>
+      // QUALITY-THRESHOLD survival curve — the tuning audit behind
+      // every cutoff choice (t02 scores docs; t07 applies ONE fixed
+      // threshold; this reports what EVERY threshold would keep): docs
+      // bucket by an integer-basis-point quality score (t02's weights,
+      // integer floor division throughout so bucket boundaries carry
+      // no float edge), and each bucket reports its own mass plus the
+      // CUMULATIVE docs/tokens that survive a cutoff at that bucket —
+      // read the row where cum_tokens first clears the token budget
+      // and that bucket IS the threshold. Scale: one projection + a
+      // ≤11-group aggregate; the running sum is a window over ≤11
+      // rows (a deliberate bounded global window, the d13 bucket-cut
+      // rule — never a per-doc window).
+      val scored = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          length(col("text")).cast("long").as("n_chars"),
+          stopHits.as("n_stop"))
+        .withColumn("score_bp",
+          expr("(4000 * least(n_toks, 50)) div 50") +
+          expr("(3000 * n_stop) div n_toks") +
+          expr("(3000 * least(n_chars - n_toks + 1, 5 * n_toks))" +
+            " div (5 * n_toks)"))
+        .withColumn("bucket", expr("score_bp div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      scored.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .withColumn("cum_docs", sum(col("n_docs")).over(w))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .orderBy(col("bucket").desc)
     }
   )
 
@@ -692,6 +728,34 @@ object TextAnalysis {
          |   AS overcounted
          |FROM probe ORDER BY tok""".stripMargin
     },
+
+    "t22_quality_sweep" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         | FROM documents WHERE text IS NOT NULL),
+         |sc AS (
+         | SELECT doc_id, n_toks,
+         |  (4000 * least(n_toks, 50)) // 50 +
+         |  (3000 * n_stop) // n_toks +
+         |  (3000 * least(n_chars - n_toks + 1, 5 * n_toks))
+         |    // (5 * n_toks) AS score_bp
+         | FROM d),
+         |b AS (
+         | SELECT score_bp // 1000 AS bucket, COUNT(*) AS n_docs,
+         |  SUM(n_toks) AS n_tokens
+         | FROM sc GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(SUM(n_docs) OVER win AS BIGINT) AS cum_docs,
+         | CAST(SUM(n_tokens) OVER win AS BIGINT) AS cum_tokens
+         |FROM b
+         |WINDOW win AS (ORDER BY bucket DESC
+         | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY bucket DESC""".stripMargin,
 
     "t17_sequence_packing" ->
       """WITH base AS (

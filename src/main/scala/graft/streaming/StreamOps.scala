@@ -64,6 +64,29 @@ object StreamOps {
     docs.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("doc_hash")
 
+  /** Streaming COUNT-MIN sketch maintenance — the incremental twin of
+    * the batch t21 CMS build: arriving tokens explode into d=3
+    * (row, bucket) keys (the same md5(tok#j) bucket derivation) and a
+    * running streaming aggregate maintains the d×w counter matrix.
+    * Because CMS counters are PLAIN SUMS, the streaming state after any
+    * prefix of micro-batches equals the batch sketch over the same
+    * tokens — additivity is exactly why CMS serves unbounded streams
+    * with O(d·w) state (3·1024 counters here), never O(vocabulary) and
+    * never O(stream length). No watermark needed: the aggregate is
+    * keyed on the bounded counter space, so state cannot grow past
+    * d·w rows regardless of arrival order or lateness.
+    * `StreamingSpec` pins the complete-mode table equal to the batch
+    * matrix after every batch boundary. Input: a `tok` string column. */
+  def countMinStream(toks: DataFrame, w: Int = 1024): DataFrame =
+    toks
+      .select(explode(array((0 until 3).map(j =>
+        struct(lit(j.toLong).as("j"),
+          (conv(substring(md5(concat(col("tok"), lit(s"#$j"))
+            .cast("binary")), 1, 8), 16, 10).cast("long") % w)
+            .as("b"))): _*)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.b").as("b"))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+
   /** Streaming NEAR-dup dedup: per-row 16-bit SimHash (graft.llm.Dedup's
     * bit-majority vote as one codegen projection — no groupBy, so it runs
     * incrementally) as the dedup key within the watermark horizon. Token

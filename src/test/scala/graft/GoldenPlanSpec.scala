@@ -325,7 +325,16 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (row, bucket) keys with partial aggregation (state O(d·w), never
     // O(vocab)); all three probe joins read ≤1024-row broadcasts — a
     // corpus-sized shuffle against any counter table would show here.
-    "t21_countmin_sketch")
+    "t21_countmin_sketch",
+    // quality sweep: one scan projection + a partial-aggregated ≤11-
+    // group aggregate; the survival cumsum is a window over the ≤11
+    // bucket rows (deliberate bounded global window) — a per-doc
+    // running window over the corpus would show here.
+    "t22_quality_sweep",
+    // fuzzy entity: the probe set's theta join stays confined to the
+    // bounded slices (pushed custkey range filters on BOTH scans) —
+    // an unfiltered customer×customer join would show here.
+    "d31_fuzzy_entity")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()

@@ -703,4 +703,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the cross-batch view run never closed")
     } finally q.stop()
   }
+
+  test("streaming Count-Min matrix equals the batch sketch after every " +
+    "micro-batch (additivity)") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[String]
+    val q = StreamOps.countMinStream(input.toDF().select(
+        col("value").as("tok")), w = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    // 64 buckets + 200 distinct tokens force collisions, so equality is
+    // over a matrix where collision mass matters, not a diagonal.
+    val batches = Seq(
+      (0 until 100).map(i => s"tok${i % 40}"),
+      (0 until 80).map(i => s"w${i % 200}"),
+      Seq.fill(50)("alpha") ++ (0 until 30).map(i => s"w${i + 100}"))
+    def batchCms(words: Seq[String]): Set[(Long, Long, Long)] =
+      words.toDF("tok").transform(df =>
+        StreamOps.countMinStream(df, w = 64))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      var seen = Seq.empty[String]
+      batches.foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+        seen = seen ++ b
+        val got = spark.table("cms_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == batchCms(seen),
+          s"stream matrix diverged from batch after ${seen.size} tokens")
+      }
+    } finally q.stop()
+  }
 }
