@@ -1538,6 +1538,45 @@ object Dedup {
         .select(col("qk").as("c_custkey"), col("ck").as("match_key"),
           col("dist"))
         .orderBy(col("c_custkey"))
+    },
+
+    "d32_snapshot_diff" -> { (s, dir) =>
+      // DATASET-VERSION DIFF — the content-addressed snapshot compare
+      // every dataset-versioning layer (DVC / lakeFS / Delta history)
+      // runs before publishing a new corpus build: two snapshots align
+      // on doc_id and every doc classifies as added / removed /
+      // changed (same id, different content hash) / unchanged, rolled
+      // up per source with the new snapshot's char mass. The snapshots
+      // derive deterministically from the one graded corpus (old drops
+      // doc_id % 13 = 0, new drops % 17 = 0 and rewrites % 5 = 0 docs)
+      // so both engines build identical versions — the classification
+      // logic is what's graded. Scale: md5 content addressing means
+      // the diff never compares text — one hash projection per side
+      // and ONE full-outer equi-join on doc_id (both sides partition
+      // on the key), then a bounded per-(source, status) aggregate;
+      // at 100 TB the join carries 16-byte hashes, not documents.
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val old = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id").as("odoc"), col("source").as("osrc"),
+          md5(col("text").cast("binary")).as("oh"))
+      val neu = base.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("t2", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select(col("doc_id").as("ndoc"), col("source").as("nsrc"),
+          md5(col("t2").cast("binary")).as("nh"),
+          length(col("t2")).cast("long").as("nchars"))
+      old.join(neu, col("odoc") === col("ndoc"), "full_outer")
+        .select(coalesce(col("osrc"), col("nsrc")).as("source"),
+          when(col("odoc").isNull, "added")
+            .when(col("ndoc").isNull, "removed")
+            .when(col("oh") =!= col("nh"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("nchars"), lit(0L)).as("nchars"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nchars")).as("total_chars"))
+        .orderBy(col("source"), col("status"))
     }
   )
 
@@ -2442,6 +2481,34 @@ object Dedup {
           | FROM q JOIN cand ON qk <> ck)
           |SELECT qk AS c_custkey, ck AS match_key, dist
           |FROM p WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+
+      "d32_snapshot_diff" ->
+        """WITH b AS (
+          | SELECT doc_id, source, text FROM documents
+          | WHERE text IS NOT NULL),
+          |o AS (
+          | SELECT doc_id, source, md5(text) AS oh FROM b
+          | WHERE doc_id % 13 <> 0),
+          |n AS (
+          | SELECT doc_id, source,
+          |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+          |    AS t2
+          | FROM b WHERE doc_id % 17 <> 0),
+          |n2 AS (
+          | SELECT doc_id, source, md5(t2) AS nh,
+          |  CAST(length(t2) AS BIGINT) AS nchars
+          | FROM n),
+          |j AS (
+          | SELECT COALESCE(o.source, n2.source) AS source,
+          |  CASE WHEN o.doc_id IS NULL THEN 'added'
+          |       WHEN n2.doc_id IS NULL THEN 'removed'
+          |       WHEN o.oh <> n2.nh THEN 'changed'
+          |       ELSE 'unchanged' END AS status,
+          |  COALESCE(n2.nchars, 0) AS nchars
+          | FROM o FULL JOIN n2 ON o.doc_id = n2.doc_id)
+          |SELECT source, status, COUNT(*) AS n_docs,
+          | CAST(SUM(nchars) AS BIGINT) AS total_chars
+          |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

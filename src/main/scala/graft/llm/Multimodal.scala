@@ -267,30 +267,7 @@ object Multimodal {
       // carries both the lag and the running cut sum (same spec → one
       // Exchange + Sort), then two bounded aggregations. Frame rows per
       // task are bounded by blob size, never corpus size.
-      val W = 256
-      val C = 300000L
-      val frames = blobs(s, dir)
-        .mapPartitions(_.flatMap { b =>   // codec init would live here
-          val n = (b.payload.length + W - 1) / W
-          (0 until n).iterator.map { wi =>
-            var e = 0L
-            var i = wi * W
-            val end = math.min(i + W, b.payload.length)
-            while (i < end) {
-              val v = b.payload(i) & 0xffL; e += v * v; i += 1
-            }
-            (b.doc_id, wi.toLong, e)
-          }
-        })
-        .toDF("doc_id", "wi", "e")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("wi"))
-      val shots = frames
-        .withColumn("pe", lag(col("e"), 1).over(w))
-        .withColumn("cut",
-          when(col("pe").isNotNull && abs(col("e") - col("pe")) > C, 1L)
-            .otherwise(0L))
-        .withColumn("shot", sum(col("cut")).over(w))
+      val shots = shotFrames(s, dir)
         .groupBy(col("doc_id"), col("shot"))
         .agg(count(lit(1)).as("shot_len"))
       shots.groupBy(col("doc_id"))
@@ -299,8 +276,63 @@ object Multimodal {
           count(lit(1)).as("n_shots"),
           max(col("shot_len")).as("longest_shot"))
         .orderBy(col("doc_id"))
+    },
+
+    "m09_keyframe_manifest" -> { (s, dir) =>
+      // KEYFRAME extraction manifest — the consumer of m08's shot
+      // segmentation: within every shot, the single PEAK-energy frame
+      // (earliest frame on energy ties — argmax over a (e, -wi)
+      // struct, the d10 collision-free canonical rule) becomes the
+      // shot's keyframe. This is the "decode one frame per shot"
+      // work-list a real video pipeline feeds to the expensive decoder
+      // instead of sampling every Nth frame — shot-aware sampling cuts
+      // decode cost to n_shots frames per blob while covering every
+      // scene. Shape: the shared shot assignment (one doc_id window
+      // pair) + ONE struct-argmax groupBy on (doc, shot); output is
+      // one row per shot, bounded by cut count, never frame count.
+      shotFrames(s, dir)
+        .groupBy(col("doc_id"), col("shot"))
+        .agg(count(lit(1)).as("shot_len"),
+          max(struct(col("e").as("e"), (-col("wi")).as("nwi")))
+            .as("best"))
+        .select(col("doc_id"), col("shot"),
+          (-col("best.nwi")).as("kf_frame"),
+          col("best.e").as("kf_energy"), col("shot_len"))
+        .orderBy(col("doc_id"), col("shot"))
     }
   )
+
+  /** Shared m08/m09 core: per-frame energies (one mapPartitions pass,
+    * 256-byte frames, sum-of-squares — see m07's fake-decode rule) with
+    * each frame's SHOT id assigned via the lag + running-cut-sum window
+    * pair over ONE doc_id Exchange+Sort (|Δe| > 300000 opens a shot). */
+  private def shotFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 256
+    val C = 300000L
+    val frames = blobs(s, dir)
+      .mapPartitions(_.flatMap { b =>   // codec init would live here
+        val n = (b.payload.length + W - 1) / W
+        (0 until n).iterator.map { wi =>
+          var e = 0L
+          var i = wi * W
+          val end = math.min(i + W, b.payload.length)
+          while (i < end) {
+            val v = b.payload(i) & 0xffL; e += v * v; i += 1
+          }
+          (b.doc_id, wi.toLong, e)
+        }
+      })
+      .toDF("doc_id", "wi", "e")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wi"))
+    frames
+      .withColumn("pe", lag(col("e"), 1).over(w))
+      .withColumn("cut",
+        when(col("pe").isNotNull && abs(col("e") - col("pe")) > C, 1L)
+          .otherwise(0L))
+      .withColumn("shot", sum(col("cut")).over(w))
+  }
 
   def oracle: Map[String, String] = Map(
     "m01_decode_features" ->
@@ -463,6 +495,45 @@ object Multimodal {
         | CAST(COUNT(*) - 1 AS BIGINT) AS n_cuts,
         | CAST(COUNT(*) AS BIGINT) AS n_shots,
         | CAST(MAX(shot_len) AS BIGINT) AS longest_shot
-        |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m08's frame/shot chain kept at the frame grain, closed by the
+    // struct-argmax keyframe pick (earliest frame on energy ties — the
+    // (e, -wi) struct MAX both engines order lexicographically).
+    "m09_keyframe_manifest" ->
+      """WITH fr AS (
+        | SELECT doc_id,
+        |  unnest(range((length(text) + 255) // 256)) AS wi, text
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |fe AS (
+        | SELECT doc_id, wi,
+        |  CAST(list_sum(list_transform(
+        |    range(length(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256))),
+        |    i -> ord(substr(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256),
+        |           CAST(i + 1 AS BIGINT), 1))
+        |       * ord(substr(substr(text, CAST(wi * 256 + 1 AS BIGINT), 256),
+        |           CAST(i + 1 AS BIGINT), 1)))) AS BIGINT) AS e
+        | FROM fr),
+        |lg AS (
+        | SELECT doc_id, wi, e,
+        |  lag(e) OVER (PARTITION BY doc_id ORDER BY wi) AS pe
+        | FROM fe),
+        |ct AS (
+        | SELECT doc_id, wi, e,
+        |  CASE WHEN pe IS NOT NULL AND abs(e - pe) > 300000
+        |   THEN 1 ELSE 0 END AS cut
+        | FROM lg),
+        |sh AS (
+        | SELECT doc_id, wi, e,
+        |  SUM(cut) OVER (PARTITION BY doc_id ORDER BY wi) AS shot
+        | FROM ct),
+        |k AS (
+        | SELECT doc_id, shot, COUNT(*) AS shot_len,
+        |  MAX({'e': e, 'nwi': -wi}) AS best
+        | FROM sh GROUP BY doc_id, shot)
+        |SELECT doc_id, CAST(shot AS BIGINT) AS shot,
+        | CAST(-(best.nwi) AS BIGINT) AS kf_frame,
+        | CAST(best.e AS BIGINT) AS kf_energy, shot_len
+        |FROM k ORDER BY doc_id, shot""".stripMargin
   )
 }

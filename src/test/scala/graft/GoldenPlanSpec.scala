@@ -334,7 +334,17 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fuzzy entity: the probe set's theta join stays confined to the
     // bounded slices (pushed custkey range filters on BOTH scans) —
     // an unfiltered customer×customer join would show here.
-    "d31_fuzzy_entity")
+    "d31_fuzzy_entity",
+    // snapshot diff: ONE full-outer sort-merge join on doc_id carrying
+    // 16-byte hashes (a text column reaching the join, or a second
+    // corpus scan per side, would show here), then a bounded
+    // per-(source, status) aggregate.
+    "d32_snapshot_diff",
+    // keyframe manifest: the shared shot chain (one doc_id window
+    // pair) closed by ONE struct-argmax groupBy — a join-back to the
+    // frame table (instead of the argmax struct) would double the
+    // frame shuffle.
+    "m09_keyframe_manifest")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
