@@ -1540,6 +1540,45 @@ object Dedup {
         .orderBy(col("c_custkey"))
     },
 
+    "d31b_blocked_entity" -> { (s, dir) =>
+      // BLOCKED fuzzy entity resolution — d31's production shape: the
+      // q-gram prefix filter (ED-Join, Xiao et al. 2008) generates
+      // candidates BEFORE any distance evaluation, so work is
+      // ∝ Σ_gram |probes(g)|·|cands(g)|, never |Q|×|C|. Soundness (no
+      // recall loss at τ): an edit destroys ≤ q distinct q-grams, so
+      // ed(x,y) ≤ τ ⟹ |D(x)∩D(y)| ≥ max(|D(x)|,|D(y)|) − q·τ, and two
+      // sets with that overlap MUST collide within their (q·τ+1)-
+      // prefixes under any shared total order — rarest-first makes the
+      // colliding gram as selective as the data allows
+      // (`DedupPropSpec` pins d31b == brute-force τ-argmin, and
+      // d31b ⊇ d31's argmin at dist ≤ τ on d31's own slice). The
+      // record-linkage benchmark construction: the registry is every
+      // document's 24-char prefix (DIVERSE strings — unlike the
+      // templated customer names, where every sound blocker is forced
+      // to admit wide candidates because true τ-neighbors share only
+      // template grams, the in-code note on d31); probes are DIRTY
+      // copies — one char deterministically deleted at position
+      // (doc_id % 20) + 2 — so each probe has a planted dist-1 source
+      // the blocker must recover among the full registry. Length
+      // filter |len Δ| ≤ τ prunes inside the join condition;
+      // Levenshtein runs on blocked pairs only; argmin by (dist, ck).
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 24)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("en"))
+      val reg = base.select(col("doc_id").as("ek"), col("en"),
+        lit(false).as("is_probe"))
+      val probes = base.filter(col("doc_id") % 11 === 0)
+        .withColumn("p", (col("doc_id") % 20 + 2).cast("int"))
+        .select((col("doc_id") + 1000000000L).as("ek"),
+          expr("concat(substring(en, 1, p - 1), substring(en, p + 1, 30))")
+            .as("en"),
+          lit(true).as("is_probe"))
+      blockedNearest(reg.unionByName(probes), 3, 2)
+        .select((col("qk") - 1000000000L).as("doc_id"),
+          col("mk").as("match_id"), col("dist"))
+        .orderBy(col("doc_id"))
+    },
+
     "d32_snapshot_diff" -> { (s, dir) =>
       // DATASET-VERSION DIFF — the content-addressed snapshot compare
       // every dataset-versioning layer (DVC / lakeFS / Delta history)
@@ -1579,6 +1618,82 @@ object Dedup {
         .orderBy(col("source"), col("status"))
     }
   )
+
+  /** d31b's core: τ-blocked nearest-neighbor entity match. Input frame
+    * carries (ek: long, en: string, is_probe: boolean); returns one row
+    * per probe that has a neighbor within edit distance τ:
+    * (qk, mk, dist), mk = the (dist, ck)-argmin candidate.
+    *
+    * Candidates come from the ED-Join prefix filter: each entity's
+    * distinct q-grams get a global rarest-first total order (document
+    * frequency asc, gram asc — both engines agree exactly), and only
+    * the first q·τ+1 grams act as blocking keys. A pair within edit
+    * distance τ shares ≥ max(|D(x)|,|D(y)|) − q·τ distinct grams
+    * (each edit destroys ≤ q gram occurrences, and a lost DISTINCT
+    * gram costs at least one destroyed occurrence), so when either
+    * side has ≥ q·τ+1 distinct grams the pair MUST collide inside the
+    * (q·τ+1)-prefixes — dropping non-colliding pairs loses no recall.
+    * SHORT-STRING REGIME: when BOTH sides have ≤ q·τ distinct grams
+    * the bound is vacuous (τ edits can destroy every gram — e.g.
+    * ed("bddb","bdcdbc") = 2 with zero shared 3-grams, found by the
+    * `DedupPropSpec` generator), so such entities additionally emit a
+    * marker key ("" — impossible as a real q-gram, which has length
+    * exactly q) that pairs every short entity with every other short
+    * entity; short×long needs no fallback (the LONG side's ≥ q·τ+1
+    * distinct grams make the overlap bound ≥ 1, and the short side's
+    * prefix is its whole gram set). `DedupPropSpec` pins the whole
+    * scheme == brute force on adversarial low-diversity corpora.
+    * Precondition: |en| ≥ q (shorter strings emit no grams and can't
+    * match — the graded caller filters them).
+    *
+    * 100 TB shape: the prefix table is row-linear (≤ q·τ+1 rows per
+    * entity), the candidate join is an EQUI-join on the gram key (the
+    * probe side is the small one — stats/AQE broadcast it), the length
+    * filter and ek≠ck prune inside the join condition, and the
+    * distinct pair shuffle carries two short strings per row. Exact
+    * Levenshtein runs on blocked pairs only — work ∝ candidates, the
+    * d19 discipline applied to edit distance. */
+  private[graft] def blockedNearest(ents: DataFrame, q: Int,
+                                    tau: Int): DataFrame = {
+    val pfxLen = q * tau + 1
+    val grams = ents.select(col("ek"), col("en"), col("is_probe"),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, length(en) - ${q - 1}), " +
+          s"i -> substring(en, i, $q))"))).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ek")).orderBy(col("gdf"), col("g"))
+    // One ranked-prefix table feeds BOTH join sides — persist so the
+    // gram df pass runs once, not once per side. nd rides the same
+    // ek partitioning as rn (one Exchange, two window frames).
+    val ranked = grams.join(dfreq, "g")
+      .withColumn("rn", row_number().over(wp))
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ek"))))
+    val pref = ranked.filter(col("rn") <= pfxLen)
+      .select(col("ek"), col("en"), col("is_probe"), col("g"))
+      .unionByName(ranked
+        .filter(col("rn") === 1 && col("nd") <= q * tau)
+        .select(col("ek"), col("en"), col("is_probe"),
+          lit("").as("g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qp = pref.filter(col("is_probe"))
+      .select(col("ek").as("qk"), col("en").as("qn"), col("g"))
+    val cp = pref.select(col("ek").as("ck"), col("en").as("cn"),
+      col("g").as("cg"))
+    val cand = qp.join(cp, col("g") === col("cg") &&
+        col("qk") =!= col("ck") &&
+        abs(length(col("qn")) - length(col("cn"))) <= tau)
+      .select(col("qk"), col("qn"), col("ck"), col("cn")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qk")).orderBy(col("dist"), col("ck"))
+    cand
+      .withColumn("dist", levenshtein(col("qn"), col("cn")).cast("long"))
+      .filter(col("dist") <= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qk"), col("ck").as("mk"), col("dist"))
+  }
 
   /** d26's window length: a duplicated run shorter than K tokens is
     * ignored; runs >= K are found exactly, at any offset. 8 keeps the
@@ -2481,6 +2596,51 @@ object Dedup {
           | FROM q JOIN cand ON qk <> ck)
           |SELECT qk AS c_custkey, ck AS match_key, dist
           |FROM p WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+
+      "d31b_blocked_entity" ->
+        """WITH b AS (
+          | SELECT doc_id, substr(text, 1, 24) AS en FROM documents
+          | WHERE text IS NOT NULL AND length(text) >= 24),
+          |e AS (
+          | SELECT doc_id AS ek, en, FALSE AS is_probe FROM b
+          | UNION ALL
+          | SELECT doc_id + 1000000000 AS ek,
+          |  substr(en, 1, CAST(doc_id % 20 + 1 AS INT)) ||
+          |   substr(en, CAST(doc_id % 20 + 3 AS INT), 30) AS en,
+          |  TRUE AS is_probe
+          | FROM b WHERE doc_id % 11 = 0),
+          |g0 AS (
+          | SELECT ek, en, is_probe,
+          |  unnest(list_distinct(list_transform(
+          |    range(1, length(en) - 1), i -> substr(en, i, 3)))) AS g
+          | FROM e),
+          |gdf AS (SELECT g, COUNT(*) AS gdf FROM g0 GROUP BY g),
+          |ranked AS (
+          | SELECT g0.ek, g0.en, g0.is_probe, g0.g,
+          |  row_number() OVER (PARTITION BY g0.ek
+          |    ORDER BY gdf.gdf, g0.g) AS rn,
+          |  COUNT(*) OVER (PARTITION BY g0.ek) AS nd
+          | FROM g0 JOIN gdf ON g0.g = gdf.g),
+          |pref AS (
+          | SELECT ek, en, is_probe, g FROM ranked WHERE rn <= 7
+          | UNION ALL
+          | SELECT ek, en, is_probe, '' AS g FROM ranked
+          | WHERE rn = 1 AND nd <= 6),
+          |cand AS (
+          | SELECT DISTINCT q.ek AS qk, q.en AS qn, c.ek AS ck,
+          |  c.en AS cn
+          | FROM pref q JOIN pref c ON q.g = c.g AND q.ek <> c.ek
+          |  AND abs(length(q.en) - length(c.en)) <= 2
+          | WHERE q.is_probe),
+          |sc AS (
+          | SELECT qk, ck, CAST(levenshtein(qn, cn) AS BIGINT) AS dist
+          | FROM cand WHERE levenshtein(qn, cn) <= 2),
+          |r AS (
+          | SELECT qk, ck, dist, row_number() OVER (PARTITION BY qk
+          |   ORDER BY dist, ck) AS rn
+          | FROM sc)
+          |SELECT qk - 1000000000 AS doc_id, ck AS match_id, dist
+          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       "d32_snapshot_diff" ->
         """WITH b AS (

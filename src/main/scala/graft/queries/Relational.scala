@@ -37,7 +37,7 @@ object Relational {
     * derivation replaces dbgen, not the query shapes. ≙ the reference
     * registering partsupp like any other listing table
     * (`benchmarks/src/bin/tpch.rs` TABLES). */
-  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+  private def derivePartsupp(s: SparkSession, dir: String): DataFrame = {
     val key = concat(col("ps_partkey").cast("string"), lit(":"),
       col("ps_suppkey").cast("string"))
     def h(c: Column): Column =
@@ -49,6 +49,38 @@ object Relational {
       .withColumn("ps_availqty", h(key) % 9999L + 1L)
       .withColumn("ps_supplycost",
         (h(concat(key, lit(":sc"))) % 100000L).cast("double") / 100.0 + 1.0)
+  }
+
+  /** The derivation MATERIALIZED as a real catalog table, bucketed on
+    * ps_partkey (32 buckets, the session parallelism — c28's
+    * discipline), built once per (session, sfDir) and read by all four
+    * consumers. ≙ the reference registering partsupp as a listing
+    * table next to the dbgen eight (`context_checks.rs:381-408`,
+    * `benchmarks/src/bin/tpch.rs` TABLES): queries see a TABLE SCAN,
+    * not a per-query distinct-over-lineitem subplan, and the
+    * ps_partkey bucketing means q2/q16/q20's part ⋈ partsupp probes
+    * shuffle only the (smaller) part side — at 100 TB the derivation
+    * cost is paid once per corpus version, not once per query. The
+    * oracle CTE [[partsuppCte]] recomputes the identical rows, so
+    * hashes are unchanged. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val pt = s"graft_ps_bkt_$key"
+    if (!s.catalog.tableExists(pt)) {
+      // In-memory catalog forgets tables across sessions but warehouse
+      // files survive; saveAsTable refuses the stale location.
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(wh, pt))
+      derivePartsupp(s, dir)
+        .repartition(32, col("ps_partkey"))
+        .write.bucketBy(32, "ps_partkey").sortBy("ps_partkey")
+        .mode("overwrite").saveAsTable(pt)
+    }
+    s.table(pt)
   }
 
   /** DuckDB twin of [[partsupp]] (prepend under WITH). */

@@ -704,4 +704,82 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(row.getLong(4) <= 10000L * row.getLong(3),
         s"weight bound violated: $row"))
   }
+
+  /** Unit-cost Levenshtein, the in-memory reference for d31b. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = d(0); d(0) = i
+      for (j <- 1 to b.length) {
+        val cur = d(j)
+        d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(b.length)
+  }
+
+  private def bruteNearest(ents: Seq[(Long, String, Boolean)],
+                           tau: Int): Set[(Long, Long, Long)] =
+    ents.filter(_._3).flatMap { case (qk, qn, _) =>
+      val cands = ents.filter(_._1 != qk)
+        .map { case (ck, cn, _) => (lev(qn, cn).toLong, ck) }
+        .filter(_._1 <= tau)
+      if (cands.isEmpty) None
+      else { val (d, ck) = cands.min; Some((qk, ck, d)) }
+    }.toSet
+
+  test("d31b blocked nearest equals brute-force tau-argmin on arbitrary " +
+    "entity corpora (ED-Join prefix filter loses no recall)") {
+    val s = spark
+    import s.implicits._
+    // Tiny alphabet + short strings maximize near-collisions — the
+    // regime where a recall bug (a true tau-pair whose prefixes miss
+    // each other) would actually surface. Length >= q = 3 per the
+    // documented precondition.
+    val genEnt = for {
+      len <- Gen.choose(3, 10)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val genCase = for {
+      n <- Gen.choose(4, 24)
+      names <- Gen.listOfN(n, genEnt)
+    } yield names.zipWithIndex.map { case (nm, i) =>
+      (i.toLong + 1L, nm, i % 3 == 0)
+    }
+    val prop = Prop.forAll(genCase) { ents =>
+      spark.catalog.clearCache() // blockedNearest persists its prefix table
+      val got = Dedup.blockedNearest(
+          ents.toDF("ek", "en", "is_probe"), 3, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = bruteNearest(ents, 2)
+      if (got != want)
+        println(s"MISMATCH ents=$ents\n got=$got\n want=$want")
+      got == want
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("d31b machinery on d31's own slice returns EXACTLY d31's argmin " +
+    "rows at dist <= tau (no recall loss on the graded threshold)") {
+    val sf = "/root/testdata/sf0.001"
+    val d31 = Dedup.queries("d31_fuzzy_entity")(spark, sf).collect()
+      .filter(_.getLong(2) <= 2L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ents = graft.Tables.load(spark, sf, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") < 500)
+      .selectExpr("c_custkey AS ek", "c_name AS en",
+        "c_custkey < 30 AS is_probe")
+    val blocked = Dedup.blockedNearest(ents, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Any candidate at dist <= tau implies the global argmin is at
+    // dist <= tau and the two argmins coincide — so equality, not
+    // just containment.
+    assert(blocked == d31,
+      s"blocked=$blocked\n d31(dist<=2)=$d31")
+  }
 }

@@ -344,7 +344,36 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pair) closed by ONE struct-argmax groupBy — a join-back to the
     // frame table (instead of the argmax struct) would double the
     // frame shuffle.
-    "m09_keyframe_manifest")
+    "m09_keyframe_manifest",
+    // round-9 golden-rule closure: every query >1 s in the committed
+    // bench artifact carries a frozen plan (enforced by the inventory
+    // test below — the repo rule becomes an invariant, mirroring the
+    // reference's regen-via-env-var discipline,
+    // tpch_plan_stability/README.md:35-37). The 16 queries below were
+    // the gap. Shape notes: d07 keeps d06's checkpoint-scan labels +
+    // ONE length re-attach join; c09 its three SMJ passes (the c28
+    // bucketed twin is the production fix); w13/w14 their
+    // ParallelWindow partial/merge shape; a20/a27 the KLL
+    // TypedImperativeAggregate (no sort of the full column); a11/a13
+    // ONE Expand + hash aggregate; a07 its single map-side-combined
+    // moment-sum groupBy; h05/h10 one partial-aggregated groupBy;
+    // c12/c19/c23 their semi/anti cascade shapes; f14 the
+    // parse_json→variant projection; x05 the SQL front-end lowering
+    // to the same physical shape as the DataFrame twin.
+    "d07_keep_best", "w14_topn_sweep", "c09_frequent_best",
+    "a07_corr_covar_exact", "h10_sum_count_by_all",
+    "w13_parallel_global", "x05_sql_front", "h05_sum3_by_id6",
+    "a20_percentile_gk", "c12_net_returns", "f14_variant",
+    "a11_rollup", "c23_buy_return_resell", "a13_grouping_sets",
+    "c19_channel_overlap", "a27_percentile_gk_prod",
+    // blocked entity resolution: candidates must come from the gram
+    // EQUI-join over the persisted prefix table (both sides
+    // InMemoryTableScans; a BroadcastNestedLoopJoin or
+    // CartesianProduct here would mean the blocking regressed to the
+    // d31 theta join), with the length filter inside the join
+    // condition and Levenshtein evaluated only above the distinct
+    // pair shuffle.
+    "d31b_blocked_entity")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
@@ -394,5 +423,27 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"plan for $name changed vs golden.\n=== GOLDEN ===\n$golden\n=== ACTUAL ===\n$plan")
       }
     }
+  }
+
+  // The golden RULE, enforced: any query whose committed bench time
+  // exceeds 1 s must carry a frozen plan. Reads the committed sf0.1
+  // bench artifact (bench_out.json) so the invariant tracks the real
+  // cost profile round over round — add a heavy query without freezing
+  // its plan and this test names it.
+  test("golden inventory: every >1s bench query has a frozen plan") {
+    val benchPath = Paths.get("bench_out.json")
+    assume(Files.exists(benchPath), "no committed bench artifact")
+    val txt = Files.readString(benchPath)
+    val entry = """"([a-z0-9_]+)":([0-9.]+)""".r
+    val slow = entry.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, v) => v > 1.0 && SparkEntry.queries.contains(k) }
+      .map(_._1).toSet
+    val frozen = flagship.toSet
+    val missing = (slow -- frozen).toSeq.sorted
+    assert(missing.isEmpty,
+      s"queries >1s in bench_out.json without a plan golden: " +
+        s"${missing.mkString(", ")} — add to GoldenPlanSpec.flagship " +
+        "and regen (GRAFT_REGEN_GOLDENS=1).")
   }
 }
