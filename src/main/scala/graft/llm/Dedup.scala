@@ -1423,40 +1423,22 @@ object Dedup {
       // sits inside one dense template family (safe to keep one of),
       // while a high-degree doc with cc → 0 bridges unrelated families
       // (boilerplate shared across sources — the doc to inspect, not
-      // blindly drop). Triangles enumerate ONCE each via the ordered
-      // edge list (a<b<c): wedge join on the middle vertex + one
-      // closing equi-join — the standard distributed triangle count.
-      // Production note: at adversarial degree distributions the
-      // orientation should be by (degree, id), bounding wedge fan-out
-      // by arboricity; here the miner's per-bucket population cap (τ =
-      // 64 per band) already caps collision-driven degree, so id-order
-      // keeps the plan simpler and the DuckDB twin identical. The
-      // coefficient is exact integer basis points:
+      // blindly drop). Triangles enumerate ONCE each via DEGREE-ORDERED
+      // orientation (the compact-forward discipline): every edge points
+      // from its (degree, id)-smaller endpoint to the larger, wedges
+      // open at the ≺-SMALLEST vertex of each triangle (two out-edges
+      // from one source), and one closing equi-join checks the third
+      // directed edge. Out-degrees under this orientation are
+      // arboricity-bounded for ANY degree distribution — a degree-D
+      // star contributes ZERO wedges (its center is ≺-largest, so all
+      // its edges point IN), where id-order would fan out C(D,2);
+      // `DedupPropSpec` pins both that bound and equality with brute
+      // force on adversarial star+clique graphs. The coefficient is
+      // exact integer basis points:
       // cc_bp = (2·t·10⁴) div (deg·(deg−1)), 0 when deg < 2.
       val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
         .select(col("da"), col("db")))
-      val eo = pairs // oriented: da < db, each undirected edge once
-      val sym = eo.unionByName(
-        eo.select(col("db").as("da"), col("da").as("db")))
-      val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("degree"))
-        .select(col("da").as("id"), col("degree"))
-      val ab = eo.select(col("da").as("a"), col("db").as("b"))
-      val bc = eo.select(col("da").as("b2"), col("db").as("c"))
-      val ac = eo.select(col("da").as("a2"), col("db").as("c2"))
-      val tri = ab.join(bc, col("b") === col("b2"))
-        .join(ac, col("a") === col("a2") && col("c") === col("c2"))
-        .select(col("a"), col("b"), col("c"))
-      val tcnt = tri
-        .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("t"))
-      deg.join(tcnt, Seq("id"), "left_outer")
-        .withColumn("t", coalesce(col("t"), lit(0L)))
-        .select(col("id").as("doc_id"), col("degree"),
-          col("t").as("triangles"),
-          when(col("degree") >= 2,
-            expr("(2 * t * 10000) div (degree * (degree - 1))"))
-            .otherwise(lit(0L)).as("cc_bp"))
-        .orderBy(col("doc_id"))
+      triangleStats(pairs)
     },
 
     "d30_importance_select" -> { (s, dir) =>
@@ -1618,6 +1600,62 @@ object Dedup {
         .orderBy(col("source"), col("status"))
     }
   )
+
+  /** d29's orientation: each undirected edge (da, db) redirected to
+    * point from its (degree, id)-smaller endpoint u to the larger v,
+    * carrying v's degree for the wedge-ordering condition. Under this
+    * order the out-degree of every vertex is O(arboricity) — dense
+    * hubs absorb edges instead of fanning them out — so the wedge
+    * self-join Σ_u C(dout(u), 2) stays bounded on ANY degree
+    * distribution (`DedupPropSpec`: a degree-D star yields ZERO
+    * wedges; id-order would yield C(D,2)). */
+  private[graft] def degreeOrientedEdges(pairs: DataFrame,
+                                         deg: DataFrame): DataFrame =
+    pairs
+      .join(deg.select(col("id").as("da"), col("degree").as("dga")),
+        "da")
+      .join(deg.select(col("id").as("db"), col("degree").as("dgb")),
+        "db")
+      .withColumn("lt", col("dga") < col("dgb") ||
+        (col("dga") === col("dgb") && col("da") < col("db")))
+      .select(
+        when(col("lt"), col("da")).otherwise(col("db")).as("u"),
+        when(col("lt"), col("db")).otherwise(col("da")).as("v"),
+        when(col("lt"), col("dgb")).otherwise(col("dga")).as("dv"))
+
+  /** d29's core over an arbitrary (da, db) edge list (da ≠ db, each
+    * undirected edge once): per-vertex degree, triangle count, and
+    * exact basis-point clustering coefficient. Exposed for
+    * `DedupPropSpec`'s brute-force and adversarial-degree checks. */
+  private[graft] def triangleStats(pairs: DataFrame): DataFrame = {
+    val sym = pairs.unionByName(
+      pairs.select(col("db").as("da"), col("da").as("db")))
+    val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("degree"))
+      .select(col("da").as("id"), col("degree"))
+    val out = degreeOrientedEdges(pairs, deg)
+    val w1 = out.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val w2 = out.select(col("u").as("u2"), col("v").as("v2"),
+      col("dv").as("dv2"))
+    val cl = out.select(col("u").as("cu"), col("v").as("cv"))
+    // Wedge (u → v1, u → v2) ordered v1 ≺ v2 by (dv, id); the closing
+    // edge, if present, is necessarily directed v1 → v2.
+    val tri = w1.join(w2, col("u") === col("u2") &&
+        (col("dv1") < col("dv2") ||
+          (col("dv1") === col("dv2") && col("v1") < col("v2"))))
+      .join(cl, col("cu") === col("v1") && col("cv") === col("v2"))
+      .select(col("u").as("a"), col("v1").as("b"), col("v2").as("c"))
+    val tcnt = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
+    deg.join(tcnt, Seq("id"), "left_outer")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .select(col("id").as("doc_id"), col("degree"),
+        col("t").as("triangles"),
+        when(col("degree") >= 2,
+          expr("(2 * t * 10000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_bp"))
+      .orderBy(col("doc_id"))
+  }
 
   /** d31b's core: τ-blocked nearest-neighbor entity match. Input frame
     * carries (ek: long, en: string, is_probe: boolean); returns one row
@@ -2534,10 +2572,21 @@ object Dedup {
            |eo AS (SELECT da AS a, db AS b FROM dup_pairs),
            |sym AS (SELECT a, b FROM eo UNION ALL SELECT b, a FROM eo),
            |deg AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a),
+           |dedge AS (
+           | SELECT CASE WHEN lt THEN a ELSE b END AS u,
+           |  CASE WHEN lt THEN b ELSE a END AS v,
+           |  CASE WHEN lt THEN dgb ELSE dga END AS dv
+           | FROM (
+           |  SELECT eo.a, eo.b, dx.degree AS dga, dy.degree AS dgb,
+           |   (dx.degree < dy.degree OR
+           |    (dx.degree = dy.degree AND eo.a < eo.b)) AS lt
+           |  FROM eo JOIN deg dx ON eo.a = dx.id
+           |   JOIN deg dy ON eo.b = dy.id) t),
            |tri AS (
-           | SELECT ab.a, ab.b, bc.b AS c
-           | FROM eo ab JOIN eo bc ON ab.b = bc.a
-           |  JOIN eo ac ON ac.a = ab.a AND ac.b = bc.b),
+           | SELECT w1.u AS a, w1.v AS b, w2.v AS c
+           | FROM dedge w1 JOIN dedge w2 ON w1.u = w2.u
+           |  AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+           | JOIN dedge cl ON cl.u = w1.v AND cl.v = w2.v),
            |tv AS (SELECT unnest([a, b, c]) AS id FROM tri),
            |tc AS (SELECT id, COUNT(*) AS t FROM tv GROUP BY id)
            |SELECT d.id AS doc_id, CAST(d.degree AS BIGINT) AS degree,

@@ -674,6 +674,43 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d29 degree-ordered orientation: an adversarial star opens ZERO " +
+    "wedges (id-order would open C(60,2) = 1770) and star+clique " +
+    "triangle stats are exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Center 0 carries the SMALLEST id, so id-ordered orientation
+    // would give it out-degree 60 → C(60,2) wedges; (degree, id)
+    // orientation points every star edge INTO the hub.
+    val star = (1L to 60L).map(l => (0L, l))
+    val clique = for (i <- 100L to 105L; j <- i + 1 to 105L)
+      yield (i, j)
+    val pairs = (star ++ clique).toDF("da", "db")
+    val sym = pairs.unionByName(
+      pairs.select(col("db").as("da"), col("da").as("db")))
+    val deg = sym.groupBy("da").agg(count(lit(1)).as("degree"))
+      .select(col("da").as("id"), col("degree"))
+    val dout = Dedup.degreeOrientedEdges(pairs, deg).collect()
+      .map(_.getLong(0)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(dout.getOrElse(0L, 0L) == 0L,
+      s"star center must absorb all edges, out-degree ${dout.get(0L)}")
+    (1L to 60L).foreach(l => assert(dout(l) == 1L,
+      s"leaf $l out-degree ${dout(l)}"))
+    // Total wedge population = the clique's 20 (out-degrees 5..0 →
+    // Σ C(k,2) = 10+6+3+1 = 20); the star contributes none.
+    val wedges = dout.values.map(d => d * (d - 1) / 2).sum
+    assert(wedges == 20L, s"wedge population must be 20, got $wedges")
+    val rows = Dedup.triangleStats(pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(0L) == ((60L, 0L, 0L)))
+    (1L to 60L).foreach(l => assert(rows(l) == ((1L, 0L, 0L))))
+    (100L to 105L).foreach(v => assert(rows(v) == ((5L, 10L, 10000L)),
+      s"clique vertex $v: ${rows(v)}"))
+  }
+
   test("d30 importance selection: a target-distribution copy outranks " +
     "unique-token docs within its language; weights bounded by the " +
     "target-subset rule") {
