@@ -1598,6 +1598,109 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nchars")).as("total_chars"))
         .orderBy(col("source"), col("status"))
+    },
+
+    "d33_serving_pipeline" -> { (s, dir) =>
+      // SERVING-SIDE composite — d24's twin: d24 graded the TRAINING
+      // pipeline (filter → dedup → mix → shard); this grades the
+      // nightly INGEST loop the index components exist for, as ONE
+      // plan per batch doc (doc_id ≡ 0 mod 7):
+      //   d23 index maintenance (base + delta text segments; built at
+      //   query construction, warmup pays it) → d27 Bloom pre-filter
+      //   (bitset derived from the MATERIALIZED segment hashes — the
+      //   corpus is never re-hashed) → bloom-GATED d21 exact probe
+      //   (bloom_pass = 0 docs are provably fresh and skip the hash
+      //   join entirely — the gate is IN the plan, not just the
+      //   output) → d21 LSH band probe with per-SEGMENT provenance
+      //   (n_near_delta = verified near-dups landing in yesterday's
+      //   delta) → v19 ANN probe over cells_base ∪ cells_delta for
+      //   the batch doc's embedding (top-1 nearest INDEXED neighbor;
+      //   base/delta re-cut on d23's day boundaries so today's batch
+      //   is NOT in the ANN index, unlike v19's own convention).
+      // The ONLY text hashed is the batch's (md5 + tok_hashes); the
+      // corpus appears exclusively through index FileScans, the
+      // codebook broadcasts, and there is no training subtree — the
+      // golden pins all three. At 100 TB this is the job whose cost
+      // must be ∝ |batch|: every corpus-sized input here is a
+      // column-pruned index segment scan.
+      val baseIdx = ensureIngestIndexWhere(s, dir, "base",
+        col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 3)
+      val deltaIdx = ensureIngestIndexWhere(s, dir, "delta",
+        col("doc_id") % 7 === 3)
+      def seg(part: String, cols: Seq[String]): DataFrame =
+        s.read.parquet(s"$baseIdx/$part").toDF(cols: _*)
+          .withColumn("seg", lit("base"))
+          .unionByName(s.read.parquet(s"$deltaIdx/$part")
+            .toDF(cols: _*).withColumn("seg", lit("delta")))
+      val isNew = col("doc_id") % 7 === 0
+      val mBits = 4096
+      def bit(c: Column, j: Int): Column =
+        conv(substring(md5(concat(c, lit(s"#$j")).cast("binary")),
+          1, 8), 16, 10).cast("long") % mBits
+      // Segment hashes could collide across segments if the same text
+      // lands in both days — distinct before any probe join.
+      val hashes = seg("hashes", Seq("cch")).select(col("cch")).distinct()
+      val bits = hashes
+        .select(explode(array(bit(col("cch"), 0), bit(col("cch"), 1),
+          bit(col("cch"), 2))).as("sb")).distinct()
+      val batch = Tables.load(s, dir, "documents").filter(isNew)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+        .withColumn("b0", bit(col("ch"), 0))
+        .withColumn("b1", bit(col("ch"), 1))
+        .withColumn("b2", bit(col("ch"), 2))
+      val bloomed = Seq("b0", "b1", "b2").foldLeft(batch) { (df, c) =>
+        df.join(broadcast(bits.select(col("sb").as(s"hit_$c"))),
+          col(c) === col(s"hit_$c"), "left_outer")
+      }.select(col("doc_id"), col("ch"),
+        when(col("hit_b0").isNotNull && col("hit_b1").isNotNull &&
+          col("hit_b2").isNotNull, 1L).otherwise(0L).as("bloom_pass"))
+      // The gate: only bloom-passing docs reach the exact hash join.
+      // Soundness (no false negatives, DedupPropSpec's d27 spec) makes
+      // this value-identical to the ungated join the oracle runs.
+      val exact = bloomed.filter(col("bloom_pass") === 1)
+        .join(hashes, col("ch") === col("cch"), "left_outer")
+        .select(col("doc_id").as("xid"),
+          when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
+      // Batch-only signature pass — the only tok_hashes in the plan.
+      val bsig = docsWithTokens(s, dir).filter(isNew)
+        .withColumn("__th", tokHashes(col("text")))
+        .select(col("doc_id"),
+          array_distinct(col("__th")).as("tset"),
+          sigArray(col("__th")).as("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // feeds bands + re-attach
+      val bands = seg("bands", Seq("db", "bandb", "mhb"))
+      val tsets = seg("tsets", Seq("db", "tb"))
+      val bb = bsig.select(col("doc_id").as("da"),
+        posexplode_outer(col("sig")).as(Seq("band", "mh")))
+      val cand = bb.join(bands,
+          col("band") === col("bandb") && col("mh") === col("mhb"))
+        .select(col("da"), col("db")).distinct()
+      val verified = cand
+        .join(bsig.select(col("doc_id").as("da"), col("tset").as("ta")),
+          "da")
+        .join(tsets, "db") // brings tb AND the segment tag (db-unique)
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          ((size(col("ta")) + size(col("tb"))).cast("long") -
+            col("inter")))
+        .groupBy(col("da"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_near"),
+          sum(when(col("jac") >= 0.7 && col("seg") === "delta", 1L)
+            .otherwise(0L)).as("n_near_delta"))
+      val ann = Similarity.annNearestIndexed(s, dir)
+      bloomed.select(col("doc_id"), col("bloom_pass"))
+        .join(exact, col("doc_id") === col("xid"), "left_outer")
+        .join(verified, col("doc_id") === col("da"), "left_outer")
+        .join(ann, col("doc_id") === col("q_id"), "left_outer")
+        .select(col("doc_id"), col("bloom_pass"),
+          coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("n_near_delta"), lit(0L)).as("n_near_delta"),
+          col("ann_nn"), col("ann_sim"), col("ann_seg"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2718,6 +2821,85 @@ object Dedup {
           |SELECT source, status, COUNT(*) AS n_docs,
           | CAST(SUM(nchars) AS BIGINT) AS total_chars
           |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
+      "d33_serving_pipeline" -> {
+        // The serving composite's twin: d18/d21's probe CTEs (corpus =
+        // base ∪ delta = doc_id % 7 <> 0, so values match the
+        // segment-union probe exactly), d27's bloom CTEs, plus the
+        // shared annServeCtes chain on d23's day slices. The oracle
+        // computes exact_dup UNGATED — bloom soundness (no false
+        // negatives) makes the gated Spark join value-identical.
+        def bit(e: String, j: Int): String =
+          s"(('0x' || substr(md5($e || '#$j'), 1, 8))::BIGINT % 4096)"
+        s"""WITH sigx AS (
+           | SELECT doc_id,
+           |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
+           |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
+           | FROM documents),
+           |h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+           |bits AS (
+           | SELECT DISTINCT sb FROM (
+           |  SELECT unnest([${bit("ch", 0)}, ${bit("ch", 1)},
+           |    ${bit("ch", 2)}]) AS sb
+           |  FROM h WHERE doc_id % 7 <> 0)),
+           |bl AS (
+           | SELECT b.doc_id,
+           |  CAST(CASE WHEN t0.sb IS NOT NULL AND t1.sb IS NOT NULL
+           |    AND t2.sb IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |   AS bloom_pass
+           | FROM (SELECT doc_id, ${bit("ch", 0)} AS b0,
+           |        ${bit("ch", 1)} AS b1, ${bit("ch", 2)} AS b2
+           |       FROM h WHERE doc_id % 7 = 0) b
+           |  LEFT JOIN bits t0 ON b.b0 = t0.sb
+           |  LEFT JOIN bits t1 ON b.b1 = t1.sb
+           |  LEFT JOIN bits t2 ON b.b2 = t2.sb),
+           |exactx AS (
+           | SELECT b.doc_id,
+           |  CAST(CASE WHEN EXISTS (
+           |    SELECT 1 FROM h c
+           |    WHERE c.doc_id % 7 <> 0 AND c.ch = b.ch)
+           |   THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+           | FROM h b WHERE b.doc_id % 7 = 0),
+           |bandsx AS (
+           | SELECT doc_id, generate_subscripts(sig,1)-1 AS band,
+           |  unnest(sig) AS mh, tset
+           | FROM sigx),
+           |candx AS (
+           | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           |  a.tset AS ta, b.tset AS tb
+           | FROM bandsx a JOIN bandsx b
+           |  ON a.band = b.band AND a.mh = b.mh
+           | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+           |jcx AS (
+           | SELECT da, db,
+           |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+           |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
+           | FROM candx),
+           |verx AS (
+           | SELECT da, COUNT(*) AS n_candidates,
+           |  CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_near,
+           |  CAST(SUM(CASE WHEN jac >= 0.7 AND db % 7 = 3
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_delta
+           | FROM jcx GROUP BY da),
+           |${Similarity.annServeCtes(
+               "vec_id % 7 <> 0 AND vec_id % 7 <> 3",
+               "vec_id % 7 = 3", "q.vec_id % 7 = 0")},
+           |ann AS (
+           | SELECT q_id, c_id AS ann_nn, sim AS ann_sim,
+           |  seg AS ann_seg
+           | FROM reranked WHERE rnk = 1)
+           |SELECT e.doc_id, bl.bloom_pass, e.exact_dup,
+           | COALESCE(v.n_candidates, 0) AS n_candidates,
+           | COALESCE(v.n_near, 0) AS n_near,
+           | COALESCE(v.n_near_delta, 0) AS n_near_delta,
+           | a.ann_nn, a.ann_sim, a.ann_seg
+           |FROM exactx e
+           | JOIN bl ON e.doc_id = bl.doc_id
+           | LEFT JOIN verx v ON e.doc_id = v.da
+           | LEFT JOIN ann a ON e.doc_id = a.q_id
+           |ORDER BY e.doc_id""".stripMargin
+      },
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

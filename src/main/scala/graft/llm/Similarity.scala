@@ -240,15 +240,25 @@ object Similarity {
     * the % 7 == 0 batch quantized with the base codebook (no retrain,
     * the FAISS IVF-append discipline). Same fingerprint-keyed cache
     * and atomic publish as [[ensureAnnIndex]]. */
-  private def ensureAnnDeltaIndex(s: SparkSession, dir: String): String = {
+  private def ensureAnnDeltaIndex(s: SparkSession, dir: String): String =
+    ensureAnnDeltaIndexWhere(s, dir, "v19",
+      col("vec_id") % 7 =!= 0, col("vec_id") % 7 === 0)
+
+  /** Generalized delta-chain build (v19's "v19" slices; d33's serving
+    * composite re-cuts base/delta on d23's ingest-day boundaries so
+    * TODAY's batch is NOT yet indexed): tag-suffixed cache key, same
+    * fingerprint + atomic publish. */
+  private[graft] def ensureAnnDeltaIndexWhere(s: SparkSession,
+      dir: String, tag: String, basePred: Column,
+      deltaPred: Column): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_ann_dindex/${IndexStore.fingerprint(src)}")
+      s"graft_ann_dindex/${IndexStore.fingerprint(src)}-$tag")
     IndexStore.ensureBuilt(base) { tmp =>
       val qvAll = ivfQv(Tables.load(s, dir, "embeddings"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val baseQv = qvAll.filter(col("vec_id") % 7 =!= 0)
+      val baseQv = qvAll.filter(basePred)
       val n = baseQv.count()
       val k = math.round(math.sqrt(n.toDouble)).toInt
       ivfTrainSampled(baseQv, k, 3)
@@ -261,12 +271,61 @@ object Similarity {
         .parquet(new java.io.File(tmp, "cells_base").getPath)
       // The append pass: |delta| × K assignment against the FROZEN
       // codebook — the only work a nightly batch pays.
-      ivfAssign(qvAll.filter(col("vec_id") % 7 === 0), cents)
+      ivfAssign(qvAll.filter(deltaPred), cents)
         .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "cells_delta").getPath)
       qvAll.unpersist()
     }
+  }
+
+  /** d33's ANN leg: each probe vector's single nearest INDEXED
+    * neighbor (cosine, over the probed cells of base ∪ delta, segment
+    * provenance carried) — the semantic-dup check a serving-side
+    * ingest job runs per new document. Index slices follow d23's
+    * ingest-day convention (base = day ∉ {0, 3}, delta = day 3), so
+    * the probing batch (day 0) is NOT in the index — unlike v19,
+    * where the batch IS yesterday's appended delta. Probe sizing
+    * derives from the materialized codebook itself (K = |cents|,
+    * nProbe = K/4): no corpus count, no training subtree, no corpus
+    * quantization in the plan. */
+  private[graft] def annNearestIndexed(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val idx = ensureAnnDeltaIndexWhere(s, dir, "d33",
+      col("vec_id") % 7 =!= 0 && col("vec_id") % 7 =!= 3,
+      col("vec_id") % 7 === 3)
+    val cents = s.read.parquet(s"$idx/cents")
+    val cells = s.read.parquet(s"$idx/cells_base")
+      .withColumn("seg", lit("base"))
+      .unionByName(s.read.parquet(s"$idx/cells_delta")
+        .withColumn("seg", lit("delta")))
+    val kSz = cents.count()
+    val nProbe = math.max(1L, math.round(kSz / 4.0)).toInt
+    val isProbe = col("vec_id") % 7 === 0
+    val e = Tables.load(s, dir, "embeddings")
+    val qe = e.filter(isProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cid"))
+    val probes = ivfQv(e.filter(isProbe))
+      .select(col("vec_id").as("q_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("cid").as("p_cell"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    probes.join(qe, "q_id")
+      .join(cells, col("p_cell") === col("c_cell") &&
+        col("q_id") =!= col("c_id"))
+      .join(e.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb")), "c_id")
+      .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("c_id").as("ann_nn"),
+        col("sim").as("ann_sim"), col("seg").as("ann_seg"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1309,6 +1368,112 @@ object Similarity {
   private def cos(a: String, b: String): String =
     duckCos.format(a, b, a, a, b, b)
 
+  /** Shared DuckDB CTE chain for delta-segmented ANN serving (v19 and
+    * d33's serving composite): recompute the base-slice codebook over
+    * the bounded md5 sample, assign base + frozen-codebook delta cells
+    * with segment tags, probe, and exact-cosine re-rank. Ends in
+    * `reranked` (q_id, c_id, seg, sim, rnk); callers append their own
+    * final SELECT (v19: top-5; d33: rnk = 1 joined per doc). The
+    * three predicates are SQL over `vec_id` (probePred over alias
+    * `q`), mirroring [[ensureAnnDeltaIndexWhere]]'s slices. */
+  private[graft] def annServeCtes(basePred: String, deltaPred: String,
+                                  probePred: String): String = {
+    val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM qb)"
+    val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM qb)"
+    val sSql = "(SELECT 256 * CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM qb)"
+    def dist(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+    def assignCte(name: String, cents: String,
+                  src: String = "qb"): String =
+      s"""$name AS (
+         | SELECT vec_id, qv, cid FROM (
+         |  SELECT q.vec_id, q.qv, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM $src q CROSS JOIN $cents c) t WHERE rn = 1)"""
+        .stripMargin
+    def updateCte(dimsName: String, centsName: String,
+                  assigned: String): String =
+      s"""$dimsName AS (
+         | SELECT cid, dim,
+         |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+         | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
+         |        unnest(qv) AS v FROM $assigned) t
+         | GROUP BY cid, dim),
+         |${dimsName}s AS (
+         | SELECT cid, list(mval ORDER BY dim) AS mv,
+         |  CAST(SUM(mval * mval) AS BIGINT) AS ss
+         | FROM $dimsName GROUP BY cid),
+         |$centsName AS (
+         | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
+         |   THEN CAST(0 AS BIGINT)
+         |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
+         | FROM ${dimsName}s)""".stripMargin
+    s"""q AS (
+       | SELECT vec_id,
+       |  list_transform(ed, x -> CASE WHEN nrm = 0
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+       | FROM (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+       |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |        CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings) tq),
+       |qb AS (SELECT vec_id, qv FROM q WHERE $basePred),
+       |qd AS (SELECT vec_id, qv FROM q WHERE $deltaPred),
+       |samp AS (
+       | SELECT vec_id, qv FROM (
+       |  SELECT vec_id, qv,
+       |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |     vec_id) AS srn
+       |  FROM qb) t WHERE srn <= $sSql),
+       |seedsq AS (
+       | SELECT cid, cv FROM (
+       |  SELECT vec_id AS cid, qv AS cv,
+       |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |     vec_id) AS srn
+       |  FROM samp) t WHERE srn <= $kSql),
+       |${assignCte("b1", "seedsq", "samp")},
+       |${updateCte("w1", "d1", "b1")},
+       |${assignCte("b2", "d1", "samp")},
+       |${updateCte("w2", "d2", "b2")},
+       |${assignCte("b3", "d2", "samp")},
+       |${updateCte("w3", "d3", "b3")},
+       |afb AS (
+       | SELECT vec_id AS c_id, cid AS c_cell FROM (
+       |  SELECT q.vec_id, c.cid,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+       |  FROM qb q CROSS JOIN d3 c) t WHERE rn = 1),
+       |afd AS (
+       | SELECT vec_id AS c_id, cid AS c_cell FROM (
+       |  SELECT q.vec_id, c.cid,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+       |  FROM qd q CROSS JOIN d3 c) t WHERE rn = 1),
+       |cells AS (
+       | SELECT c_id, c_cell, 'base' AS seg FROM afb
+       | UNION ALL
+       | SELECT c_id, c_cell, 'delta' AS seg FROM afd),
+       |probes AS (
+       | SELECT q_id, p_cell FROM (
+       |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS prn
+       |  FROM q CROSS JOIN d3 c
+       |  WHERE $probePred) t
+       | WHERE prn <= $pSql),
+       |reranked AS (
+       | SELECT p.q_id, a.c_id, a.seg,
+       |  ${cos("qe.embedding", "ce.embedding")} AS sim,
+       |  row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |    ${cos("qe.embedding", "ce.embedding")} DESC, a.c_id) AS rnk
+       | FROM probes p
+       |  JOIN embeddings qe ON p.q_id = qe.vec_id
+       |  JOIN cells a ON p.p_cell = a.c_cell AND p.q_id <> a.c_id
+       |  JOIN embeddings ce ON a.c_id = ce.vec_id)""".stripMargin
+  }
+
   private val duckBucket =
     (0 until 4).map { j =>
       val w = s"(((i + 1) * ${j + 7} * 2654435761) % 1000003 - 500001) / 500001.0"
@@ -1796,101 +1961,11 @@ object Similarity {
       // v18's inline recomputation except the codebook/sample/sizing
       // derive from the BASE slice (vec_id % 7 <> 0) and the cell set
       // is the union of the base assignment and the frozen-codebook
-      // delta assignment, each tagged with its segment.
-      val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM qb)"
-      val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM qb)"
-      val sSql = "(SELECT 256 * CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM qb)"
-      def dist(a: String, b: String): String =
-        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
-      def assignCte(name: String, cents: String,
-                    src: String = "qb"): String =
-        s"""$name AS (
-           | SELECT vec_id, qv, cid FROM (
-           |  SELECT q.vec_id, q.qv, c.cid,
-           |   row_number() OVER (PARTITION BY q.vec_id
-           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
-           |  FROM $src q CROSS JOIN $cents c) t WHERE rn = 1)"""
-          .stripMargin
-      def updateCte(dimsName: String, centsName: String,
-                    assigned: String): String =
-        s"""$dimsName AS (
-           | SELECT cid, dim,
-           |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
-           | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
-           |        unnest(qv) AS v FROM $assigned) t
-           | GROUP BY cid, dim),
-           |${dimsName}s AS (
-           | SELECT cid, list(mval ORDER BY dim) AS mv,
-           |  CAST(SUM(mval * mval) AS BIGINT) AS ss
-           | FROM $dimsName GROUP BY cid),
-           |$centsName AS (
-           | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
-           |   THEN CAST(0 AS BIGINT)
-           |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
-           | FROM ${dimsName}s)""".stripMargin
-      s"""WITH q AS (
-         | SELECT vec_id,
-         |  list_transform(ed, x -> CASE WHEN nrm = 0
-         |    THEN CAST(0 AS BIGINT)
-         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
-         | FROM (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |        CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings) tq),
-         |qb AS (SELECT vec_id, qv FROM q WHERE vec_id % 7 <> 0),
-         |qd AS (SELECT vec_id, qv FROM q WHERE vec_id % 7 = 0),
-         |samp AS (
-         | SELECT vec_id, qv FROM (
-         |  SELECT vec_id, qv,
-         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |     vec_id) AS srn
-         |  FROM qb) t WHERE srn <= $sSql),
-         |seedsq AS (
-         | SELECT cid, cv FROM (
-         |  SELECT vec_id AS cid, qv AS cv,
-         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |     vec_id) AS srn
-         |  FROM samp) t WHERE srn <= $kSql),
-         |${assignCte("b1", "seedsq", "samp")},
-         |${updateCte("w1", "d1", "b1")},
-         |${assignCte("b2", "d1", "samp")},
-         |${updateCte("w2", "d2", "b2")},
-         |${assignCte("b3", "d2", "samp")},
-         |${updateCte("w3", "d3", "b3")},
-         |afb AS (
-         | SELECT vec_id AS c_id, cid AS c_cell FROM (
-         |  SELECT q.vec_id, c.cid,
-         |   row_number() OVER (PARTITION BY q.vec_id
-         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
-         |  FROM qb q CROSS JOIN d3 c) t WHERE rn = 1),
-         |afd AS (
-         | SELECT vec_id AS c_id, cid AS c_cell FROM (
-         |  SELECT q.vec_id, c.cid,
-         |   row_number() OVER (PARTITION BY q.vec_id
-         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
-         |  FROM qd q CROSS JOIN d3 c) t WHERE rn = 1),
-         |cells AS (
-         | SELECT c_id, c_cell, 'base' AS seg FROM afb
-         | UNION ALL
-         | SELECT c_id, c_cell, 'delta' AS seg FROM afd),
-         |probes AS (
-         | SELECT q_id, p_cell FROM (
-         |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
-         |   row_number() OVER (PARTITION BY q.vec_id
-         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS prn
-         |  FROM q CROSS JOIN d3 c
-         |  WHERE q.vec_id >= 100 AND q.vec_id < 120) t
-         | WHERE prn <= $pSql),
-         |reranked AS (
-         | SELECT p.q_id, a.c_id, a.seg,
-         |  ${cos("qe.embedding", "ce.embedding")} AS sim,
-         |  row_number() OVER (PARTITION BY p.q_id ORDER BY
-         |    ${cos("qe.embedding", "ce.embedding")} DESC, a.c_id) AS rnk
-         | FROM probes p
-         |  JOIN embeddings qe ON p.q_id = qe.vec_id
-         |  JOIN cells a ON p.p_cell = a.c_cell AND p.q_id <> a.c_id
-         |  JOIN embeddings ce ON a.c_id = ce.vec_id)
+      // delta assignment, each tagged with its segment. The CTE chain
+      // is the shared [[annServeCtes]] builder (d33's serving
+      // composite reuses it with d23's ingest-day slices).
+      s"""WITH ${annServeCtes("vec_id % 7 <> 0", "vec_id % 7 = 0",
+          "q.vec_id >= 100 AND q.vec_id < 120")}
          |SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim, seg
          |FROM reranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin

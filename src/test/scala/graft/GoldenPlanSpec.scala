@@ -335,6 +335,17 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bounded slices (pushed custkey range filters on BOTH scans) —
     // an unfiltered customer×customer join would show here.
     "d31_fuzzy_entity",
+    // serving composite (round 9): the ingest job's whole-plan
+    // hygiene — the ONLY text hashing (md5 / tok_hashes) is on the
+    // pushed (doc_id % 7) = 0 batch scans; the corpus appears
+    // exclusively through index-segment FileScans (hashes/bands/
+    // tsets base+delta, cents, cells_base/cells_delta); the Bloom
+    // bitset and the codebook come back as BROADCASTS; the exact
+    // hash join sits above the bloom_pass = 1 filter (the gate is in
+    // the plan); and there is NO training subtree — a Lloyd
+    // iteration or corpus quantization pass appearing here is a
+    // regression.
+    "d33_serving_pipeline",
     // snapshot diff: ONE full-outer sort-merge join on doc_id carrying
     // 16-byte hashes (a text column reaching the join, or a second
     // corpus scan per side, would show here), then a bounded
