@@ -1105,8 +1105,6 @@ object Dedup {
       // parallel across scan tasks at any SF, unlike the md5 fan-out
       // the repartition exists for). The golden pins the pushed
       // predicate and that every stage reads the caches.
-      val B = 512L
-      val quota = 40000L
       val filt = docsWithTokens(s, dir)
         .filter(TextAnalysis.keepPredicate)
         .select(col("doc_id"), col("source"), col("text"),
@@ -1136,61 +1134,67 @@ object Dedup {
         .withColumn("rnk", row_number().over(wBest))
         .filter(col("rnk") === 1)
         .select(col("doc_id"), col("source"), col("n_toks"), col("h"))
-      // d13's two-grain per-source greedy prefix under the token quota.
-      val wBucketCut = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("bucket"))
-        .rowsBetween(Long.MinValue, -1)
-      val wInBucket = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"), col("bucket"))
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Long.MinValue, -1)
-      val kb = kept.withColumn("bucket", substring(col("h"), 1, 2))
-      val cuts = kb.groupBy(col("source"), col("bucket"))
-        .agg(sum(col("n_toks")).as("bucket_toks"))
-        .withColumn("cum_bucket_before",
-          coalesce(sum(col("bucket_toks")).over(wBucketCut), lit(0L)))
-        .select(col("source"), col("bucket"), col("cum_bucket_before"))
-      val mixed = kb
-        .withColumn("cum_in_bucket",
-          coalesce(sum(col("n_toks")).over(wInBucket), lit(0L)))
-        .join(cuts, Seq("source", "bucket"))
-        .filter(col("cum_bucket_before") + col("cum_in_bucket") < quota)
-        .select(col("doc_id"), col("n_toks"))
-      // d14 epoch shard + t17 packing (two-grain doc_id-order prefix).
-      val shard = conv(substring(md5(
-        concat(col("doc_id").cast("string"), lit(":ep1"))
-          .cast("binary")), 1, 15), 16, 10).cast("long") % 32
-      val wCut = org.apache.spark.sql.expressions.Window
-        .orderBy(col("pbucket")).rowsBetween(Long.MinValue, -1)
-      val wIn = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("pbucket")).orderBy(col("doc_id"))
-        .rowsBetween(Long.MinValue, -1)
-      val pbase = mixed
-        .withColumn("shard", shard)
-        .withColumn("pbucket", expr("doc_id div 64"))
-      val pcuts = pbase.groupBy(col("pbucket"))
-        .agg(sum(col("n_toks")).as("bucket_toks"))
-        .withColumn("cum_bucket_before",
-          coalesce(sum(col("bucket_toks")).over(wCut), lit(0L)))
-        .select(col("pbucket"), col("cum_bucket_before"))
-      pbase
-        .withColumn("cum_in_bucket",
-          coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
-        .join(pcuts, "pbucket")
-        .withColumn("cum_before",
-          col("cum_bucket_before") + col("cum_in_bucket"))
-        .withColumn("seq_id", expr(s"cum_before div $B"))
-        .withColumn("spill",
-          greatest(col("cum_before") + col("n_toks") -
-            (col("seq_id") + 1) * B, lit(0L)))
-        .groupBy(col("seq_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("doc_toks"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"),
-          sum(col("spill")).as("spill_toks"),
-          countDistinct(col("shard")).as("n_shards"))
-        .orderBy(col("seq_id"))
+      packingManifest(kept)
+    },
+
+    "d24b_pipeline_spans" -> { (s, dir) =>
+      // d24 WITH TOKEN-GRAIN SPAN REMOVAL — the real corpus pipeline
+      // runs d26's duplicated-span dedup between doc-grain dedup and
+      // quota mixing (Lee et al. 2021 remove repeated spans, not just
+      // repeated documents): after cluster keep-best, every kept doc's
+      // K=8-window fingerprints are mined over the KEPT corpus and the
+      // doc's token mass entering the d13 quota (and the t17 packing
+      // prefix) shrinks by its merged duplicated-span length — a doc
+      // that is 90% boilerplate contributes 10% of its tokens to the
+      // mixture budget. Same stages as d24 (shared `packingManifest`
+      // tail — the composites differ ONLY in token mass); the span
+      // pass reads the persisted `uniq` cache (one corpus scan still),
+      // and its md5-per-window explode is the heaviest operator the
+      // pipeline gains — exactly the cross-stage cost this entry
+      // exists to surface. dup_toks ≤ n_toks by construction, so the
+      // cleaned mass is never negative (fully-duplicated docs enter
+      // the quota at 0 tokens).
+      val filt = docsWithTokens(s, dir)
+        .filter(TextAnalysis.keepPredicate)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(col("toks")).cast("long").as("n_toks"),
+          md5(col("text").cast("binary")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wEx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      val uniq = filt
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") === 1).drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sig = lshSigFrom(uniq)
+      val pairs = barrier(lshPairsFrom(sig).select(col("da"), col("db")))
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .toDF("src", "dst")
+      val (lab, _) = graft.operators.ConnectedComponents.run(edges)
+      val labeled = uniq
+        .join(lab.select(col("id"), col("lbl")),
+          col("doc_id") === col("id"), "left_outer")
+        .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_toks").desc, col("doc_id"))
+      val kept = labeled
+        .withColumn("rnk", row_number().over(wBest))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("source"), col("text"),
+          col("n_toks"), col("h"))
+      val spans = dupSpansPerDoc(
+        kept.select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks")), DupSpanK)
+      val cleaned = kept
+        .join(spans.select(col("doc_id").as("sd"), col("dup_toks")),
+          col("doc_id") === col("sd"), "left_outer")
+        .select(col("doc_id"), col("source"),
+          (col("n_toks") - coalesce(col("dup_toks"), lit(0L)))
+            .as("n_toks"),
+          col("h"))
+      packingManifest(cleaned)
     },
 
     "d22_ppjoin_filter_audit" -> { (s, dir) =>
@@ -1842,16 +1846,81 @@ object Dedup {
     * staying above incidental 3-gram collisions. */
   private[graft] val DupSpanK = 8
 
-  /** d26's core: per-source duplicated-span report over a (doc_id,
-    * source, toks) frame. Exposed for `DedupPropSpec`'s brute-force
-    * equivalence check with arbitrary K. */
-  private[graft] def dupSpanReport(docs: DataFrame, k: Int): DataFrame = {
+  /** d24's quota → epoch-shard → packing tail over a kept-doc frame
+    * (doc_id, source, n_toks, h) — factored out so d24 and the
+    * span-cleaned d24b differ ONLY in the token-mass input (d24b
+    * subtracts each doc's duplicated-span tokens before mixing).
+    * Stages: d13's two-grain per-source greedy prefix under the token
+    * quota (bucket-grain running sum + bounded bucket-cut window —
+    * never one serial window per source), d14's md5 epoch shard, and
+    * t17's two-grain packing prefix into B-token sequences. */
+  private def packingManifest(kept: DataFrame): DataFrame = {
+    val B = 512L
+    val quota = 40000L
+    val wBucketCut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, -1)
+    val wInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val kb = kept.withColumn("bucket", substring(col("h"), 1, 2))
+    val cuts = kb.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_toks")).as("bucket_toks"))
+      .withColumn("cum_bucket_before",
+        coalesce(sum(col("bucket_toks")).over(wBucketCut), lit(0L)))
+      .select(col("source"), col("bucket"), col("cum_bucket_before"))
+    val mixed = kb
+      .withColumn("cum_in_bucket",
+        coalesce(sum(col("n_toks")).over(wInBucket), lit(0L)))
+      .join(cuts, Seq("source", "bucket"))
+      .filter(col("cum_bucket_before") + col("cum_in_bucket") < quota)
+      .select(col("doc_id"), col("n_toks"))
+    val shard = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":ep1"))
+        .cast("binary")), 1, 15), 16, 10).cast("long") % 32
+    val wCut = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pbucket")).rowsBetween(Long.MinValue, -1)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val pbase = mixed
+      .withColumn("shard", shard)
+      .withColumn("pbucket", expr("doc_id div 64"))
+    val pcuts = pbase.groupBy(col("pbucket"))
+      .agg(sum(col("n_toks")).as("bucket_toks"))
+      .withColumn("cum_bucket_before",
+        coalesce(sum(col("bucket_toks")).over(wCut), lit(0L)))
+      .select(col("pbucket"), col("cum_bucket_before"))
+    pbase
+      .withColumn("cum_in_bucket",
+        coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+      .join(pcuts, "pbucket")
+      .withColumn("cum_before",
+        col("cum_bucket_before") + col("cum_in_bucket"))
+      .withColumn("seq_id", expr(s"cum_before div $B"))
+      .withColumn("spill",
+        greatest(col("cum_before") + col("n_toks") -
+          (col("seq_id") + 1) * B, lit(0L)))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("doc_toks"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("spill")).as("spill_toks"),
+        countDistinct(col("shard")).as("n_shards"))
+      .orderBy(col("seq_id"))
+  }
+
+  /** Per-doc duplicated-span stats — d26's mark/island machinery
+    * factored out for reuse: (doc_id, source, n_spans, dup_toks), one
+    * row per doc carrying >= 1 duplicated K-window. d26 aggregates
+    * this to the per-source report; d24b consumes dup_toks as the
+    * span-removal token adjustment feeding the quota/packing stages. */
+  private[graft] def dupSpansPerDoc(docs: DataFrame, k: Int): DataFrame = {
     val base = docs
       .select(col("doc_id"), col("source"), col("toks"),
         size(col("toks")).as("n"))
-    val tot = base.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n").cast("long")).as("total_tokens"))
     // occ feeds the fingerprint count AND the mark join-back — the
     // localCheckpoint stops the md5-per-window scan running twice.
     val occ = barrier(base
@@ -1882,11 +1951,24 @@ object Dedup {
           .otherwise(0L))
       .withColumn("island", sum(col("st")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val spans = isl.groupBy(col("doc_id"), col("source"), col("island"))
+    isl.groupBy(col("doc_id"), col("source"), col("island"))
       .agg(min(col("p")).as("sp"), (max(col("p")) + (k - 1)).as("ep"))
-    val perDoc = spans.groupBy(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("ep") - col("sp") + 1).as("dup_toks"))
+  }
+
+  /** d26's core: per-source duplicated-span report over a (doc_id,
+    * source, toks) frame. Exposed for `DedupPropSpec`'s brute-force
+    * equivalence check with arbitrary K. */
+  private[graft] def dupSpanReport(docs: DataFrame, k: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).as("n"))
+    val tot = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n").cast("long")).as("total_tokens"))
+    val perDoc = dupSpansPerDoc(docs, k)
     val perSrc = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_dup_docs"),
         sum(col("n_spans")).as("n_spans"),
@@ -2451,6 +2533,100 @@ object Dedup {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            |    AS cum_before
            | FROM kept),
+           |mixed AS (
+           | SELECT doc_id, n_toks FROM mixq WHERE cum_before < 40000),
+           |sh AS (
+           | SELECT doc_id, n_toks,
+           |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep1'),
+           |    1, 15))::BIGINT % 32 AS shard,
+           |  COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS cum_before
+           | FROM mixed),
+           |packed AS (
+           | SELECT doc_id, n_toks, shard,
+           |  CAST(cum_before // 512 AS BIGINT) AS seq_id,
+           |  CAST(GREATEST(cum_before + n_toks
+           |    - (cum_before // 512 + 1) * 512, 0) AS BIGINT) AS spill
+           | FROM sh)
+           |SELECT seq_id, COUNT(*) AS n_docs,
+           | CAST(SUM(n_toks) AS BIGINT) AS doc_toks,
+           | CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           | CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           | CAST(SUM(spill) AS BIGINT) AS spill_toks,
+           | COUNT(DISTINCT shard) AS n_shards
+           |FROM packed GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+      "d24b_pipeline_spans" ->
+        s"""WITH RECURSIVE ${TextAnalysis.keepFiltCteSql},
+           |uniq AS (
+           | SELECT doc_id, source, text, n_toks, h FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)
+           |    AS rn
+           |  FROM filt) t WHERE rn = 1),
+           |${lshPairCtesFrom("uniq")},
+           |edges AS (
+           | SELECT da AS a, db AS b FROM dup_pairs
+           | UNION SELECT db, da FROM dup_pairs
+           | UNION SELECT da, da FROM dup_pairs
+           | UNION SELECT db, db FROM dup_pairs),
+           |reach AS (
+           | SELECT a, b FROM edges
+           | UNION
+           | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (
+           | SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+           | FROM reach GROUP BY a),
+           |labeled AS (
+           | SELECT u.doc_id, u.source, u.text, u.n_toks, u.h,
+           |  COALESCE(c.cluster, u.doc_id) AS cluster
+           | FROM uniq u LEFT JOIN comp c ON u.doc_id = c.doc_id),
+           |kept AS (
+           | SELECT doc_id, source, text, n_toks, h FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY cluster
+           |    ORDER BY n_toks DESC, doc_id) AS rnk FROM labeled) t
+           | WHERE rnk = 1),
+           |spk AS (
+           | SELECT doc_id, string_split(text, ' ') AS tk FROM kept),
+           |soc AS (
+           | SELECT doc_id, CAST(p AS BIGINT) AS p,
+           |  md5(array_to_string(
+           |    list_slice(tk, p, p + ${DupSpanK - 1}), ' ')) AS fh
+           | FROM (SELECT doc_id, tk,
+           |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1))
+           |     AS p
+           |  FROM spk)),
+           |sdup AS (SELECT fh FROM soc GROUP BY fh HAVING COUNT(*) >= 2),
+           |smarks AS (SELECT o.doc_id, o.p FROM soc o JOIN sdup USING (fh)),
+           |sisl AS (
+           | SELECT doc_id, p,
+           |  CASE WHEN p > COALESCE(MAX(p + ${DupSpanK - 1}) OVER (
+           |    PARTITION BY doc_id ORDER BY p
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+           |   THEN 1 ELSE 0 END AS st
+           | FROM smarks),
+           |sisl2 AS (
+           | SELECT doc_id, p,
+           |  SUM(st) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           | FROM sisl),
+           |sspans AS (
+           | SELECT doc_id, island, MIN(p) AS sp,
+           |  MAX(p) + ${DupSpanK - 1} AS ep
+           | FROM sisl2 GROUP BY doc_id, island),
+           |sper AS (
+           | SELECT doc_id, CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_toks
+           | FROM sspans GROUP BY doc_id),
+           |cleaned AS (
+           | SELECT k.doc_id, k.source,
+           |  k.n_toks - COALESCE(s.dup_toks, 0) AS n_toks, k.h
+           | FROM kept k LEFT JOIN sper s ON k.doc_id = s.doc_id),
+           |mixq AS (
+           | SELECT doc_id, n_toks,
+           |  COALESCE(SUM(n_toks) OVER (PARTITION BY source
+           |    ORDER BY h, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS cum_before
+           | FROM cleaned),
            |mixed AS (
            | SELECT doc_id, n_toks FROM mixq WHERE cum_before < 40000),
            |sh AS (

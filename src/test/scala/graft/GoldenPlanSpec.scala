@@ -83,6 +83,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pass itself sits behind the CC checkpoint barrier, as in d06 —
     // its single-pass shape is pinned by d03's golden instead.)
     "d23_index_delta_append", "d24_training_pipeline",
+    // round-9: the span-removal extension must keep d24's whole-plan
+    // hygiene — ONE corpus scan (the span pass's md5-per-window
+    // explode reads the persisted uniq/kept lineage, never a second
+    // documents FileScan outside the cache build), and both island
+    // windows still share one Exchange+Sort.
+    "d24b_pipeline_spans",
     // vocab-profile (two uniform-key shuffles + occurrence re-attach)
     // and the 3-step funnel (all three exchanges on user_id).
     "t11_vocab_profile", "p09_funnel",
