@@ -77,6 +77,7 @@ object AsOfJoin {
 
     val taggedRight = right.select(
       (col(key) +: col(ts).as("__ts") +: lit(0).as("__src") +:
+        tieCol(right, rightCols) +:
         (rightCols.map(c => col(c).as(s"__b_$c")) ++
           Seq(col(ts).as("__brts")) ++
           rightCols.map(c => col(c).as(s"__f_$c")) ++
@@ -84,14 +85,20 @@ object AsOfJoin {
         passthrough.map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       (col(key) +: col(ts).as("__ts") +: lit(1).as("__src") +:
+        nullTieCol(right, rightCols) +:
         (bCar ++ fCar).map(c => lit(null).as(c))) ++
         passthrough.map(col): _*)
 
+    // __tie makes same-timestamp right rows deterministic: among right
+    // rows tied on (key, ts) the GREATEST carried tuple wins — in both
+    // directions (the __tie.asc puts it last under each frame, where
+    // last(ignoreNulls) reads it). Left rows carry a null tie and only
+    // ever tie with each other, where the pick doesn't matter.
     val wB = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__src"))
+      .orderBy(col("__ts").asc, col("__src"), col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wF = Window.partitionBy(col(key))
-      .orderBy(col("__ts").desc, col("__src"))
+      .orderBy(col("__ts").desc, col("__src"), col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val matched = taggedRight.unionByName(taggedLeft)
@@ -113,8 +120,26 @@ object AsOfJoin {
           lit(null).cast("long"))
           .otherwise(when(backWins, 1L).otherwise(0L)))
       .filter(col("__src") === 1)
-      .drop(bCar ++ fCar :+ "__src": _*)
+      .drop(bCar ++ fCar :+ "__src" :+ "__tie": _*)
       .withColumnRenamed("__ts", ts)
+  }
+
+  /** Deterministic same-(key, ts) tie-break: the struct of the carried
+    * right columns, ordered ascending so `last()` under the running
+    * frame reads the greatest tuple. (If two right rows are identical
+    * on every carried column the pick is indistinguishable by
+    * construction.) */
+  private def tieCol(right: DataFrame, rightCols: Seq[String]): Column =
+    struct(rightCols.map(col): _*).as("__tie")
+
+  /** The left side's null of the same struct type (unionByName needs
+    * the exact type). */
+  private def nullTieCol(right: DataFrame,
+                         rightCols: Seq[String]): Column = {
+    val tieType = right
+      .select(struct(rightCols.map(col): _*).as("__tie"))
+      .schema("__tie").dataType
+    lit(null).cast(tieType).as("__tie")
   }
 
   private def asof(left: DataFrame, right: DataFrame, key: String,
@@ -129,11 +154,13 @@ object AsOfJoin {
 
     val taggedRight = right.select(
       (col(key) +: col(ts).as("__ts") +: lit(0).as("__src") +:
+        tieCol(right, rightCols) +:
         (rightCols.map(c => col(c).as(s"asof_$c")) ++
           (if (tolerance.isDefined) Seq(col(ts).as("__rts")) else Nil))) ++
         passthrough.map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       (col(key) +: col(ts).as("__ts") +: lit(1).as("__src") +:
+        nullTieCol(right, rightCols) +:
         (rightCols.map(c => lit(null).as(s"asof_$c")) ++
           (if (tolerance.isDefined) Seq(lit(null).as("__rts")) else Nil))) ++
         passthrough.map(col): _*)
@@ -144,8 +171,10 @@ object AsOfJoin {
     // from +inf is the SMALLEST right >= l.ts.
     val timeOrder =
       if (forwardDir) col("__ts").desc else col("__ts").asc
+    // __tie.asc: among right rows tied on (key, ts), the greatest
+    // carried tuple wins (see [[tieCol]]) — same rule both directions.
     val w = Window.partitionBy(col(key))
-      .orderBy(timeOrder, col("__src"))
+      .orderBy(timeOrder, col("__src"), col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val matched = taggedRight.unionByName(taggedLeft)
@@ -164,7 +193,7 @@ object AsOfJoin {
     }
 
     bounded.filter(col("__src") === 1)
-      .drop("__src")
+      .drop("__src", "__tie")
       .withColumnRenamed("__ts", ts)
   }
 }

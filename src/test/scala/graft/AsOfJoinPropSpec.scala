@@ -30,28 +30,33 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
   private case class L(k: Long, ts: Long, lv: Long)
   private case class R(k: Long, ts: Long, rv: Long)
 
-  /** Brute-force reference: scala-side nested loop over the same rows. */
+  /** Brute-force reference: scala-side nested loop over the same rows.
+    * Tie rule (the operator's documented semantic since round 9): at
+    * the winning timestamp, the GREATEST carried right tuple wins —
+    * so duplicate (k, ts) right rows are fair game for the generator. */
   private def reference(ls: List[(Long, Long, Long)],
                         rs: List[(Long, Long, Long)])
       : Set[(Long, Long, Long, Option[Long])] =
     ls.map { case (k, ts, lv) =>
       val best = rs.filter(r => r._1 == k && r._2 <= ts)
         .sortBy(r => (r._2, r._3)).lastOption
-      // tie-break on (ts, rv): the window picks the LAST right row at the
-      // winning timestamp in (ts, __src) order; make the reference's
-      // choice deterministic the same way by generating distinct rv per
-      // (k, ts) below.
       (k, ts, lv, best.map(_._3))
     }.toSet
 
-  /** Forward-direction brute force: earliest right.ts >= left.ts. */
+  /** Forward-direction brute force: EARLIEST right.ts >= left.ts, and
+    * at that timestamp the greatest rv (same tie rule as backward). */
   private def referenceFwd(ls: List[(Long, Long, Long)],
                            rs: List[(Long, Long, Long)])
       : Set[(Long, Long, Long, Option[Long])] =
     ls.map { case (k, ts, lv) =>
-      val best = rs.filter(r => r._1 == k && r._2 >= ts)
-        .sortBy(r => (r._2, r._3)).headOption
-      (k, ts, lv, best.map(_._3))
+      val cand = rs.filter(r => r._1 == k && r._2 >= ts)
+      val best =
+        if (cand.isEmpty) None
+        else {
+          val mt = cand.map(_._2).min
+          Some(cand.filter(_._2 == mt).map(_._3).max)
+        }
+      (k, ts, lv, best)
     }.toSet
 
   test("as-of backward join equals brute force on random streams") {
@@ -68,12 +73,10 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield (ls, rs)
 
     val prop = Prop.forAll(genCase) { case (ls0, rs0) =>
-      // One right row per (k, ts): at equal ts the winner would otherwise
-      // be input-order-dependent in BOTH implementations (last() sees the
-      // union's sort, the reference sees list order) — dedup makes the
-      // expected value well-defined, which is the contract the operator
-      // documents (right side keyed by (key, ts)).
-      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      // Duplicate (k, ts) right rows stay IN: the deterministic
+      // greatest-tuple tie rule makes the expected value well-defined
+      // without the pre-round-9 dedupe.
+      val rs = rs0
       val ls = ls0.distinct
       val left = ls.toDF("k", "ts", "lv")
       val right = rs.toDF("k", "ts", "rv")
@@ -104,7 +107,7 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield (ls, rs)
 
     val prop = Prop.forAll(genCase) { case (ls0, rs0) =>
-      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val rs = rs0
       val ls = ls0.distinct
       val left = ls.toDF("k", "ts", "lv")
       val right = rs.toDF("k", "ts", "rv")
@@ -135,7 +138,7 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield (ls, rs)
 
     val prop = Prop.forAll(genCase) { case (ls0, rs0) =>
-      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val rs = rs0
       val ls = ls0.distinct
       val left = ls.toDF("k", "ts", "lv")
       val right = rs.toDF("k", "ts", "rv")
@@ -148,12 +151,19 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (r.isNullAt(4)) None else Some(r.getLong(4))))
         .toSet
       // Brute force: closest |r.ts - ts| in the key group, equidistant
-      // tie → backward (the earlier right row).
+      // tie → backward (the earlier right row); same-(k, ts) ties →
+      // greatest rv, both directions.
       val expected = ls.map { case (k, ts, lv) =>
         val back = rs.filter(r => r._1 == k && r._2 <= ts)
-          .sortBy(_._2).lastOption
-        val fwd = rs.filter(r => r._1 == k && r._2 >= ts)
-          .sortBy(_._2).headOption
+          .sortBy(r => (r._2, r._3)).lastOption
+        val fwd = {
+          val cand = rs.filter(r => r._1 == k && r._2 >= ts)
+          if (cand.isEmpty) None
+          else {
+            val mt = cand.map(_._2).min
+            Some((k, mt, cand.filter(_._2 == mt).map(_._3).max))
+          }
+        }
         val pick = (back, fwd) match {
           case (Some(b), Some(f)) =>
             if (ts - b._2 <= f._2 - ts) Some((b._3, 1L))
@@ -186,7 +196,7 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield (ls, rs, tol)
 
     val prop = Prop.forAll(genCase) { case (ls0, rs0, tol) =>
-      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val rs = rs0
       val ls = ls0.distinct
       val left = ls.toDF("k", "ts", "lv")
       val right = rs.toDF("k", "ts", "rv")
