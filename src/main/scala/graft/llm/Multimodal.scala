@@ -21,7 +21,9 @@ import graft.Tables
   *
   * The fake decode is pure byte arithmetic, so a DuckDB oracle can verify
   * the whole pipeline end-to-end (codepoint sums == byte sums for the ASCII
-  * corpus).
+  * corpus — an assumption PINNED by CharsetSpec's pure-ASCII fixture
+  * invariant: multibyte text in a regenerated corpus fails that test by
+  * name instead of surfacing as mysterious m07/m08/m09 hash mismatches).
   */
 object Multimodal {
 
