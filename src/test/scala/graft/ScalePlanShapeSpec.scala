@@ -120,4 +120,35 @@ class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"text scan without the batch filter (corpus re-hash?):\n$l")
     }
   }
+
+  test("sf1: d33 serving composite stays probe-only at 10x — index " +
+    "segment scans, batch-filtered text, no training subtree") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val p = plan("d33_serving_pipeline")
+    // base+delta text segments (hashes/bands/tsets) + the ANN chain
+    // (cents, cells_base, cells_delta) all come from materialized
+    // artifacts.
+    assert("graft_ingest_index".r.findAllIn(p).size >= 6,
+      s"expected base+delta hashes/bands/tsets segment scans at sf1:\n$p")
+    assert("graft_ann_dindex".r.findAllIn(p).size >= 3,
+      s"expected cents/cells_base/cells_delta index scans at sf1:\n$p")
+    // The only text hashing is the batch's — d21's rule, held by the
+    // whole composite at 10×.
+    p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("text")).foreach { l =>
+      assert(l.contains("% 7)"),
+        s"text scan without the batch filter (corpus re-hash?):\n$l")
+    }
+  }
+
+  test("sf1: d31b candidate generation stays a gram EQUI-join at 10x " +
+    "(no nested-loop fallback as the prefix table grows)") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val p = plan("d31b_blocked_entity")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"blocking regressed to an all-pairs join at sf1:\n$p")
+    assert(p.contains("levenshtein"),
+      s"expected the blocked Levenshtein evaluation:\n$p")
+  }
 }
