@@ -1052,10 +1052,84 @@ object Composite {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("l_orderkey"))
+    },
+
+    "c32_dpp_prune" -> { (s, dir) =>
+      // DYNAMIC PARTITION PRUNING — the runtime twin of SourcesSpec's
+      // static partition pruning and the fourth layout payoff (after
+      // c28/c30/c31): the fact copy is directory-partitioned by ship
+      // month, the dim side (distinct active months from a filtered
+      // orders scan) is only known at RUN time, and Catalyst injects
+      // the dim's build-side values into the fact scan as a
+      // dynamicpruningexpression — the scan reads only the ~3 month
+      // directories the dim can produce, without any static literal
+      // in the query. At 100 TB this is THE mechanism that keeps
+      // star-join scans proportional to the dim selection (partition
+      // elimination at the source list, before any I/O), composing
+      // with AQE and broadcast reuse; the golden pins the
+      // dynamicpruningexpression in the fact scan's PartitionFilters.
+      val f = ensurePartitionedFact(s, dir)
+      val dim = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1996-04-01"))
+        .select((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).cast("int").as("dmonth"))
+        .distinct()
+      f.join(dim, col("ship_month") === col("dmonth"))
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("ship_month"))
     }
   )
 
+  /** One-time SHIP-MONTH-PARTITIONED lineitem copy — c32's layout
+    * artifact (directory partitioning, the complement of
+    * [[ensureBucketedFacts]]'s bucketing): ~25 month directories at
+    * any SF, each a pruning unit for static (SourcesSpec) and dynamic
+    * (c32) partition elimination. Session-catalog table, built once
+    * per (session, sfDir). */
+  private def ensurePartitionedFact(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val pt = s"graft_l_pmonth_$key"
+    if (!s.catalog.tableExists(pt)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(wh, pt))
+      Tables.load(s, dir, "lineitem")
+        .withColumn("ship_month", (year(col("l_shipdate")) * 100 +
+          month(col("l_shipdate"))).cast("int"))
+        .write.partitionBy("ship_month")
+        .mode("overwrite").saveAsTable(pt)
+    }
+    s.table(pt)
+  }
+
   def oracle: Map[String, String] = Map(
+    "c32_dpp_prune" ->
+      """WITH dim AS (
+        | SELECT DISTINCT CAST(year(o_orderdate) * 100 +
+        |   month(o_orderdate) AS INT) AS dmonth
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |f AS (
+        | SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+        |   AS ship_month, l_quantity, l_extendedprice
+        | FROM lineitem)
+        |SELECT ship_month, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM f JOIN dim ON ship_month = dmonth
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+
     "c01_channel_rollup" ->
       """WITH sales AS (
         | SELECT l_orderkey,

@@ -383,6 +383,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a20_percentile_gk", "c12_net_returns", "f14_variant",
     "a11_rollup", "c23_buy_return_resell", "a13_grouping_sets",
     "c19_channel_overlap", "a27_percentile_gk_prod",
+    // dynamic partition pruning: the month-partitioned fact scan must
+    // carry the SubqueryAdaptiveBroadcast dynamicpruning subquery (the
+    // dim's runtime values eliminate month directories before I/O) —
+    // a plain scan reading all partitions for a 3-month dim is a
+    // regression.
+    "c32_dpp_prune",
     // blocked entity resolution: candidates must come from the gram
     // EQUI-join over the persisted prefix table (both sides
     // InMemoryTableScans; a BroadcastNestedLoopJoin or
