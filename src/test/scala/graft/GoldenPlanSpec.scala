@@ -389,6 +389,14 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a plain scan reading all partitions for a 3-month dim is a
     // regression.
     "c32_dpp_prune",
+    // round-9 borderline sweep: these sit at ~1.0 s and cross the
+    // enforcement threshold with machine jitter — freeze them so the
+    // inventory test is stable regardless of which side of 1 s a
+    // given bench run lands on. Shapes: one partial-aggregated
+    // groupBy (h04), WindowGroupLimit top-2 (h08), SMJ left join
+    // (h13), and c17's tolerance anti-pattern cascade.
+    "h04_avg3_by_id4", "h08_top2_by_id6", "h13_join_medium_left",
+    "c17_cross_channel_tolerance",
     // blocked entity resolution: candidates must come from the gram
     // EQUI-join over the persisted prefix table (both sides
     // InMemoryTableScans; a BroadcastNestedLoopJoin or
