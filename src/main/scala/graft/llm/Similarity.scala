@@ -111,8 +111,20 @@ object Similarity {
   // integer math (see v09's note), so codebooks are bit-identical
   // across engines and shuffle orders.
 
-  /** v09's L2-normalized int64 quantization (round(x/||x||*1000)). */
-  private def ivfQv(e: DataFrame): DataFrame = e
+  /** v09's L2-normalized int64 quantization (round(x/||x||*1000)).
+    *
+    * The repartition mirrors docsWithTokens' rule: the embeddings
+    * parquet is a handful of MB even at sf1 (20k × 64 floats), so the
+    * scan yields ONE input partition — and every downstream Lloyd
+    * round / N×K assignment (millions of 64-dim zip_with distance
+    * evals, lambda-evaluated, not whole-stage-codegen'd) would
+    * serialize onto one core. Found at the round-9 sf1 leg: v17 sat
+    * at ~90 s with 31 idle threads. Spreading the (tiny) raw vectors
+    * once costs a negligible shuffle and parallelizes every
+    * IVF/PQ/training consumer; at production scale the file count
+    * makes the repartition proportionally free. */
+  private[graft] def ivfQv(e: DataFrame): DataFrame = e
+    .repartition(e.sparkSession.sparkContext.defaultParallelism)
     .select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ed"))
     .withColumn("nrm", sqrt(aggregate(
@@ -124,13 +136,13 @@ object Similarity {
           .otherwise(round(x / col("nrm") * 1000).cast("long")))
         .as("qv"))
 
-  private def ivfIntDist(a: Column, b: Column): Column =
+  private[graft] def ivfIntDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, v) => acc + v)
 
   /** The k vectors with smallest md5(vec_id) — a TakeOrdered top-k,
     * not a scan prefix. */
-  private def ivfSeed(qvAll: DataFrame, k: Int): DataFrame = qvAll
+  private[graft] def ivfSeed(qvAll: DataFrame, k: Int): DataFrame = qvAll
     .orderBy(md5(col("vec_id").cast("string").cast("binary")),
       col("vec_id"))
     .limit(k)
@@ -149,31 +161,49 @@ object Similarity {
     * and the DuckDB twins recompute the identical sample (same md5
     * order, same row_number cutoff) so the codebooks stay
     * bit-identical at any N. */
-  private def ivfSample(qvAll: DataFrame, s: Int): DataFrame = qvAll
+  private[graft] def ivfSample(qvAll: DataFrame, s: Int): DataFrame = qvAll
     .orderBy(md5(col("vec_id").cast("string").cast("binary")),
       col("vec_id"))
     .limit(s)
 
   /** Sampled-trainer convenience: seed from the sample's own top-K
     * prefix (== the corpus seed), Lloyd over the sample only. */
-  private def ivfTrainSampled(qvAll: DataFrame, k: Int,
+  private[graft] def ivfTrainSampled(qvAll: DataFrame, k: Int,
                               rounds: Int): DataFrame = {
+    // The md5-top-s cut ends in a single-partition GlobalLimit, so an
+    // unpartitioned `samp` would run every Lloyd round's s·K distance
+    // evals on ONE core (found at the round-9 sf1 leg: 25 s/round on
+    // a 32-thread box). Re-spreading the sample is free (≤ 256·K tiny
+    // rows) and order-irrelevant: every downstream step is
+    // order-invariant integer math, and the seed re-sorts by the md5
+    // order anyway.
     val samp = ivfSample(qvAll, 256 * k)
+      .repartition(qvAll.sparkSession.sparkContext.defaultParallelism)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ivfTrain(samp, ivfSeed(samp, k), rounds)
   }
 
   /** Exact integer L2 argmin assignment (tie-break centroid id);
-    * codebook broadcasts, the corpus never shuffles. */
-  private def ivfAssign(qvAll: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
+    * codebook broadcasts, the corpus never shuffles — in either
+    * direction: the argmin is a struct-MIN AGGREGATE (lexicographic
+    * (dist, cid), identical to the former row_number window's
+    * (dist, cid) order), so the map-side partial collapses each
+    * vector's K candidate rows inside its scan partition and the
+    * exchange carries ~N one-struct rows, not N·K rows each dragging
+    * the 64-long qv array through a window sort. Found at the sf1
+    * leg in round 9: the window form made v17's trainer the suite's
+    * worst query at 10× (≈90 s); the aggregate form removes the
+    * N·K-row shuffle entirely. qv rides the grouping key (it is
+    * functionally dependent on vec_id) so the result schema is
+    * unchanged for the update step and the index writers. */
+  private[graft] def ivfAssign(qvAll: DataFrame, cents: DataFrame): DataFrame =
     qvAll.crossJoin(broadcast(cents))
-      .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cid"))
-  }
+      .select(col("vec_id"), col("qv"),
+        struct(ivfIntDist(col("qv"), col("cv")).as("dist"),
+          col("cid").as("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("qv"))
+      .agg(min(col("dc")).as("dc"))
+      .select(col("vec_id"), col("qv"), col("dc.cid").as("cid"))
 
   /** Floor-mean centroid update re-projected onto the 1000-sphere
     * (spherical k-means; see v09's design note). */
@@ -194,9 +224,19 @@ object Similarity {
             sqrt(col("ss").cast("double")) * 1000).cast("long")))
         .as("cv"))
 
-  private def ivfTrain(qvAll: DataFrame, seed: DataFrame,
+  /** Lloyd driver with a PER-ROUND lineage barrier: each round's
+    * codebook is K tiny rows, but as a lazy lineage the whole T-round
+    * chain re-executes once per CONSUMER SUBTREE of the trained
+    * codebook (v17 reads it from the leg assign AND the probe side →
+    * the 3-round sampled training ran 3-5× — ~90 s of the sf1 suite
+    * before round 9). An eager localCheckpoint after every round
+    * (the d06 barrier discipline, K rows ≈ nothing) makes each round
+    * execute exactly once and hands every consumer a checkpoint scan
+    * instead of a training re-run. */
+  private[graft] def ivfTrain(qvAll: DataFrame, seed: DataFrame,
                        rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(seed)((c, _) => ivfUpdate(ivfAssign(qvAll, c)))
+    (1 to rounds).foldLeft(seed)((c, _) =>
+      ivfUpdate(ivfAssign(qvAll, c)).localCheckpoint(true))
 
   /** Pre-materialized ANN index — v18's engine and the v-family twin of
     * d21's ingest index: the √N spherical-Lloyd codebook (v17's

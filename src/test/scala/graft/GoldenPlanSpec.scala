@@ -200,9 +200,13 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v07_ann_recall",
     "v08_ivf_rerank",
     "h09_r2_by_id24",
-    // √N-codebook IVF: the codebook must BROADCAST into every assign
-    // (never a corpus shuffle per Lloyd round) and the probe side's
-    // crossJoin stays |Q|×K.
+    // √N-codebook IVF: since round 9 the trained codebook reads off
+    // per-round checkpoint barriers (a training subtree re-running per
+    // consumer would show here as Lloyd lineage), the codebook
+    // BROADCASTS into every assign (never a corpus shuffle), the
+    // assign argmin is a partial-aggregated struct-MIN (a window sort
+    // of N·K rows would show), and the probe side's crossJoin stays
+    // |Q|×K.
     "v17_ivf_sqrtn",
     // indexed ANN serving: the corpus must appear ONLY via the
     // materialized cents/cells index scans — no training subtree, no
