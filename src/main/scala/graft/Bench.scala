@@ -94,6 +94,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    // Round-10 (verdict #4): attribute in-suite inflation per child —
+    // each group records ITS child's sentinel so a q9-style in-suite
+    // number is mechanically traceable to its JVM's load window.
+    val groupInfo =
+      scala.collection.mutable.ArrayBuffer[(Seq[String], Option[Double])]()
 
     val javaBin = new File(new File(System.getProperty("java.home"), "bin"), "java").getPath
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -110,12 +115,15 @@ object Bench {
       System.err.println(s"[bench] group $gi: ${grp.size} queries (${grp.head}..${grp.last})")
       val code = pb.start().waitFor()
       val seen = scala.collection.mutable.Set[String]()
+      var groupSentinel: Option[Double] = None
       if (Files.exists(out)) {
         Files.readAllLines(out).asScala.foreach { line =>
           line.split("\t") match {
             case Array("T", n, sec) => results(n) = sec.toDouble; seen += n
             case Array("E", n, cls) => errors(n) = cls; seen += n
-            case Array("S", _, sec) => sentinels += sec.toDouble
+            case Array("S", _, sec) =>
+              sentinels += sec.toDouble
+              groupSentinel = Some(sec.toDouble)
             case _ =>
           }
         }
@@ -124,8 +132,9 @@ object Bench {
       // A crashed child (OOM, launcher failure) must not silently drop
       // its queries from the totals.
       grp.filterNot(seen).foreach(n => errors(n) = s"ChildJvmExit$code")
+      groupInfo += ((grp, groupSentinel))
     }
-    emit(names, results.toMap, errors, sentinels.toSeq)
+    emit(names, results.toMap, errors, sentinels.toSeq, groupInfo.toSeq)
   }
 
   // ----------------------------------------------------------------- child
@@ -200,7 +209,8 @@ object Bench {
 
   private def emit(names: Seq[String], results: Map[String, Double],
                    errors: scala.collection.mutable.LinkedHashMap[String, String],
-                   sentinels: Seq[Double]): Unit = {
+                   sentinels: Seq[Double],
+                   groupInfo: Seq[(Seq[String], Option[Double])] = Nil): Unit = {
     val ok = names.filter(results.contains)
     val qs = ok.map(k => "\"" + k + "\":" + f"${results(k)}%.3f").mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
@@ -218,8 +228,19 @@ object Bench {
         f""""sentinel_sec":$med%.3f,""" +
         f""""value_per_sentinel":${total / med}%.2f"""
     }
+    // Per-child-group attribution: which queries shared a JVM, and that
+    // child's own sentinel — an inflated in-suite time is attributable
+    // to its group's load window without a manual isolated re-run.
+    val groupsJson = if (groupInfo.isEmpty) "" else {
+      val gs = groupInfo.zipWithIndex.map { case ((qs0, s), i) =>
+        val qlist = qs0.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val sent = s.map(v => f"$v%.3f").getOrElse("null")
+        s""""g$i":{"sentinel_sec":$sent,"queries":$qlist}"""
+      }.mkString("{", ",", "}")
+      s""","groups":$gs"""
+    }
     val out =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson$sentinelJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson$sentinelJson$groupsJson,"sf":"$sfDir"}"""
     println(out)
     // sbt wraps stdout in "[info] " prefixes (r1 driver got parsed:null),
     // so always leave a machine-readable copy on disk too.

@@ -326,9 +326,13 @@ object Similarity {
     * ingest-day convention (base = day ∉ {0, 3}, delta = day 3), so
     * the probing batch (day 0) is NOT in the index — unlike v19,
     * where the batch IS yesterday's appended delta. Probe sizing
-    * derives from the materialized codebook itself (K = |cents|,
-    * nProbe = K/4): no corpus count, no training subtree, no corpus
-    * quantization in the plan. */
+    * follows v18/v19's N-derived rule (K = round(√N_base), nProbe =
+    * K/4) — NOT the surviving-centroid count: a Lloyd round can empty
+    * a cell, shrinking |cents| below round(√N), and the DuckDB oracle
+    * (annServeCtes pSql) sizes from the base count — counting
+    * survivors would silently probe a different cell count on any
+    * corpus that empties a cell. The count is a pushed-filter scan of
+    * one int column, not a corpus read. */
   private[graft] def annNearestIndexed(s: SparkSession,
                                        dir: String): DataFrame = {
     val idx = ensureAnnDeltaIndexWhere(s, dir, "d33",
@@ -339,7 +343,9 @@ object Similarity {
       .withColumn("seg", lit("base"))
       .unionByName(s.read.parquet(s"$idx/cells_delta")
         .withColumn("seg", lit("delta")))
-    val kSz = cents.count()
+    val nBase = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 7 =!= 0 && col("vec_id") % 7 =!= 3).count()
+    val kSz = math.round(math.sqrt(nBase.toDouble))
     val nProbe = math.max(1L, math.round(kSz / 4.0)).toInt
     val isProbe = col("vec_id") % 7 === 0
     val e = Tables.load(s, dir, "embeddings")

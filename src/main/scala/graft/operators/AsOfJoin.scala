@@ -126,18 +126,31 @@ object AsOfJoin {
 
   /** Deterministic same-(key, ts) tie-break: the struct of the carried
     * right columns, ordered ascending so `last()` under the running
-    * frame reads the greatest tuple. (If two right rows are identical
-    * on every carried column the pick is indistinguishable by
-    * construction.) */
+    * frame reads the greatest tuple. Non-orderable carried types (map)
+    * are excluded — they can't participate in a window ORDER BY, and
+    * including them failed analysis where pre-tie-break versions
+    * executed; rows identical on every ORDERABLE carried column are
+    * indistinguishable to the tie-break (if ALL carried columns are
+    * non-orderable the struct is empty and the pick stays arbitrary
+    * but the join still executes). */
+  private def orderableTieCols(right: DataFrame,
+                               rightCols: Seq[String]): Seq[String] = {
+    val types = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    rightCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(types(c)))
+  }
+
   private def tieCol(right: DataFrame, rightCols: Seq[String]): Column =
-    struct(rightCols.map(col): _*).as("__tie")
+    struct(orderableTieCols(right, rightCols).map(col): _*).as("__tie")
 
   /** The left side's null of the same struct type (unionByName needs
     * the exact type). */
   private def nullTieCol(right: DataFrame,
                          rightCols: Seq[String]): Column = {
     val tieType = right
-      .select(struct(rightCols.map(col): _*).as("__tie"))
+      .select(struct(orderableTieCols(right, rightCols).map(col): _*)
+        .as("__tie"))
       .schema("__tie").dataType
     lit(null).cast(tieType).as("__tie")
   }

@@ -42,39 +42,12 @@ object Composite {
   private def ensureBucketedFacts(s: SparkSession,
                                   dir: String): (DataFrame, DataFrame) = {
     val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val lt = s"graft_l_bkt_$key"
-    val ot = s"graft_o_bkt_$key"
-    // The in-memory catalog forgets tables across sessions but their
-    // warehouse files survive, and saveAsTable refuses a stale
-    // location — clear OUR OWN artifact before rebuilding.
-    def clearStale(table: String): Unit = {
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmrf)
-        f.delete(): Unit
-      }
-      rmrf(new java.io.File(wh, table))
-    }
-    // repartition by the SAME hash the bucketer uses => exactly one
-    // file per bucket (tidy layout; Spark still re-sorts each bucket
-    // locally under the SMJ — cheap — but the Exchange, the cost that
-    // grows with cluster size, is gone).
-    if (!s.catalog.tableExists(lt)) {
-      clearStale(lt)
-      Tables.load(s, dir, "lineitem")
-        .repartition(32, col("l_orderkey"))
-        .write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(lt)
-    }
-    if (!s.catalog.tableExists(ot)) {
-      clearStale(ot)
-      Tables.load(s, dir, "orders")
-        .repartition(32, col("o_orderkey"))
-        .write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ot)
-    }
-    (s.table(lt), s.table(ot))
+    (CatalogPublish.bucketed(s, s"graft_l_bkt_$key",
+      new java.io.File(s"$dir/lineitem.parquet"), "graft_l_bkt",
+      Tables.load(s, dir, "lineitem"), 32, "l_orderkey"),
+      CatalogPublish.bucketed(s, s"graft_o_bkt_$key",
+        new java.io.File(s"$dir/orders.parquet"), "graft_o_bkt",
+        Tables.load(s, dir, "orders"), 32, "o_orderkey"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1091,24 +1064,15 @@ object Composite {
     * (c32) partition elimination. Session-catalog table, built once
     * per (session, sfDir). */
   private def ensurePartitionedFact(s: SparkSession,
-                                    dir: String): DataFrame = {
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val pt = s"graft_l_pmonth_$key"
-    if (!s.catalog.tableExists(pt)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmrf)
-        f.delete(): Unit
-      }
-      rmrf(new java.io.File(wh, pt))
-      Tables.load(s, dir, "lineitem")
+                                    dir: String): DataFrame =
+    CatalogPublish.partitioned(s,
+      table = s"graft_l_pmonth_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+      src = new java.io.File(s"$dir/lineitem.parquet"),
+      family = "graft_l_pmonth",
+      df = Tables.load(s, dir, "lineitem")
         .withColumn("ship_month", (year(col("l_shipdate")) * 100 +
-          month(col("l_shipdate"))).cast("int"))
-        .write.partitionBy("ship_month")
-        .mode("overwrite").saveAsTable(pt)
-    }
-    s.table(pt)
-  }
+          month(col("l_shipdate"))).cast("int")),
+      partCol = "ship_month")
 
   def oracle: Map[String, String] = Map(
     "c32_dpp_prune" ->

@@ -63,25 +63,12 @@ object Relational {
     * cost is paid once per corpus version, not once per query. The
     * oracle CTE [[partsuppCte]] recomputes the identical rows, so
     * hashes are unchanged. */
-  private def partsupp(s: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val pt = s"graft_ps_bkt_$key"
-    if (!s.catalog.tableExists(pt)) {
-      // In-memory catalog forgets tables across sessions but warehouse
-      // files survive; saveAsTable refuses the stale location.
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmrf)
-        f.delete(): Unit
-      }
-      rmrf(new java.io.File(wh, pt))
-      derivePartsupp(s, dir)
-        .repartition(32, col("ps_partkey"))
-        .write.bucketBy(32, "ps_partkey").sortBy("ps_partkey")
-        .mode("overwrite").saveAsTable(pt)
-    }
-    s.table(pt)
-  }
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    CatalogPublish.bucketed(s,
+      table = s"graft_ps_bkt_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+      src = new java.io.File(s"$dir/lineitem.parquet"),
+      family = "graft_ps_bkt",
+      df = derivePartsupp(s, dir), buckets = 32, key = "ps_partkey")
 
   /** DuckDB twin of [[partsupp]] (prepend under WITH). */
   private val partsuppCte: String =

@@ -225,4 +225,23 @@ class AsOfJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("non-orderable carried columns (map) execute; orderable ones still break ties") {
+    val s = spark
+    import s.implicits._
+    // A map column can't join a window ORDER BY — the tie struct must
+    // exclude it (and only it) instead of failing analysis.
+    val left = Seq((1L, 10L, 7L)).toDF("k", "ts", "lv")
+    val right = Seq((1L, 5L, 100L, "a"), (1L, 5L, 200L, "b"))
+      .toDF("k", "ts", "rv", "tag")
+      .withColumn("attrs", map(col("tag"), col("rv")))
+    val out = AsOfJoin.backward(left, right, "k", "ts",
+      Seq("rv", "attrs")).collect()
+    assert(out.length == 1)
+    val row = out.head
+    // rv is orderable → deterministic greatest-tuple pick (200), and
+    // the matched map rides along with it.
+    assert(row.getAs[Long]("asof_rv") == 200L)
+    assert(row.getAs[Map[String, Long]]("asof_attrs") == Map("b" -> 200L))
+  }
 }

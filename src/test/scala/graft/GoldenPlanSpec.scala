@@ -401,6 +401,11 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (h13), and c17's tolerance anti-pattern cascade.
     "h04_avg3_by_id4", "h08_top2_by_id6", "h13_join_medium_left",
     "c17_cross_channel_tolerance",
+    // round-10: s01 crossed the (then raw-1s) enforcement line on a
+    // loaded child-JVM window in the round-9 final bench (0.30 s
+    // isolated) — frozen so the inventory rule is load-independent.
+    // Shape: 7-leg Union of pushed parquet scans, no Exchange.
+    "s01_union_all",
     // blocked entity resolution: candidates must come from the gram
     // EQUI-join over the persisted prefix table (both sides
     // InMemoryTableScans; a BroadcastNestedLoopJoin or
@@ -460,25 +465,50 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  // The golden RULE, enforced: any query whose committed bench time
-  // exceeds 1 s must carry a frozen plan. Reads the committed sf0.1
-  // bench artifact (bench_out.json) so the invariant tracks the real
-  // cost profile round over round — add a heavy query without freezing
-  // its plan and this test names it.
-  test("golden inventory: every >1s bench query has a frozen plan") {
-    val benchPath = Paths.get("bench_out.json")
-    assume(Files.exists(benchPath), "no committed bench artifact")
-    val txt = Files.readString(benchPath)
+  // The golden RULE, enforced: any query whose bench time exceeds
+  // ~2 sentinels must carry a frozen plan. Round-10 hardening (the
+  // round-9 verdict's #2): the threshold is SENTINEL-NORMALIZED
+  // (secs / sentinel_sec > 2.0 — raw 1.0 s crossed with machine load:
+  // s01 measured 0.30 s isolated, 1.08 s on a loaded child window),
+  // and the primary input is the COMMITTED bench_pinned.json (a full
+  // sf0.1 artifact pinned each round), so a fresh clone enforces
+  // instead of assume-skipping. A local bench_out.json, when present,
+  // is checked too — a heavy new query is named before it's pinned.
+  private val SentinelThreshold = 2.0
+
+  private def slowQueries(txt: String): Set[String] = {
+    val sentinel = """"sentinel_sec":([0-9.]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      .getOrElse(0.5) // pre-sentinel artifact: ≈ raw 1 s at threshold 2
     val entry = """"([a-z0-9_]+)":([0-9.]+)""".r
-    val slow = entry.findAllMatchIn(txt)
+    // "queries" precedes "errors"/sentinel fields; cut at "errors" so
+    // only per-query timings are parsed.
+    val qpart = txt.indexOf("\"errors\"") match {
+      case -1 => txt
+      case i  => txt.substring(0, i)
+    }
+    entry.findAllMatchIn(qpart)
       .map(m => m.group(1) -> m.group(2).toDouble)
-      .filter { case (k, v) => v > 1.0 && SparkEntry.queries.contains(k) }
+      .filter { case (k, v) =>
+        v / sentinel > SentinelThreshold && SparkEntry.queries.contains(k)
+      }
       .map(_._1).toSet
+  }
+
+  test("golden inventory: every >2-sentinel bench query has a frozen plan") {
+    val pinned = Paths.get("bench_pinned.json")
+    assert(Files.exists(pinned),
+      "bench_pinned.json missing — pin the round's final sf0.1 bench " +
+        "artifact (cp bench_out.json bench_pinned.json) and commit it.")
+    val sources = Seq(pinned) ++
+      Some(Paths.get("bench_out.json")).filter(Files.exists(_))
     val frozen = flagship.toSet
-    val missing = (slow -- frozen).toSeq.sorted
-    assert(missing.isEmpty,
-      s"queries >1s in bench_out.json without a plan golden: " +
-        s"${missing.mkString(", ")} — add to GoldenPlanSpec.flagship " +
-        "and regen (GRAFT_REGEN_GOLDENS=1).")
+    sources.foreach { p =>
+      val missing = (slowQueries(Files.readString(p)) -- frozen).toSeq.sorted
+      assert(missing.isEmpty,
+        s"queries over ${SentinelThreshold}× sentinel in $p without a " +
+          s"plan golden: ${missing.mkString(", ")} — add to " +
+          "GoldenPlanSpec.flagship and regen (GRAFT_REGEN_GOLDENS=1).")
+    }
   }
 }
