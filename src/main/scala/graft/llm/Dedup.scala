@@ -447,8 +447,8 @@ object Dedup {
     * day's ingest ("delta") as SEPARATE artifacts — the daily append
     * writes only the delta's rows, never touching (or re-hashing) the
     * base. */
-  private def ensureIngestIndexWhere(s: SparkSession, dir: String,
-                                     tag: String, pred: Column): String = {
+  private[graft] def ensureIngestIndexWhere(s: SparkSession, dir: String,
+                                            tag: String, pred: Column): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),

@@ -1054,6 +1054,29 @@ object Composite {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("ship_month"))
+    },
+
+    "c32b_dpp_all_months" -> { (s, dir) =>
+      // c32's NEGATIVE CONTROL: the identical star shape but the dim
+      // is UNFILTERED (every order month) — there is no selective
+      // predicate for the planner to propagate, so it must NOT inject
+      // a dynamicpruning subquery (the golden pins its absence: DPP
+      // firing here would run a pointless broadcast-and-filter pass
+      // over the partition listing to keep 100% of directories), and
+      // correctness must be unchanged — the graded rows hash against
+      // the same oracle family whether or not pruning fires. Together
+      // with c32 this pins BOTH edges of the planner's decision.
+      val f = ensurePartitionedFact(s, dir)
+      val dim = Tables.load(s, dir, "orders")
+        .select((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).cast("int").as("dmonth"))
+        .distinct()
+      f.join(dim, col("ship_month") === col("dmonth"))
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("ship_month"))
     }
   )
 
@@ -1082,6 +1105,23 @@ object Composite {
         | FROM orders
         | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |   AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |f AS (
+        | SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+        |   AS ship_month, l_quantity, l_extendedprice
+        | FROM lineitem)
+        |SELECT ship_month, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM f JOIN dim ON ship_month = dmonth
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+
+    "c32b_dpp_all_months" ->
+      """WITH dim AS (
+        | SELECT DISTINCT CAST(year(o_orderdate) * 100 +
+        |   month(o_orderdate) AS INT) AS dmonth
+        | FROM orders),
         |f AS (
         | SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
         |   AS ship_month, l_quantity, l_extendedprice

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -534,5 +534,155 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** A document arriving on the SERVING ingest stream: raw text plus its
+    * (possibly absent) embedding. */
+  case class ServeDoc(doc_id: Long, ts: Timestamp, text: String,
+                      embedding: Array[Float])
+
+  /** Streaming SERVING-INGEST composite — the incremental twin of the
+    * batch d33 (`graft.llm.Dedup` "d33_serving_pipeline"): each arriving
+    * document runs the full serving gauntlet against the PRE-MATERIALIZED
+    * base+delta indexes, per micro-batch, emitting one row per doc when
+    * the watermark closes its window:
+    *   Bloom gate (3 broadcast bit probes over the ≤4096-row set-bit
+    *   table — a STREAM-SIDE filter, no state) → bloom-GATED exact hash
+    *   probe (bloom_pass = 0 docs provably fresh, skip the join — the
+    *   gate is in the plan, as in batch) → LSH band probe with
+    *   per-SEGMENT provenance (n_near_delta) → frozen-codebook ANN
+    *   probe over cells_base ∪ cells_delta (top-1 indexed neighbor).
+    *
+    * Scale shape (the d33 invariants made continuous): the ONLY text
+    * hashing and quantization is the stream's; the corpus appears
+    * exclusively through the static index inputs — never re-hashed,
+    * never re-trained per batch. The centroid argmin is a broadcast
+    * 1-row codebook array scanned per doc (codegen'd higher-order
+    * functions, NO stateful aggregation, no N×K shuffle), candidate
+    * fan-out is bounded by band-collision and probed-cell rates, and
+    * the single stateful operator is the final windowed per-doc
+    * aggregate — state bounded by the watermark horizon, work per
+    * micro-batch ∝ |batch| × collision rate.
+    *
+    * Candidate de-dup across bands uses collect_set (the streaming
+    * substitute for the batch `.distinct()` — a bare distinct would be
+    * an unbounded stateful dedup); the ANN top-1 is a null-skipping
+    * struct-MIN ((−sim, c_id): sim desc, id asc — the batch window's
+    * order) inside the same aggregate. */
+  def servingIngestStream(docs: Dataset[ServeDoc],
+                          corpusHashes: DataFrame, // (cch) distinct
+                          bloomBits: DataFrame, // (sb) set-bit table
+                          corpusBands: DataFrame, // (db, bandb, mhb)
+                          corpusTsets: DataFrame, // (db, tb, seg)
+                          cents: DataFrame, // (cid, cv)
+                          cells: DataFrame, // (c_cell, c_id, seg)
+                          corpusEmb: DataFrame, // (c_id, c_emb)
+                          nProbe: Int,
+                          watermark: String = "10 minutes",
+                          windowLen: String = "1 minute"): DataFrame = {
+    val mBits = 4096
+    def bit(c: Column, j: Int): Column =
+      conv(substring(md5(concat(c, lit(s"#$j")).cast("binary")),
+        1, 8), 16, 10).cast("long") % mBits
+
+    val base = docs.toDF().withWatermark("ts", watermark)
+    // ---- Bloom gate: stream-side filter, three broadcast bit probes.
+    val hashed = base
+      .select(col("doc_id"), col("ts"), col("text"), col("embedding"),
+        md5(col("text").cast("binary")).as("ch"))
+      .withColumn("b0", bit(col("ch"), 0))
+      .withColumn("b1", bit(col("ch"), 1))
+      .withColumn("b2", bit(col("ch"), 2))
+    val bloomed = Seq("b0", "b1", "b2").foldLeft(hashed) { (df, c) =>
+      df.join(broadcast(bloomBits.select(col("sb").as(s"hit_$c"))),
+        col(c) === col(s"hit_$c"), "left_outer")
+    }.select(col("doc_id"), col("ts"), col("text"), col("embedding"),
+      col("ch"),
+      when(col("hit_b0").isNotNull && col("hit_b1").isNotNull &&
+        col("hit_b2").isNotNull, 1L).otherwise(0L).as("bloom_pass"))
+
+    def nl(n: String, t: String) = lit(null).cast(t).as(n)
+    // ---- Leg 0: one base row per doc (carries the gate verdict).
+    val baseRows = bloomed.select(col("doc_id"), col("ts"),
+      col("bloom_pass"), nl("exact_dup", "long"), nl("db", "long"),
+      nl("jac", "double"), nl("lseg", "string"),
+      nl("ann", "struct<nsim:double,c_id:bigint,sim:double,seg:string>"))
+    // ---- Leg 1: bloom-GATED exact probe.
+    val exactRows = bloomed.filter(col("bloom_pass") === 1)
+      .join(corpusHashes, col("ch") === col("cch"), "left_outer")
+      .select(col("doc_id"), col("ts"), nl("bloom_pass", "long"),
+        when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"),
+        nl("db", "long"), nl("jac", "double"), nl("lseg", "string"),
+        nl("ann",
+          "struct<nsim:double,c_id:bigint,sim:double,seg:string>"))
+    // ---- Leg 2: LSH band probe (inner joins: collision rows only).
+    val (tset, sig) = graft.llm.Dedup.sigCols(col("text"))
+    val lshRows = bloomed
+      .select(col("doc_id"), col("ts"), tset.as("ta"),
+        posexplode_outer(sig).as(Seq("band", "mh")))
+      .join(corpusBands,
+        col("band") === col("bandb") && col("mh") === col("mhb"))
+      .join(corpusTsets, "db") // brings tb + the segment tag (db-unique)
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .select(col("doc_id"), col("ts"), nl("bloom_pass", "long"),
+        nl("exact_dup", "long"), col("db"),
+        (col("inter").cast("double") /
+          ((size(col("ta")) + size(col("tb"))).cast("long") -
+            col("inter"))).as("jac"),
+        col("seg").as("lseg"),
+        nl("ann",
+          "struct<nsim:double,c_id:bigint,sim:double,seg:string>"))
+    // ---- Leg 3: ANN probe — inline quantization + broadcast codebook
+    // array argmin (no stateful op, no N×K shuffle), probed-cell
+    // equi-join, exact cosine on the bounded candidate set.
+    val centsArr = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("carr"))
+    val annRows = bloomed.filter(col("embedding").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        col("embedding").as("q_emb"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"))
+      .withColumn("nrm", sqrt(aggregate(
+        zip_with(col("ed"), col("ed"), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("qv", transform(col("ed"), x =>
+        when(col("nrm") === 0.0, lit(0L))
+          .otherwise(round(x / col("nrm") * 1000).cast("long"))))
+      .crossJoin(broadcast(centsArr))
+      .withColumn("probe", slice(array_sort(
+        transform(col("carr"), c => struct(
+          graft.llm.Similarity.ivfIntDist(col("qv"), c("cv"))
+            .as("dist"),
+          c("cid").as("cid")))), 1, nProbe))
+      .select(col("doc_id"), col("ts"), col("q_emb"),
+        explode(col("probe.cid")).as("p_cell"))
+      .join(cells, col("p_cell") === col("c_cell") &&
+        col("doc_id") =!= col("c_id"))
+      .join(corpusEmb, "c_id")
+      .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+      .select(col("doc_id"), col("ts"), nl("bloom_pass", "long"),
+        nl("exact_dup", "long"), nl("db", "long"), nl("jac", "double"),
+        nl("lseg", "string"),
+        struct((-col("sim")).as("nsim"), col("c_id"), col("sim"),
+          col("seg")).as("ann"))
+
+    // ---- ONE stateful operator: the windowed per-doc roll-up.
+    baseRows.unionByName(exactRows).unionByName(lshRows)
+      .unionByName(annRows)
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(max(col("bloom_pass")).as("bloom_pass"),
+        coalesce(max(col("exact_dup")), lit(0L)).as("exact_dup"),
+        size(collect_set(col("db"))).cast("long").as("n_candidates"),
+        size(collect_set(when(col("jac") >= 0.7, col("db"))))
+          .cast("long").as("n_near"),
+        size(collect_set(when(col("jac") >= 0.7 &&
+          col("lseg") === "delta", col("db"))))
+          .cast("long").as("n_near_delta"),
+        min(col("ann")).as("best"))
+      .select(col("doc_id"), col("bloom_pass"), col("exact_dup"),
+        col("n_candidates"), col("n_near"), col("n_near_delta"),
+        col("best.c_id").as("ann_nn"), col("best.sim").as("ann_sim"),
+        col("best.seg").as("ann_seg"))
   }
 }

@@ -393,6 +393,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a plain scan reading all partitions for a 3-month dim is a
     // regression.
     "c32_dpp_prune",
+    // c32's negative control: an UNFILTERED dim leaves no predicate to
+    // propagate, so the planner must NOT inject a dynamicpruning
+    // subquery (DPP firing here would broadcast-and-filter the listing
+    // to keep 100% of directories) — the golden pins its absence; the
+    // rows grade against the same oracle family either way.
+    "c32b_dpp_all_months",
     // round-9 borderline sweep: these sit at ~1.0 s and cross the
     // enforcement threshold with machine jitter — freeze them so the
     // inventory test is stable regardless of which side of 1 s a

@@ -151,4 +151,36 @@ class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("levenshtein"),
       s"expected the blocked Levenshtein evaluation:\n$p")
   }
+
+  test("sf1: c32 DPP composes with AQE + broadcast reuse — the pruning " +
+    "subquery rides the join's own broadcast exchange") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val df = SparkEntry.queries("c32_dpp_prune")(spark, sf1)
+    val pre = df.queryExecution.executedPlan.toString()
+    // Pre-execution: the fact scan carries the dynamicpruning subquery
+    // under AQE (SubqueryAdaptiveBroadcast = "wait for the join's
+    // exchange, then reuse it"), at sf1 stats as at test SF.
+    assert(pre.contains("dynamicpruning"),
+      s"fact scan lost its pruning subquery at sf1:\n$pre")
+    assert(pre.contains("SubqueryAdaptiveBroadcast"),
+      s"pruning subquery should defer to AQE broadcast reuse:\n$pre")
+    // Post-execution: the finalized adaptive plan must show the DPP
+    // filter reading a ReusedExchange — the dim is broadcast ONCE,
+    // shared by the join and the pruning filter (a second standalone
+    // broadcast job for pruning would double the dim scan at 100 TB).
+    // collect() (3 rows) finalizes THIS QueryExecution — a noop write
+    // would plan a fresh one and leave this plan un-finalized.
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString()
+    assert(fin.contains("ReusedExchange"),
+      s"DPP filter did not reuse the join's broadcast exchange:\n$fin")
+  }
+
+  test("sf1: c32b negative control — an unfiltered dim injects NO " +
+    "pruning subquery at sf1 stats") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val p = plan("c32b_dpp_all_months")
+    assert(!p.contains("dynamicpruning"),
+      s"DPP fired with nothing to prune (dim is unfiltered):\n$p")
+  }
 }

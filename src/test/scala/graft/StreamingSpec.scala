@@ -738,4 +738,88 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("serving ingest stream probes the static d33 indexes; equals the " +
+    "batch d33 composite row-for-row") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.ServeDoc
+    val dir = "/root/testdata/sf0.001"
+    // The batch composite IS the expectation — and running it first
+    // builds the materialized index artifacts the stream probes (the
+    // bench-warmup convention).
+    val expected = SparkEntry.queries("d33_serving_pipeline")(s, dir)
+      .collect().map(_.toString).toSeq
+    // Static inputs: the SAME published index segments the batch reads.
+    val baseIdx = graft.llm.Dedup.ensureIngestIndexWhere(s, dir, "base",
+      col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 3)
+    val deltaIdx = graft.llm.Dedup.ensureIngestIndexWhere(s, dir, "delta",
+      col("doc_id") % 7 === 3)
+    def part(idx: String, p: String, cols: Seq[String]) =
+      s.read.parquet(s"$idx/$p").toDF(cols: _*)
+    val hashes = part(baseIdx, "hashes", Seq("cch"))
+      .unionByName(part(deltaIdx, "hashes", Seq("cch"))).distinct()
+    val mBits = 4096
+    def bit(c: org.apache.spark.sql.Column, j: Int) =
+      conv(substring(md5(concat(c, lit(s"#$j")).cast("binary")),
+        1, 8), 16, 10).cast("long") % mBits
+    val bits = hashes.select(explode(array(bit(col("cch"), 0),
+      bit(col("cch"), 1), bit(col("cch"), 2))).as("sb")).distinct()
+    val bands = part(baseIdx, "bands", Seq("db", "bandb", "mhb"))
+      .unionByName(part(deltaIdx, "bands", Seq("db", "bandb", "mhb")))
+    val tsets = part(baseIdx, "tsets", Seq("db", "tb"))
+      .withColumn("seg", lit("base"))
+      .unionByName(part(deltaIdx, "tsets", Seq("db", "tb"))
+        .withColumn("seg", lit("delta")))
+    val annIdx = graft.llm.Similarity.ensureAnnDeltaIndexWhere(s, dir,
+      "d33", col("vec_id") % 7 =!= 0 && col("vec_id") % 7 =!= 3,
+      col("vec_id") % 7 === 3)
+    val cents = s.read.parquet(s"$annIdx/cents")
+    val cells = s.read.parquet(s"$annIdx/cells_base")
+      .withColumn("seg", lit("base"))
+      .unionByName(s.read.parquet(s"$annIdx/cells_delta")
+        .withColumn("seg", lit("delta")))
+    val emb = Tables.load(s, dir, "embeddings")
+    val corpusEmb = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"))
+    val nBase = emb.filter(col("vec_id") % 7 =!= 0 &&
+      col("vec_id") % 7 =!= 3).count()
+    val nProbe = math.max(1L,
+      math.round(math.round(math.sqrt(nBase.toDouble)) / 4.0)).toInt
+    // Stream feed: the batch docs (doc_id ≡ 0 mod 7) with their
+    // embeddings, split across two micro-batches.
+    val feed = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("vec_id") === col("doc_id"), "left_outer")
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .collect() // test-harness feed construction, not engine code
+      .map(r => ServeDoc(r.getLong(0), ts(60),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getSeq[Float](2).toArray))
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    val input = MemoryStream[ServeDoc]
+    val q = StreamOps.servingIngestStream(input.toDS(), hashes, bits,
+        bands, tsets, cents, cells, corpusEmb, nProbe)
+      .writeStream.format("memory").queryName("serving_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(ServeDoc(-1L, ts(1000), "closer", null))
+      q.processAllAvailable()
+      val got = spark.table("serving_ingest")
+        .filter(col("doc_id") =!= -1L)
+        .orderBy(col("doc_id"))
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        s"stream (${got.size} rows) != batch d33 (${expected.size}):\n" +
+          got.zipAll(expected, "∅", "∅")
+            .collect { case (a, b) if a != b => s"$a != $b" }
+            .take(5).mkString("\n"))
+    } finally q.stop()
+  }
 }
