@@ -1705,8 +1705,88 @@ object Dedup {
           coalesce(col("n_near_delta"), lit(0L)).as("n_near_delta"),
           col("ann_nn"), col("ann_sim"), col("ann_seg"))
         .orderBy(col("doc_id"))
+    },
+
+    "d34_decontamination" -> { (s, dir) =>
+      // TRAIN/EVAL CONTAMINATION detection — the decontamination audit
+      // every benchmark-reporting training run owes (the GPT-3/PaLM
+      // method: an eval document is contaminated if the training
+      // corpus contains any of its exact K-token windows; ≙ Brown et
+      // al. 2020 appendix C's 13-gram overlap, here K = DupSpanK
+      // shared with d26 so both token-grain ops agree on the window
+      // unit). Per eval doc (the doc_id ≡ 5 mod 7 slice): its distinct
+      // window count, how many of those windows appear anywhere in
+      // training, how many DISTINCT training docs share ≥1 window, and
+      // the containment fraction.
+      //
+      // Scale shape — d26's discipline applied CROSS-corpus: each side
+      // is ONE explode + md5 pass over its own tokens (linear, the
+      // same per-token cost d26 pays), candidates come from the
+      // equi-join on the 16-byte window fingerprint — never a doc-pair
+      // join, never text reaching the shuffle. The eval side is the
+      // tiny one (held-out benchmarks, ~0.01% of corpus mass in
+      // production), so stats drive its window set to the build side /
+      // broadcast, and the training corpus streams past it map-side;
+      // a window repeated f times in training costs f join rows
+      // against that eval window, bounded by the distinct-per-doc cut
+      // on BOTH sides before the join. The two grains (shared-window
+      // count, contaminating-doc count) aggregate from one checkpointed
+      // hit set — not two probe passes and not a nondeterministic
+      // double-countDistinct rewrite.
+      decontaminationReport(docsWithTokens(s, dir), DupSpanK,
+        col("doc_id") % 7 === 5)
     }
   )
+
+  /** d34's core: per-eval-doc K-token-window containment against the
+    * complementary training slice, over any (doc_id, toks) frame.
+    * Exposed for `DedupPropSpec`'s brute-force equivalence check. */
+  private[graft] def decontaminationReport(d: DataFrame, k: Int,
+                                           isEval: Column): DataFrame = {
+    def winHashSet(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .withColumn("ps",
+        when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
+          .otherwise(array().cast("array<int>")))
+      // outer + null-filter: the inner form would infer size(ps) > 0
+      // into the scan filter and re-hash below (d17/d26's
+      // InferFiltersFromGenerate note).
+      .select(col("doc_id"), col("toks"),
+        explode_outer(col("ps")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("p"), lit(k)), " ")
+          .cast("binary")).as("h"))
+      .distinct()
+    // evalW feeds the per-doc window total AND the probe join — the
+    // barrier stops the eval explode running twice.
+    val evalW = barrier(winHashSet(d.filter(isEval)))
+    val trainW = winHashSet(d.filter(!isEval))
+      .withColumnRenamed("doc_id", "t_id")
+    val nW = evalW.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    // hits feeds both aggregation grains — the barrier stops the
+    // training-corpus explode running twice.
+    val hits = barrier(evalW.join(trainW, "h"))
+    val sharedW = hits.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_windows"))
+    val sharedD = hits.select(col("doc_id"), col("t_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam_docs"))
+    d.filter(isEval).select(col("doc_id"))
+      .join(nW, Seq("doc_id"), "left_outer")
+      .join(sharedW, Seq("doc_id"), "left_outer")
+      .join(sharedD, Seq("doc_id"), "left_outer")
+      .select(col("doc_id").as("eval_doc"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared_windows"), lit(0L))
+          .as("n_shared_windows"),
+        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          coalesce(col("n_shared_windows"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("containment"))
+      .orderBy(col("eval_doc"))
+  }
 
   /** d29's orientation: each undirected edge (da, db) redirected to
     * point from its (degree, id)-smaller endpoint u to the larger v,
@@ -3076,6 +3156,39 @@ object Dedup {
            | LEFT JOIN ann a ON e.doc_id = a.q_id
            |ORDER BY e.doc_id""".stripMargin
       },
+
+      "d34_decontamination" ->
+        s"""WITH d AS (
+           | SELECT doc_id, string_split(text, ' ') AS tk
+           | FROM documents WHERE text IS NOT NULL),
+           |w AS (
+           | SELECT DISTINCT doc_id,
+           |  md5(array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')) AS h
+           | FROM (SELECT doc_id, tk,
+           |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1)) AS p
+           |  FROM d)),
+           |ew AS (SELECT doc_id, h FROM w WHERE doc_id % 7 = 5),
+           |tw AS (SELECT doc_id AS t_id, h FROM w WHERE doc_id % 7 <> 5),
+           |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM ew GROUP BY doc_id),
+           |hits AS (SELECT ew.doc_id, ew.h, tw.t_id FROM ew JOIN tw USING (h)),
+           |sw AS (SELECT doc_id, COUNT(DISTINCT h) AS n_shared_windows
+           | FROM hits GROUP BY doc_id),
+           |sd AS (SELECT doc_id, COUNT(DISTINCT t_id) AS n_contam_docs
+           | FROM hits GROUP BY doc_id)
+           |SELECT d.doc_id AS eval_doc,
+           | CAST(COALESCE(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           | CAST(COALESCE(sw.n_shared_windows, 0) AS BIGINT) AS n_shared_windows,
+           | CAST(COALESCE(sd.n_contam_docs, 0) AS BIGINT) AS n_contam_docs,
+           | CASE WHEN COALESCE(nw.n_windows, 0) > 0
+           |  THEN CAST(COALESCE(sw.n_shared_windows, 0) AS DOUBLE) /
+           |   CAST(nw.n_windows AS DOUBLE)
+           |  ELSE 0.0 END AS containment
+           |FROM d
+           | LEFT JOIN nw USING (doc_id)
+           | LEFT JOIN sw USING (doc_id)
+           | LEFT JOIN sd USING (doc_id)
+           |WHERE d.doc_id % 7 = 5
+           |ORDER BY eval_doc""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -819,4 +819,63 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blocked == d31,
       s"blocked=$blocked\n d31(dist<=2)=$d31")
   }
+
+  /** In-memory d34 reference: per eval doc, distinct K-windows, how
+    * many appear anywhere in training, distinct contaminating training
+    * docs, containment fraction. */
+  private def bruteDecontam(docs: Seq[(Long, String)], k: Int,
+                            isEval: Long => Boolean)
+      : Map[Long, (Long, Long, Long, Double)] = {
+    def wins(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      (1 to toks.length - k + 1)
+        .map(p => toks.slice(p - 1, p - 1 + k).mkString(" ")).toSet
+    }
+    val evalDocs = docs.filter(d => isEval(d._1))
+    val train = docs.filterNot(d => isEval(d._1))
+      .map { case (id, t) => id -> wins(t) }
+    evalDocs.map { case (id, t) =>
+      val w = wins(t)
+      val shared = w.filter(h => train.exists(_._2.contains(h)))
+      val contam = train.filter(_._2.exists(w.contains)).map(_._1)
+        .distinct
+      val cont = if (w.nonEmpty) shared.size.toDouble / w.size else 0.0
+      id -> (w.size.toLong, shared.size.toLong, contam.size.toLong, cont)
+    }.toMap
+  }
+
+  test("d34 decontamination equals in-memory brute force (distinct " +
+    "windows, cross-corpus containment, contaminating-doc counts)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, split => fsplit}
+    val genCase = for {
+      k <- Gen.choose(2, 4)
+      nDocs <- Gen.choose(4, 12)
+      docs <- Gen.sequence[Seq[(Long, String)], (Long, String)](
+        (0 until nDocs).map { id =>
+          for {
+            n <- Gen.choose(1, 30)
+            toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+          } yield (id.toLong, toks.mkString(" "))
+        })
+    } yield (k, docs)
+    val prop = Prop.forAll(genCase) { case (k, docs) =>
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("toks", fsplit(col("text"), " "))
+      val got = Dedup.decontaminationReport(df, k, col("doc_id") % 3 === 0)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+      val want = bruteDecontam(docs, k, _ % 3 == 0)
+      val ok = got == want
+      if (!ok) println(s"d34 k=$k got $got != brute $want on $docs")
+      spark.catalog.clearCache()
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

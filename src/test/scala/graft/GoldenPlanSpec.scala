@@ -412,6 +412,13 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // isolated) — frozen so the inventory rule is load-independent.
     // Shape: 7-leg Union of pushed parquet scans, no Exchange.
     "s01_union_all",
+    // decontamination: each corpus side is ONE explode + md5 window
+    // pass (eval side read off its checkpoint barrier, training side
+    // streamed once into the fingerprint equi-join) and both
+    // aggregation grains read the checkpointed hit set — a second
+    // training-corpus Generate, a doc-pair join, or a
+    // double-countDistinct Expand would show here.
+    "d34_decontamination",
     // blocked entity resolution: candidates must come from the gram
     // EQUI-join over the persisted prefix table (both sides
     // InMemoryTableScans; a BroadcastNestedLoopJoin or
