@@ -429,6 +429,52 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    "v23_delta_recall" -> { (s, dir) =>
+      // RECALL AUDIT of the delta-append index — v07's harness aimed
+      // at v19's serving path: does quantizing arrivals under the
+      // FROZEN base codebook (no retrain) cost recall, and is the
+      // loss concentrated on the DELTA vectors (the staleness signal
+      // the seg tag exists to expose)? Ground truth is brute-force
+      // top-5 over the full indexed corpus (the |Q|-bounded theta
+      // join, v15's discipline: 20 queries broadcast, never corpus ×
+      // corpus); the approximate answer is v19's own probed top-5.
+      // Per query: hits (of 5), how many true neighbors live in the
+      // delta segment, how many of those the index recovered, and
+      // recall as the exact integer ratio (bit-identical doubles
+      // across engines). At 100 TB this report is the nightly gate
+      // that decides when the codebook must retrain: hits_delta
+      // falling away from n_truth_delta while base recall holds is
+      // drift, measured, not guessed.
+      val approx = queries("v19_delta_ann")(s, dir)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val e = Tables.load(s, dir, "embeddings")
+      val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
+      val q = e.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      // The 20-query slice is the BUILD side, explicitly: at test SF
+      // the unfiltered corpus estimates smaller than the range-filtered
+      // slice and Catalyst would broadcast the corpus — exactly the
+      // side that grows 100× at scale.
+      val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"),
+          when(col("c_id") % 7 === 0, 1L).otherwise(0L).as("is_delta"))
+      truth.join(approx, Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as("hits"),
+          sum(col("is_delta")).as("n_truth_delta"),
+          sum(when(col("hit").isNotNull, col("is_delta"))
+            .otherwise(0L)).as("hits_delta"))
+        .withColumn("recall", col("hits").cast("double") / 5.0)
+        .orderBy(col("q_id"))
+    },
+
     "v20_ivfpq_adc" -> { (s, dir) =>
       // IVF-PQ — the two halves finally composed (FAISS's IndexIVFPQ,
       // the billion-vector production layout): a TRAINED coarse
@@ -2093,6 +2139,34 @@ object Similarity {
          |SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim, seg
          |FROM reranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    "v23_delta_recall" -> {
+      // v19's serving CTEs (the approximate answer) joined against an
+      // inline v01-style brute-force truth over the same query slice.
+      s"""WITH ${annServeCtes("vec_id % 7 <> 0", "vec_id % 7 = 0",
+          "q.vec_id >= 100 AND q.vec_id < 120")},
+         |approx AS (SELECT q_id, c_id FROM reranked WHERE rnk <= 5),
+         |tp AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id >= 100 AND q.vec_id < 120),
+         |tr AS (
+         | SELECT q_id, c_id,
+         |  CASE WHEN c_id % 7 = 0 THEN 1 ELSE 0 END AS is_delta,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+         | FROM tp),
+         |truth AS (SELECT q_id, c_id, is_delta FROM tr WHERE rnk <= 5)
+         |SELECT t.q_id,
+         | CAST(COUNT(a.c_id) AS BIGINT) AS hits,
+         | CAST(SUM(t.is_delta) AS BIGINT) AS n_truth_delta,
+         | CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN t.is_delta
+         |   ELSE 0 END) AS BIGINT) AS hits_delta,
+         | CAST(COUNT(a.c_id) AS DOUBLE) / 5.0 AS recall
+         |FROM truth t LEFT JOIN approx a
+         | ON t.q_id = a.q_id AND t.c_id = a.c_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
     },
 
     "v18_indexed_ann" -> {

@@ -412,6 +412,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // isolated) — frozen so the inventory rule is load-independent.
     // Shape: 7-leg Union of pushed parquet scans, no Exchange.
     "s01_union_all",
+    // delta-recall audit: the truth leg's theta join must stay bounded
+    // by the broadcast 20-query slice (pushed vec_id range filter on
+    // the q scan — an unfiltered embeddings×embeddings pair join would
+    // show here), and the approx leg keeps v19's no-training serving
+    // shape (index FileScans + broadcast codebook).
+    "v23_delta_recall",
     // decontamination: each corpus side is ONE explode + md5 window
     // pass (eval side read off its checkpoint barrier, training side
     // streamed once into the fingerprint equi-join) and both
