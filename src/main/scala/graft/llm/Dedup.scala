@@ -1735,6 +1735,49 @@ object Dedup {
       // double-countDistinct rewrite.
       decontaminationReport(docsWithTokens(s, dir), DupSpanK,
         col("doc_id") % 7 === 5)
+    },
+
+    "d35_cross_source_overlap" -> { (s, dir) =>
+      // CROSS-SOURCE CONTAMINATION MATRIX — which pairs of ingest
+      // sources carry the same content: the provenance audit run
+      // before attributing dedup losses to a feed (the Common-Crawl
+      // snapshot-overlap / "which dump copied which" measurement,
+      // the pairwise face of d32's two-snapshot diff). Content grain
+      // is d12's disjoint 20-token block so boilerplate shared at
+      // paragraph level counts even when no full document matches.
+      //
+      // Scale shape: the per-(block, source) doc count aggregates
+      // FIRST, so the source-pair self-join fans out per block hash
+      // by the number of DISTINCT SOURCES carrying it (≤ S, bounded
+      // by the catalog — a million-copy boilerplate block contributes
+      // S² matrix rows, never 10^12 doc pairs), and the join key is
+      // the uniform md5 — unskewable. Output is the S²/2 matrix:
+      // shared distinct blocks plus each side's affected-doc mass.
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val tk = split(col("text"), " ")
+      val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)),
+        lit(20))
+      val blocks = docs
+        // outer explode — see chunkDedup's inferred-filter note.
+        .select(col("source"), col("doc_id"), tk.as("tk"),
+          explode_outer(starts).as("idx"))
+        .select(col("source"), col("doc_id"),
+          md5(array_join(slice(col("tk"), col("idx") + 1, lit(20)), " ")
+            .cast("binary")).as("h"))
+      val perSrc = blocks.groupBy(col("h"), col("source"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val lo = perSrc.select(col("h"), col("source").as("source_lo"),
+        col("nd").as("nd_lo"))
+      val hi = perSrc.select(col("h").as("hh"),
+        col("source").as("source_hi"), col("nd").as("nd_hi"))
+      lo.join(hi, col("h") === col("hh") &&
+          col("source_lo") < col("source_hi"))
+        .groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("n_shared_blocks"),
+          sum(col("nd_lo")).as("n_docs_lo"),
+          sum(col("nd_hi")).as("n_docs_hi"))
+        .orderBy(col("source_lo"), col("source_hi"))
     }
   )
 
@@ -3189,6 +3232,29 @@ object Dedup {
            | LEFT JOIN sd USING (doc_id)
            |WHERE d.doc_id % 7 = 5
            |ORDER BY eval_doc""".stripMargin,
+
+      "d35_cross_source_overlap" ->
+        """WITH d AS (
+          | SELECT source, doc_id, string_split(text, ' ') AS tk
+          | FROM documents WHERE text IS NOT NULL),
+          |c AS (
+          | SELECT source, doc_id, tk,
+          |  unnest(range(0, greatest(len(tk) - 1, 0) + 1, 20)) AS idx
+          | FROM d),
+          |b AS (
+          | SELECT source, doc_id,
+          |  md5(array_to_string(list_slice(tk, idx + 1, idx + 20), ' '))
+          |    AS h
+          | FROM c),
+          |ps AS (
+          | SELECT h, source, COUNT(DISTINCT doc_id) AS nd
+          | FROM b GROUP BY h, source)
+          |SELECT a.source AS source_lo, b2.source AS source_hi,
+          | COUNT(*) AS n_shared_blocks,
+          | CAST(SUM(a.nd) AS BIGINT) AS n_docs_lo,
+          | CAST(SUM(b2.nd) AS BIGINT) AS n_docs_hi
+          |FROM ps a JOIN ps b2 ON a.h = b2.h AND a.source < b2.source
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -1151,6 +1151,94 @@ object Similarity {
         .orderBy(col("q_id"))
     },
 
+    "v24_pq_sdc" -> { (s, dir) =>
+      // PQ SYMMETRIC-distance audit (SDC vs ADC) — the quantization
+      // design decision v11 takes on faith, measured: SDC scores a
+      // query by its OWN code through the precomputed M×K×K
+      // code-to-code table (both sides quantized — double the
+      // quantization error, but the query never touches floats: the
+      // shape a code-only index must use when raw query vectors are
+      // unavailable, e.g. joining two PQ-compressed corpora), while
+      // ADC keeps the query exact. Per query: SDC top-5 recall vs
+      // exact-cosine truth next to ADC's on the SAME codebook, plus
+      // the integer SDC mass of the chosen 5 — the measured gap that
+      // justifies paying ADC's per-query K×M table build at serving
+      // time. All distances are exact int64 (intSqDist on quantized
+      // grids), so both engines agree bit-for-bit.
+      //
+      // Scale shape: the SDC table is M·K² = 512 rows precomputed
+      // ONCE from the codebook alone (corpus-independent — at 100 TB
+      // it is a build-time artifact, not a per-query cost) and
+      // broadcast; the corpus-side scan is the same codes-only
+      // equi-join as v11 — 4 table lookups + adds per stored code,
+      // no float payloads, embarrassingly parallel.
+      val (_, subs, cb, codes) = pqEncode(s, dir)
+      val isQ = col("vec_id") >= 100 && col("vec_id") < 120
+      val sdcTab = cb.join(
+          cb.select(col("m").as("mb"), col("code").as("code_b"),
+            col("cv").as("cvb")),
+          col("m") === col("mb"))
+        .select(col("m"), col("code").as("code_a"), col("code_b"),
+          intSqDist(col("cv"), col("cvb")).as("d"))
+      val qcodes = codes.filter(isQ)
+        .select(col("vec_id").as("q_id"), col("m"),
+          col("code").as("code_a"))
+      val qtab = qcodes.join(broadcast(sdcTab), Seq("m", "code_a"))
+        .select(col("q_id"), col("m"), col("code_b"), col("d"))
+      val sdc = codes.as("k").join(broadcast(qtab).as("qt"),
+          col("k.m") === col("qt.m") && col("k.code") === col("qt.code_b"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("sdc_dist"))
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("sdc_dist"), col("vec_id"))
+      val top5s = sdc.withColumn("rn", row_number().over(ws))
+        .filter(col("rn") <= 5)
+      // ADC on the same artifacts (v11's table) for the side-by-side.
+      val qsubs = subs.filter(isQ)
+        .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+      val dtab = qsubs.join(broadcast(cb), "m")
+        .select(col("q_id"), col("m"), col("code"),
+          intSqDist(col("qsub"), col("cv")).as("d"))
+      val adc = codes.join(broadcast(dtab), Seq("m", "code"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adc_dist"))
+      val wa = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+      val top5a = adc.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") <= 5)
+      val e = Tables.load(s, dir, "embeddings")
+      val qe = e.filter(isQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wt = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val truth = qe
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wt))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val hitsS = truth
+        .join(top5s.select(col("q_id"), col("vec_id").as("c_id"),
+          lit(1L).as("hit")), Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id")).agg(count(col("hit")).as("hits_sdc"))
+      val hitsA = truth
+        .join(top5a.select(col("q_id"), col("vec_id").as("c_id"),
+          lit(1L).as("hit")), Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id")).agg(count(col("hit")).as("hits_adc"))
+      val sdcsum = top5s.groupBy(col("q_id"))
+        .agg(sum(col("sdc_dist")).as("sdc_top5"))
+      hitsS.join(hitsA, "q_id").join(sdcsum, "q_id")
+        .select(col("q_id"), col("hits_sdc"),
+          (col("hits_sdc").cast("double") / 5.0).as("recall_sdc"),
+          col("hits_adc"),
+          (col("hits_adc").cast("double") / 5.0).as("recall_adc"),
+          col("sdc_top5"))
+        .orderBy(col("q_id"))
+    },
+
     "v12_dim_stats" -> { (s, dir) =>
       // Per-DIMENSION calibration report over the v05 int8 codes — what
       // one inspects before trusting symmetric quantization at corpus
@@ -2329,6 +2417,73 @@ object Similarity {
       | hits_rr, CAST(hits_rr AS DOUBLE) / 5.0 AS recall_rr, adc_top5
       |FROM h JOIN hr ON h.q_id = hr.q_id
       | JOIN asum ON h.q_id = asum.q_id ORDER BY h.q_id""".stripMargin,
+
+    "v24_pq_sdc" -> s"""WITH $pqCtes,
+      |sdctab AS (
+      | SELECT a.m, a.code AS code_a, b.code AS code_b,
+      |  CAST(${pqDist("a.cv", "b.cv")} AS BIGINT) AS d
+      | FROM cb a JOIN cb b ON a.m = b.m),
+      |qcodes AS (
+      | SELECT vec_id AS q_id, m, code AS code_a FROM codes
+      | WHERE vec_id >= 100 AND vec_id < 120),
+      |qtab AS (
+      | SELECT q.q_id, q.m, t.code_b, t.d
+      | FROM qcodes q JOIN sdctab t ON q.m = t.m AND q.code_a = t.code_a),
+      |sdc AS (
+      | SELECT t.q_id, k.vec_id, CAST(SUM(t.d) AS BIGINT) AS sdc_dist
+      | FROM codes k JOIN qtab t ON k.m = t.m AND k.code = t.code_b
+      | WHERE t.q_id <> k.vec_id GROUP BY t.q_id, k.vec_id),
+      |top5s AS (
+      | SELECT q_id, vec_id, sdc_dist FROM (
+      |  SELECT q_id, vec_id, sdc_dist,
+      |   row_number() OVER (PARTITION BY q_id
+      |     ORDER BY sdc_dist, vec_id) AS rn
+      |  FROM sdc) t WHERE rn <= 5),
+      |qsubs AS (
+      | SELECT vec_id AS q_id, m, sub FROM subs
+      | WHERE vec_id >= 100 AND vec_id < 120),
+      |dtab AS (
+      | SELECT q.q_id, q.m, c.code,
+      |  CAST(${pqDist("q.sub", "c.cv")} AS BIGINT) AS d
+      | FROM qsubs q JOIN cb c ON q.m = c.m),
+      |adc AS (
+      | SELECT d.q_id, k.vec_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
+      | FROM codes k JOIN dtab d ON k.m = d.m AND k.code = d.code
+      | WHERE d.q_id <> k.vec_id GROUP BY d.q_id, k.vec_id),
+      |top5a AS (
+      | SELECT q_id, vec_id FROM (
+      |  SELECT q_id, vec_id,
+      |   row_number() OVER (PARTITION BY q_id
+      |     ORDER BY adc_dist, vec_id) AS rn
+      |  FROM adc) t WHERE rn <= 5),
+      |tpairs AS (
+      | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |  ${cos("q.embedding", "c.embedding")} AS sim
+      | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      | WHERE q.vec_id >= 100 AND q.vec_id < 120),
+      |truth AS (
+      | SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id,
+      |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+      |  FROM tpairs) t WHERE rnk <= 5),
+      |hs AS (
+      | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_sdc
+      | FROM truth t LEFT JOIN
+      |  (SELECT q_id, vec_id AS c_id FROM top5s) a
+      |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id),
+      |ha AS (
+      | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_adc
+      | FROM truth t LEFT JOIN
+      |  (SELECT q_id, vec_id AS c_id FROM top5a) a
+      |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id),
+      |ssum AS (
+      | SELECT q_id, CAST(SUM(sdc_dist) AS BIGINT) AS sdc_top5
+      | FROM top5s GROUP BY q_id)
+      |SELECT hs.q_id, hits_sdc,
+      | CAST(hits_sdc AS DOUBLE) / 5.0 AS recall_sdc,
+      | hits_adc, CAST(hits_adc AS DOUBLE) / 5.0 AS recall_adc, sdc_top5
+      |FROM hs JOIN ha ON hs.q_id = ha.q_id
+      | JOIN ssum ON hs.q_id = ssum.q_id ORDER BY hs.q_id""".stripMargin,
 
     "v20_ivfpq_adc" -> {
       // DuckDB twin of IVF-PQ: v09's integer coarse training (T=1) +

@@ -723,6 +723,38 @@ object TextAnalysis {
         .limit(20)
         .select(col("doc_id"), col("dl"), col("tf_data"),
           col("tf_query"), col("tf_spark"), col("score"))
+    },
+
+    "t24_fertility" -> { (s, dir) =>
+      // TOKENIZER FERTILITY audit — the per-language cost report every
+      // multilingual training run needs before fixing a token budget:
+      // subwords-per-word (how many BPE-ish pieces a whitespace word
+      // shatters into) and bytes-per-subword (how much UTF-8 mass one
+      // token buys — the metric that exposes byte-hungry scripts). The
+      // subword grain reuses t03's regex tokenizer extended with a
+      // catch-all single-codepoint class, so CJK text (no spaces)
+      // degrades to ~1 subword per codepoint exactly as a byte-level
+      // BPE would. All three counts are exact int64 sums; the two
+      // ratios are ONE double division each — bit-identical across
+      // engines. Shape: a codegen'd linear projection + one 5-group
+      // aggregate; nothing but the final groupBy shuffles at 100 TB.
+      Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("w"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("sw"),
+          octet_length(col("text")).cast("long").as("b"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("sw")).as("n_subwords"),
+          sum(col("b")).as("n_bytes"))
+        .withColumn("fertility",
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+        .withColumn("bytes_per_subword",
+          col("n_bytes").cast("double") / col("n_subwords").cast("double"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -757,6 +789,27 @@ object TextAnalysis {
          |FROM dd CROSS JOIN st
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+    "t24_fertility" ->
+      """WITH d AS (
+        | SELECT lang,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS w,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS sw,
+        |  CAST(strlen(text) AS BIGINT) AS b
+        | FROM documents WHERE text IS NOT NULL),
+        |ag AS (
+        | SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(sw) AS BIGINT) AS n_subwords,
+        |  CAST(SUM(b) AS BIGINT) AS n_bytes
+        | FROM d GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_subwords, n_bytes,
+        | CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |   AS fertility,
+        | CAST(n_bytes AS DOUBLE) / CAST(n_subwords AS DOUBLE)
+        |   AS bytes_per_subword
+        |FROM ag ORDER BY lang""".stripMargin,
+
     // chr(65533) = U+FFFD, chr(195)/chr(194) = the mojibake marks;
     // length() counts codepoints and strlen() UTF-8 bytes in DuckDB,
     // matching Spark's length/octet_length on any valid UTF-8.

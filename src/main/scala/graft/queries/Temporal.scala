@@ -547,10 +547,73 @@ object Temporal {
             .as("close"))
         .filter(col("user_id") < 50)
         .orderBy(col("user_id"), col("day"))
+    },
+
+    "p20_interval_overlap" -> { (s, dir) =>
+      // KEYLESS interval-overlap join, BINNED — p02 has an equi key
+      // (the order) to hang its band on; this one has none: every
+      // promo window vs every in-flight shipment ("how many shipments
+      // were in transit during each promotion"). Declared naively
+      // that is a cartesian theta join — O(N·M) and the #1 interval
+      // anti-pattern at 100 TB. The scale form (the genomics/Hail
+      // bin-join): explode each interval onto the coarse time buckets
+      // it covers (fanout = span/bucket ≈ 1–2 here, bounded by the
+      // max interval length), equi-join on the bucket — temporal
+      // locality restored, shuffle keyed and prunable — and count
+      // each overlapping pair EXACTLY ONCE by crediting only the
+      // bucket containing the later of the two starts (that date lies
+      // in both intervals, so both sides exploded it), which kills
+      // the post-join distinct a naive bin-join needs (no second
+      // corpus-sized shuffle). The oracle is the brute-force theta
+      // join — same semantics, the shape this one exists to avoid.
+      val bucketDays = 30
+      def bkt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(datediff(c, lit("1992-01-01")) / bucketDays)
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 800)
+        .select(col("o_orderkey"), col("o_orderdate").as("p_start"))
+        .withColumn("p_end", expr("p_start + INTERVAL 7 DAYS"))
+      // The testdata lineitem carries no receipt date; transit time is
+      // derived deterministically from the line number (5..29 days —
+      // under one bucket width, so the explode fanout stays ≤ 2).
+      val l2 = Tables.load(s, dir, "lineitem")
+        .filter(col("l_partkey") < 1000)
+        .select(col("l_shipdate").as("s_start"),
+          expr("l_shipdate + (1 + l_linenumber * 4) * INTERVAL 1 DAY")
+            .as("s_end"))
+      val ob = o.withColumn("bkt",
+        explode(sequence(bkt(col("p_start")), bkt(col("p_end")))))
+      val lb = l2.withColumn("bktl",
+        explode(sequence(bkt(col("s_start")), bkt(col("s_end")))))
+      ob.join(lb, col("bkt") === col("bktl") &&
+          col("s_start") < col("p_end") && col("p_start") < col("s_end") &&
+          col("bkt") === bkt(greatest(col("p_start"), col("s_start"))))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_inflight"),
+          sum(datediff(col("s_end"), col("s_start")).cast("long"))
+            .as("transit_days"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // Brute-force keyless theta join — the O(N·M) shape p20's binned
+    // Spark plan replaces; identical overlap semantics (half-open).
+    "p20_interval_overlap" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderdate AS p_start,
+        |  o_orderdate + INTERVAL 7 DAY AS p_end
+        | FROM orders WHERE o_orderkey <= 800),
+        |l AS (
+        | SELECT l_shipdate AS s_start,
+        |  l_shipdate + (1 + l_linenumber * 4) * INTERVAL 1 DAY AS s_end
+        | FROM lineitem WHERE l_partkey < 1000)
+        |SELECT o_orderkey, COUNT(*) AS n_inflight,
+        | CAST(SUM(date_diff('day', s_start, s_end)) AS BIGINT)
+        |   AS transit_days
+        |FROM o JOIN l ON s_start < p_end AND p_start < s_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "p01_asof_join" ->
       """SELECT l.event_id, l.user_id, l.value,
         | CAST(epoch_us(r.ts) AS BIGINT) AS asof_click_us,

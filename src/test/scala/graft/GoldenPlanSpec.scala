@@ -432,7 +432,27 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d31 theta join), with the length filter inside the join
     // condition and Levenshtein evaluated only above the distinct
     // pair shuffle.
-    "d31b_blocked_entity")
+    "d31b_blocked_entity",
+    // round-10 additions. p20: the keyless interval-overlap join must
+    // stay the BUCKET EQUI-join (both sides exploded onto coarse time
+    // buckets, overlap + canonical-bucket predicates as join filters)
+    // — a BroadcastNestedLoopJoin or CartesianProduct here means the
+    // bin-join regressed to the O(N·M) theta shape it exists to
+    // avoid, and a post-join distinct means the canonical-bucket
+    // dedup rule was lost.
+    "p20_interval_overlap",
+    // d35: the per-(block, source) doc count must aggregate BEFORE
+    // the source-pair self-join (two partial-aggregated groupBys
+    // under the hash-join on h) — the join fanning out at doc grain
+    // (a million-copy block contributing doc-pair rows) would show
+    // here as the aggregate moving above the join.
+    "d35_cross_source_overlap",
+    // v24: both PQ distance tables (the M·K² SDC table and v11's
+    // per-query ADC table) must come back as BROADCASTS against the
+    // codes-only scan — a corpus-sized shuffle against either table,
+    // or float embeddings reaching the code scan legs, would show
+    // here; the truth leg keeps v11's bounded broadcast theta join.
+    "v24_pq_sdc")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
