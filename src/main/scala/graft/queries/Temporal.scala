@@ -564,11 +564,10 @@ object Temporal {
       // bucket containing the later of the two starts (that date lies
       // in both intervals, so both sides exploded it), which kills
       // the post-join distinct a naive bin-join needs (no second
-      // corpus-sized shuffle). The oracle is the brute-force theta
-      // join — same semantics, the shape this one exists to avoid.
-      val bucketDays = 30
-      def bkt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        floor(datediff(c, lit("1992-01-01")) / bucketDays)
+      // corpus-sized shuffle). Core in operators/IntervalJoin.scala
+      // (property-pinned == brute force by IntervalJoinPropSpec); the
+      // oracle is the brute-force theta join — same semantics, the
+      // shape this one exists to avoid.
       val o = Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") <= 800)
         .select(col("o_orderkey"), col("o_orderdate").as("p_start"))
@@ -581,13 +580,8 @@ object Temporal {
         .select(col("l_shipdate").as("s_start"),
           expr("l_shipdate + (1 + l_linenumber * 4) * INTERVAL 1 DAY")
             .as("s_end"))
-      val ob = o.withColumn("bkt",
-        explode(sequence(bkt(col("p_start")), bkt(col("p_end")))))
-      val lb = l2.withColumn("bktl",
-        explode(sequence(bkt(col("s_start")), bkt(col("s_end")))))
-      ob.join(lb, col("bkt") === col("bktl") &&
-          col("s_start") < col("p_end") && col("p_start") < col("s_end") &&
-          col("bkt") === bkt(greatest(col("p_start"), col("s_start"))))
+      graft.operators.IntervalJoin
+        .overlap(o, l2, "p_start", "p_end", "s_start", "s_end", 30)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_inflight"),
           sum(datediff(col("s_end"), col("s_start")).cast("long"))
