@@ -1778,6 +1778,53 @@ object Dedup {
           sum(col("nd_lo")).as("n_docs_lo"),
           sum(col("nd_hi")).as("n_docs_hi"))
         .orderBy(col("source_lo"), col("source_hi"))
+    },
+
+    "d36_soft_dedup" -> { (s, dir) =>
+      // SOFT dedup — repetition-DISCOUNTED sampling weights instead of
+      // d07's hard drop: every member of a duplicate cluster survives
+      // with weight 1/|cluster|, so the cluster contributes its MEAN
+      // token mass once rather than its keeper's (the downweight-
+      // don't-delete policy: hard dedup biases per-source mixes when
+      // clusters span sources — all mass lands on the keeper's source
+      // — while soft dedup leaves each source its own share). Graded
+      // per source: raw vs hard-kept (d07's longest-doc-wins rule) vs
+      // soft effective token mass, with weights in exact FIXED-POINT
+      // integer arithmetic — floor(n_toks·10⁶ / csize) per doc, summed
+      // as int64 — because a per-row double 1/csize summed across an
+      // unordered groupBy would hash-flake (float addition is order-
+      // sensitive; integer addition is not). Scale: reuses d06's
+      // converged CC labels; weighting is ONE window (count + rank
+      // share a single (cluster)-keyed sort, the d07 one-Window
+      // discipline) plus a source-keyed partial agg — no corpus
+      // shuffle beyond the cluster join d07 already pays.
+      val clusters = queries("d06_dup_clusters")(s, dir)
+        .select(col("doc_id").as("cid"), col("cluster"))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val labeled = docs
+        .join(clusters, col("doc_id") === col("cid"), "left_outer")
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_toks").desc, col("doc_id"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      labeled
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("csize", count(lit(1)).over(wFull))
+        .withColumn("eff_tok_e6", expr("(n_toks * 1000000L) div csize"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("n_toks")).as("raw_tokens"),
+          sum(when(col("rnk") === 1, col("n_toks")).otherwise(0L))
+            .as("hard_tokens"),
+          sum(col("eff_tok_e6")).as("soft_tokens_e6"))
+        .orderBy(col("source"))
     }
   )
 
@@ -3255,6 +3302,45 @@ object Dedup {
           | CAST(SUM(b2.nd) AS BIGINT) AS n_docs_hi
           |FROM ps a JOIN ps b2 ON a.h = b2.h AND a.source < b2.source
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // d07's component CTEs + per-source rollup; soft weights in the
+      // same floor(n_toks*1e6 / csize) fixed-point integer form.
+      "d36_soft_dedup" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |edges AS (
+           | SELECT da AS a, db AS b FROM dup_pairs
+           | UNION SELECT db, da FROM dup_pairs
+           | UNION SELECT da, da FROM dup_pairs
+           | UNION SELECT db, db FROM dup_pairs),
+           |reach AS (
+           | SELECT a, b FROM edges
+           | UNION
+           | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (
+           | SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+           | FROM reach GROUP BY a),
+           |lens AS (
+           | SELECT doc_id, source,
+           |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+           | FROM documents),
+           |labeled AS (
+           | SELECT l.doc_id, l.source, l.n_toks,
+           |  COALESCE(c.cluster, l.doc_id) AS cluster
+           | FROM lens l LEFT JOIN comp c ON l.doc_id = c.doc_id),
+           |ranked AS (
+           | SELECT source, cluster, doc_id, n_toks,
+           |  row_number() OVER (PARTITION BY cluster
+           |    ORDER BY n_toks DESC, doc_id) AS rnk,
+           |  COUNT(*) OVER (PARTITION BY cluster) AS csize
+           | FROM labeled)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           | CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           | CAST(SUM(n_toks) AS BIGINT) AS raw_tokens,
+           | CAST(SUM(CASE WHEN rnk = 1 THEN n_toks ELSE 0 END)
+           |   AS BIGINT) AS hard_tokens,
+           | CAST(SUM((n_toks * 1000000) // csize) AS BIGINT)
+           |   AS soft_tokens_e6
+           |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -1455,6 +1455,147 @@ object Similarity {
         .select(col("q_id"), col("drnk"), col("c_id"), col("sim"),
           col("rnk").cast("long").as("orig_rnk"))
         .orderBy(col("q_id"), col("drnk"))
+    },
+
+    "v25_hybrid_rrf" -> { (s, dir) =>
+      // HYBRID retrieval — reciprocal-rank FUSION (k = 60) of a lexical
+      // shortlist and a vector shortlist, the serving pattern every
+      // RAG stack runs on top of the two index families this repo
+      // already grades separately (t23's BM25 side, v18's ANN side):
+      // rank-based fusion needs no score calibration between the two
+      // scales, which is why RRF beats score mixing across engines.
+      // Here each side is computed exactly over the graded corpus —
+      // lexical rank by token-set Jaccard (exact int |∩|/|∪|, one
+      // double division), vector rank by cosine — and the FUSION
+      // surface is what's new: a full-outer join of two per-query
+      // top-20 shortlists, so its cost is shortlist×query bounded no
+      // matter the corpus. At 100 TB the shortlists come from the
+      // inverted-index probe and the IVF probe respectively; the fused
+      // score 1/(60+r_lex) + 1/(60+r_vec) (absent rank ⇒ 0) is two
+      // exact-int double divisions added in fixed literal order, so
+      // both engines produce identical bits. embeddings.vec_id keys
+      // documents.doc_id in the synthetic star (both are the row
+      // index), making the doc↔vector join an equi-join.
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("tset"))
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = d.join(
+        e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      val q = corpus.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("q_id"), col("tset").as("q_tset"),
+          col("embedding").as("q_emb"))
+      val c = corpus.select(col("doc_id").as("c_id"),
+        col("tset").as("c_tset"), col("embedding").as("c_emb"))
+      // 20-query side broadcast: at test SF Catalyst can estimate the
+      // filtered slice LARGER than the corpus and invert the build side.
+      val pairs = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      val wl = Window.partitionBy(col("q_id"))
+        .orderBy(col("jac").desc, col("c_id"))
+      val lex = pairs
+        .withColumn("inter",
+          size(array_intersect(col("q_tset"), col("c_tset"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("q_tset")) + size(col("c_tset")) - col("inter"))
+            .cast("double"))
+        .withColumn("r_lex", row_number().over(wl).cast("long"))
+        .filter(col("r_lex") <= 20)
+        .select(col("q_id"), col("c_id"), col("r_lex"))
+      val wv = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val vec = pairs
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("r_vec", row_number().over(wv).cast("long"))
+        .filter(col("r_vec") <= 20)
+        .select(col("q_id"), col("c_id"), col("r_vec"))
+      val fused = lex.join(vec, Seq("q_id", "c_id"), "full_outer")
+        .withColumn("rrf",
+          when(col("r_lex").isNotNull,
+            lit(1.0) / (lit(60.0) + col("r_lex"))).otherwise(lit(0.0)) +
+          when(col("r_vec").isNotNull,
+            lit(1.0) / (lit(60.0) + col("r_vec"))).otherwise(lit(0.0)))
+      val wf = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("c_id"))
+      fused.withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("rnk"), col("c_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_vec"), lit(0L)).as("r_vec"), col("rrf"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    "v26_nprobe_sweep" -> { (s, dir) =>
+      // The IVF OPERATING CURVE — recall@5 and candidate volume at
+      // nProbe ∈ {1,2,4,8} under ONE trained codebook (v09's K=16,
+      // T=2 integer Lloyd), the vector-side twin of d15's banding
+      // sweep: the calibration run that picks a serving nProbe from
+      // measured recall-vs-cost instead of folklore. Sweep discipline
+      // (the d15 rule): the corpus is assigned ONCE, the probe ranks
+      // are computed ONCE to depth 8, and every operating point is a
+      // FILTER (prn ≤ p) over the shared candidate set — four legs
+      // cost one corpus scan plus three shortlist re-ranks, exactly
+      // how a 100 TB calibration must run (probe depth is a query-side
+      // knob; re-scanning or re-assigning the corpus per point is the
+      // anti-pattern). Monotonicity is structural: each leg's
+      // candidates are a superset of the previous leg's, so recall is
+      // non-decreasing in p while n_cand tracks the probed fraction —
+      // the graded output IS the curve.
+      val e = Tables.load(s, dir, "embeddings")
+      val qvAll = ivfQv(e).persist(StorageLevel.MEMORY_AND_DISK)
+      val cents = ivfTrain(qvAll, ivfSeed(qvAll, 16), 2)
+      val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
+      val qe = e.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wt = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val truth = qe
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wt))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val cells = ivfAssign(qvAll, cents)
+        .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
+        .join(e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), "c_id")
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("cid"))
+      val probes = qvAll.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wp).cast("long"))
+        .filter(col("prn") <= 8)
+        .select(col("q_id"), col("cid").as("p_cell"), col("prn"))
+      val cand = probes.join(qe, "q_id")
+        .join(cells,
+          col("p_cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .select(col("q_id"), col("c_id"), col("prn"), col("sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def leg(p: Int): DataFrame = {
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id"))
+        val in = cand.filter(col("prn") <= p)
+        val nCand = in.groupBy(col("q_id"))
+          .agg(count(lit(1)).as(s"n_cand_p$p"))
+        val top5 = in.withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+        truth.join(top5, Seq("q_id", "c_id"), "left_outer")
+          .groupBy(col("q_id")).agg(count(col("hit")).as(s"hits_p$p"))
+          .join(nCand, "q_id")
+          .withColumn(s"recall_p$p", col(s"hits_p$p").cast("double") / 5.0)
+      }
+      Seq(2, 4, 8).map(leg).foldLeft(leg(1))((a, b) => a.join(b, "q_id"))
+        .select(col("q_id"),
+          col("n_cand_p1"), col("hits_p1"), col("recall_p1"),
+          col("n_cand_p2"), col("hits_p2"), col("recall_p2"),
+          col("n_cand_p4"), col("hits_p4"), col("recall_p4"),
+          col("n_cand_p8"), col("hits_p8"), col("recall_p8"))
+        .orderBy(col("q_id"))
     }
   )
 
@@ -2753,7 +2894,171 @@ object Similarity {
          |    ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
          | FROM rr)
          |SELECT q_id, c_id, rnk, ham, sim FROM ranked WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // Same two shortlists + RRF fusion; the fused score keeps the same
+    // fixed add order (lex term first) so the doubles are bit-identical.
+    "v25_hybrid_rrf" ->
+      s"""WITH d AS (
+         | SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         | FROM documents WHERE text IS NOT NULL),
+         |corpus AS (
+         | SELECT d.doc_id, d.tset, e.embedding
+         | FROM d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |q AS (
+         | SELECT doc_id AS q_id, tset AS q_tset, embedding AS q_emb
+         | FROM corpus WHERE doc_id < 20),
+         |c AS (
+         | SELECT doc_id AS c_id, tset AS c_tset, embedding AS c_emb
+         | FROM corpus),
+         |pairs AS (
+         | SELECT * FROM q JOIN c ON q_id <> c_id),
+         |lex AS (
+         | SELECT q_id, c_id, r_lex FROM (
+         |  SELECT q_id, c_id,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+         |     CAST(len(list_intersect(q_tset, c_tset)) AS DOUBLE) /
+         |     CAST(len(q_tset) + len(c_tset)
+         |       - len(list_intersect(q_tset, c_tset)) AS DOUBLE) DESC,
+         |     c_id) AS BIGINT) AS r_lex
+         |  FROM pairs) t WHERE r_lex <= 20),
+         |vec AS (
+         | SELECT q_id, c_id, r_vec FROM (
+         |  SELECT q_id, c_id,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+         |     ${cos("q_emb", "c_emb")} DESC, c_id) AS BIGINT) AS r_vec
+         |  FROM pairs) t WHERE r_vec <= 20),
+         |fused AS (
+         | SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |  COALESCE(l.c_id, v.c_id) AS c_id, l.r_lex, v.r_vec,
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + l.r_lex AS DOUBLE),
+         |    CAST(0 AS DOUBLE)) +
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + v.r_vec AS DOUBLE),
+         |    CAST(0 AS DOUBLE)) AS rrf
+         | FROM lex l FULL OUTER JOIN vec v
+         |  ON l.q_id = v.q_id AND l.c_id = v.c_id)
+         |SELECT q_id, rnk, c_id,
+         | CAST(COALESCE(r_lex, 0) AS BIGINT) AS r_lex,
+         | CAST(COALESCE(r_vec, 0) AS BIGINT) AS r_vec, rrf
+         |FROM (
+         | SELECT q_id, c_id, r_lex, r_vec, rrf,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, c_id) AS BIGINT) AS rnk
+         | FROM fused) t
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // v09's training CTEs verbatim (same codebook), then ONE corpus
+    // assignment and ONE depth-8 probe ranking shared by all four
+    // operating points — each leg is a prn filter, like the engine.
+    "v26_nprobe_sweep" -> {
+      def dist(a: String, b: String): String =
+        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+      def assignCte(name: String, cents: String): String =
+        s"""$name AS (
+           | SELECT vec_id, qv, cid FROM (
+           |  SELECT q.vec_id, q.qv, c.cid,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+           |  FROM q CROSS JOIN $cents c) t WHERE rn = 1)"""
+          .stripMargin
+      def updateCte(dimsName: String, centsName: String,
+                    assigned: String): String =
+        s"""$dimsName AS (
+           | SELECT cid, dim,
+           |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+           | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
+           |        unnest(qv) AS v FROM $assigned) t
+           | GROUP BY cid, dim),
+           |${dimsName}s AS (
+           | SELECT cid, list(mval ORDER BY dim) AS mv,
+           |  CAST(SUM(mval * mval) AS BIGINT) AS ss
+           | FROM $dimsName GROUP BY cid),
+           |$centsName AS (
+           | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
+           |   THEN CAST(0 AS BIGINT)
+           |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
+           | FROM ${dimsName}s)""".stripMargin
+      def legCtes(p: Int): String =
+        s"""rk_p$p AS (
+           | SELECT q_id, c_id,
+           |  row_number() OVER (PARTITION BY q_id
+           |    ORDER BY sim DESC, c_id) AS rnk
+           | FROM cand WHERE prn <= $p),
+           |nc_p$p AS (
+           | SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand_p$p
+           | FROM cand WHERE prn <= $p GROUP BY q_id),
+           |h_p$p AS (
+           | SELECT t.q_id, CAST(COUNT(a.c_id) AS BIGINT) AS hits_p$p
+           | FROM truth t LEFT JOIN (
+           |  SELECT q_id, c_id FROM rk_p$p WHERE rnk <= 5) a
+           |  ON t.q_id = a.q_id AND t.c_id = a.c_id GROUP BY t.q_id)"""
+          .stripMargin
+      s"""WITH q AS (
+         | SELECT vec_id,
+         |  list_transform(ed, x -> CASE WHEN nrm = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings) tq),
+         |seed AS (
+         | SELECT vec_id AS cid, qv AS cv FROM q
+         | ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |${assignCte("a1", "seed")},
+         |${updateCte("u1", "c1", "a1")},
+         |${assignCte("a2", "c1")},
+         |${updateCte("u2", "c2", "a2")},
+         |tpairs AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id >= 100 AND q.vec_id < 120),
+         |truth AS (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+         |  FROM tpairs) WHERE rnk <= 5),
+         |af AS (
+         | SELECT vec_id AS c_id, cid AS c_cell FROM (
+         |  SELECT q.vec_id, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM q CROSS JOIN c2 c) t WHERE rn = 1),
+         |pr AS (
+         | SELECT q_id, p_cell, prn FROM (
+         |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS prn
+         |  FROM q CROSS JOIN c2 c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 120) t WHERE prn <= 8),
+         |cand AS (
+         | SELECT p.q_id, a.c_id, p.prn,
+         |  ${cos("qe.embedding", "ce.embedding")} AS sim
+         | FROM pr p
+         |  JOIN embeddings qe ON p.q_id = qe.vec_id
+         |  JOIN af a ON p.p_cell = a.c_cell AND p.q_id <> a.c_id
+         |  JOIN embeddings ce ON a.c_id = ce.vec_id),
+         |${legCtes(1)},
+         |${legCtes(2)},
+         |${legCtes(4)},
+         |${legCtes(8)}
+         |SELECT h_p1.q_id,
+         | n_cand_p1, hits_p1, CAST(hits_p1 AS DOUBLE) / 5.0 AS recall_p1,
+         | n_cand_p2, hits_p2, CAST(hits_p2 AS DOUBLE) / 5.0 AS recall_p2,
+         | n_cand_p4, hits_p4, CAST(hits_p4 AS DOUBLE) / 5.0 AS recall_p4,
+         | n_cand_p8, hits_p8, CAST(hits_p8 AS DOUBLE) / 5.0 AS recall_p8
+         |FROM h_p1
+         | JOIN nc_p1 ON h_p1.q_id = nc_p1.q_id
+         | JOIN h_p2 ON h_p1.q_id = h_p2.q_id
+         | JOIN nc_p2 ON h_p1.q_id = nc_p2.q_id
+         | JOIN h_p4 ON h_p1.q_id = h_p4.q_id
+         | JOIN nc_p4 ON h_p1.q_id = nc_p4.q_id
+         | JOIN h_p8 ON h_p1.q_id = h_p8.q_id
+         | JOIN nc_p8 ON h_p1.q_id = nc_p8.q_id
+         |ORDER BY h_p1.q_id""".stripMargin
+    }
   )
 
   /** Exact integer squared L2 over a PqSub-dim DuckDB list pair. */

@@ -587,10 +587,121 @@ object Temporal {
           sum(datediff(col("s_end"), col("s_start")).cast("long"))
             .as("transit_days"))
         .orderBy(col("o_orderkey"))
+    },
+
+    "p21_concurrency" -> { (s, dir) =>
+      // Interval SWEEP-LINE per key — peak overlap depth and union
+      // coverage, the two interval aggregates p15/p20 don't answer:
+      // "how many shipments were in transit AT ONCE per supplier, and
+      // how many distinct days had anything in transit". The classic
+      // single-pass form: each interval becomes a +1 event at its
+      // start and a -1 at its (exclusive) end; sorted by (ts, delta)
+      // the running sum IS the concurrency curve, and its max the
+      // peak (-1 sorts before +1, so back-to-back intervals — one
+      // ending exactly when the next starts — are never counted as
+      // concurrent, matching p20's half-open overlap). Coverage rides
+      // the p15 islands trick on the raw intervals: a new island
+      // starts where st exceeds the running max of prior ends
+      // (touching spans merge — union length is identical either
+      // way). Scale: both passes are windows PARTITIONed BY the key —
+      // per-key sorted sweeps distribute across executors exactly like
+      // any keyed window; no cross-key traffic, no driver state. Peak
+      // determinism under sort ties: within an equal-(ts,delta) run
+      // the intermediate running sums depend on tie order, but the
+      // MAX is always attained at the end of a +1 run, which every
+      // order reaches with the same value — and the oracle sweeps the
+      // same events. Bounded to suppkey ≤ 100 only to keep graded
+      // output stable across SFs.
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 100)
+        .select(col("l_suppkey").as("k"),
+          col("l_shipdate").as("st"),
+          expr("l_shipdate + (1 + l_linenumber * 4) * INTERVAL 1 DAY")
+            .as("en"))
+      sweepSummary(l)
+        .select(col("k").as("l_suppkey"), col("n_intervals"),
+          col("peak_concurrency"), col("n_islands"), col("covered_days"))
+        .orderBy(col("l_suppkey"))
     }
   )
 
+  /** p21's core over any (k, st: date, en: date) frame with half-open
+    * intervals [st, en): per key, interval count, peak overlap depth,
+    * merged-island count (touching spans merge) and union coverage in
+    * days. Exposed for `SweepLinePropSpec`'s brute-force equivalence. */
+  private[graft] def sweepSummary(l: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = l.select(col("k"), col("st").as("ts"), lit(1L).as("delta"))
+      .unionAll(l.select(col("k"), col("en").as("ts"),
+        lit(-1L).as("delta")))
+    val wSweep = W.partitionBy(col("k")).orderBy(col("ts"), col("delta"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val peak = ev.withColumn("depth", sum(col("delta")).over(wSweep))
+      .groupBy(col("k")).agg(max(col("depth")).as("peak_concurrency"))
+    val wIsl = W.partitionBy(col("k")).orderBy(col("st"), col("en"))
+    val cov = l
+      .withColumn("prev_max_en",
+        max(col("en")).over(wIsl.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_max_en").isNull ||
+          col("st") > col("prev_max_en"), 1L).otherwise(0L))
+      .withColumn("isl_id", sum(col("new_isl"))
+        .over(wIsl.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("k"), col("isl_id"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(datediff(col("ien"), col("ist")).cast("long"))
+          .as("covered_days"))
+    l.groupBy(col("k")).agg(count(lit(1)).as("n_intervals"))
+      .join(peak, "k").join(cov, "k")
+  }
+
   def oracle: Map[String, String] = Map(
+    // Same sweep: ±1 events ordered (ts, delta) so ends precede starts
+    // at equal timestamps (half-open), islands by running-max-of-ends.
+    "p21_concurrency" ->
+      """WITH l AS (
+        | SELECT l_suppkey AS k, l_shipdate AS st,
+        |  l_shipdate + (1 + l_linenumber * 4) * INTERVAL 1 DAY AS en
+        | FROM lineitem WHERE l_suppkey <= 100),
+        |ev AS (
+        | SELECT k, st AS ts, CAST(1 AS BIGINT) AS delta FROM l
+        | UNION ALL
+        | SELECT k, en AS ts, CAST(-1 AS BIGINT) AS delta FROM l),
+        |dep AS (
+        | SELECT k, SUM(delta) OVER (PARTITION BY k ORDER BY ts, delta
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+        | FROM ev),
+        |pk AS (
+        | SELECT k, CAST(MAX(depth) AS BIGINT) AS peak_concurrency
+        | FROM dep GROUP BY k),
+        |mx AS (
+        | SELECT k, st, en, MAX(en) OVER (PARTITION BY k ORDER BY st, en
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS prev_max_en
+        | FROM l),
+        |isl AS (
+        | SELECT k, st, en,
+        |  SUM(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY k ORDER BY st, en
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        | FROM mx),
+        |ii AS (
+        | SELECT k, isl_id, MIN(st) AS ist, MAX(en) AS ien
+        | FROM isl GROUP BY k, isl_id),
+        |cov AS (
+        | SELECT k, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(date_diff('day', ist, ien)) AS BIGINT) AS covered_days
+        | FROM ii GROUP BY k),
+        |base AS (
+        | SELECT k, CAST(COUNT(*) AS BIGINT) AS n_intervals
+        | FROM l GROUP BY k)
+        |SELECT base.k AS l_suppkey, n_intervals, peak_concurrency,
+        | n_islands, covered_days
+        |FROM base JOIN pk USING (k) JOIN cov USING (k)
+        |ORDER BY l_suppkey""".stripMargin,
+
     // Brute-force keyless theta join — the O(N·M) shape p20's binned
     // Spark plan replaces; identical overlap semantics (half-open).
     "p20_interval_overlap" ->

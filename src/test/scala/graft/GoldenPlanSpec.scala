@@ -452,7 +452,31 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // codes-only scan — a corpus-sized shuffle against either table,
     // or float embeddings reaching the code scan legs, would show
     // here; the truth leg keeps v11's bounded broadcast theta join.
-    "v24_pq_sdc")
+    "v24_pq_sdc",
+    // round-10 wave 3. d36: soft dedup must read cluster labels off
+    // d06's checkpoint scan (a rebuilt CC iteration chain or a second
+    // signature mining pass would show here), and rank+csize must
+    // share ONE cluster-keyed Window (the d07 one-Window rule).
+    "d36_soft_dedup",
+    // v26: the corpus is assigned ONCE (one broadcast-codebook argmin
+    // aggregate feeding all four legs through the candidate persist) —
+    // a per-leg Lloyd subtree or a second corpus-wide assignment
+    // exchange would mean the sweep regressed to four independent
+    // probes; all four legs read InMemoryTableScans of the shared
+    // candidate set.
+    "v26_nprobe_sweep",
+    // p21: both the ±1-event sweep window and the islands window pair
+    // must stay PARTITIONed BY the key (an unpartitioned global
+    // Window would serialize the sweep through one task), and the
+    // islands cummax + island-id cumsum must share one Exchange+Sort
+    // (the p15 rule).
+    "p21_concurrency",
+    // v25: both shortlist legs must stay theta joins of the BROADCAST
+    // 20-query slice against the corpus (pushed doc_id < 20 filter on
+    // the query scans; a corpus×corpus pair join or a shuffle of the
+    // corpus against the queries would show here); the RRF fusion is
+    // a full-outer SMJ of two ≤20-row-per-query shortlists.
+    "v25_hybrid_rrf")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
