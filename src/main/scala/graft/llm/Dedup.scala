@@ -1825,8 +1825,131 @@ object Dedup {
             .as("hard_tokens"),
           sum(col("eff_tok_e6")).as("soft_tokens_e6"))
         .orderBy(col("source"))
+    },
+
+    "d37_deletion_audit" -> { (s, dir) =>
+      // RIGHT-TO-BE-FORGOTTEN propagation — what a takedown batch does
+      // to the DEDUPED corpus, not just the raw one: deleting a doc
+      // that happens to be its cluster's d07 keeper silently swaps the
+      // canonical copy (possibly to another SOURCE — a provenance
+      // shift no raw-grain delete count shows), and deleting a whole
+      // cluster erases content the keeper-count said was "1 doc".
+      // Takedown set: md5(doc_id) first hex ≤ '1' (deterministic ⅛ of
+      // the corpus, uniform across sources — no RNG, both engines
+      // agree bit-for-bit). Per OLD-keeper source: direct deletions
+      // and token mass removed, clusters touched, keepers lost,
+      // re-elections (a survivor takes over, d07's same rule over the
+      // survivors), full erasures, and keeper-source moves. Scale:
+      // reuses d06's converged labels; ONE cluster-keyed window (rnk
+      // only — csize and the survivor argmin fold into the cluster
+      // aggregate) + two partial aggs; the new-keeper pick is the
+      // ivfAssign struct-MIN, not a second window sort.
+      val clusters = queries("d06_dup_clusters")(s, dir)
+        .select(col("doc_id").as("cid"), col("cluster"))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("del",
+          when(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 1) <= "1", 1L).otherwise(0L))
+      val labeled = docs
+        .join(clusters, col("doc_id") === col("cid"), "left_outer")
+        .select(col("doc_id"), col("source"), col("n_toks"), col("del"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      deletionAudit(labeled)
+    },
+
+    "d38_mix_plan" -> { (s, dir) =>
+      // MIX PLANNING under capacity — computing the per-source token
+      // QUOTAS d24's mixer consumes, when target weights meet finite
+      // per-source supply: proportional shares w·B/W overdraw small
+      // sources, so the practical mixer runs capped redistribution —
+      // round 1 allocates min(avail, w·B/W), round 2 re-offers the
+      // undrawn remainder to the sources that still have supply,
+      // re-weighted among THEM. Both rounds are exact int64 floor
+      // divisions (the d36 fixed-point rule: no double shares to
+      // hash-flake), weights are the deterministic 20−N ramp over
+      // srcN, and B is ⅓ of total supply. Graded per source: supply,
+      // both round allocations, the saturation flag, and the
+      // post-round-2 fill fraction. Scale: ONE corpus projection into
+      // a 20-row source aggregate; everything after is arithmetic on
+      // that 20-row frame (two 1-row broadcast aggs, the t22
+      // bounded-frame rule — never a per-doc window), so the plan
+      // costs one scan no matter the corpus size.
+      val src = barrier(Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("avail"))
+        .withColumn("w",
+          lit(20L) - expr("CAST(substring(source, 4) AS BIGINT)")))
+      cappedRedistribution(src)
     }
   )
+
+  /** d37's core over any (doc_id, source, n_toks, del, cluster) frame:
+    * per old-keeper source, deletion-propagation stats through d07's
+    * keeper rule. Exposed for `DedupPropSpec`'s brute-force check. */
+  private[graft] def deletionAudit(labeled: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+    val cl = labeled
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("del")).as("n_del"),
+        sum(col("del") * col("n_toks")).as("tok_del"),
+        max(when(col("rnk") === 1, col("source"))).as("ksrc"),
+        max(when(col("rnk") === 1, col("del"))).as("kdel"),
+        min(when(col("del") === 0,
+          struct(col("rnk"), col("source")))).as("surv"))
+    cl.groupBy(col("ksrc").as("source"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_members")).as("n_docs"),
+        sum(col("n_del")).as("n_deleted"),
+        sum(col("tok_del")).as("tok_deleted"),
+        sum(when(col("n_del") > 0, 1L).otherwise(0L))
+          .as("clusters_touched"),
+        sum(col("kdel")).as("keepers_lost"),
+        sum(when(col("kdel") === 1 && col("surv").isNotNull, 1L)
+          .otherwise(0L)).as("reelected"),
+        sum(when(col("n_del") === col("n_members"), 1L).otherwise(0L))
+          .as("erased"),
+        sum(when(col("kdel") === 1 && col("surv").isNotNull &&
+          col("surv").getField("source") =!= col("ksrc"), 1L)
+          .otherwise(0L)).as("moved_source"))
+      .orderBy(col("source"))
+  }
+
+  /** d38's core over any (source, avail, w) frame: two-round capped
+    * proportional allocation against a budget of ⅓ total supply, all
+    * divisions int64 floor. Exposed for `DedupPropSpec`'s brute-force
+    * check (which also pins the never-overdraw invariants). */
+  private[graft] def cappedRedistribution(src: DataFrame): DataFrame = {
+    val tot = src.agg(sum(col("avail")).as("ta"), sum(col("w")).as("tw"))
+    val r1 = src.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("ta div 3"))
+      .withColumn("a1", least(col("avail"),
+        expr("(w * budget) div tw")))
+      .withColumn("open", when(col("a1") < col("avail"), 1L)
+        .otherwise(0L))
+    val left = r1.agg(
+      (max(col("budget")) - sum(col("a1"))).as("l1"),
+      sum(col("open") * col("w")).as("wu"))
+    r1.crossJoin(broadcast(left))
+      .withColumn("a2", when(col("open") === 1 && col("wu") > 0,
+        least(col("avail") - col("a1"),
+          expr("(w * l1) div wu"))).otherwise(0L))
+      .select(col("source"), col("w"), col("avail").as("avail_toks"),
+        col("budget"), col("a1").as("alloc_r1"),
+        col("a2").as("alloc_r2"),
+        (col("a1") + col("a2")).as("alloc"),
+        (lit(1L) - col("open")).as("saturated_r1"),
+        ((col("a1") + col("a2")).cast("double") /
+          col("avail").cast("double")).as("fill_frac"))
+      .orderBy(col("source"))
+  }
 
   /** d34's core: per-eval-doc K-token-window containment against the
     * complementary training slice, over any (doc_id, toks) frame.
@@ -3341,6 +3464,96 @@ object Dedup {
            | CAST(SUM((n_toks * 1000000) // csize) AS BIGINT)
            |   AS soft_tokens_e6
            |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+      // d36's component CTEs; takedown = md5 first hex <= '1'; new
+      // keeper via arg_min over surviving rnk (Spark: struct-min).
+      "d37_deletion_audit" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |edges AS (
+           | SELECT da AS a, db AS b FROM dup_pairs
+           | UNION SELECT db, da FROM dup_pairs
+           | UNION SELECT da, da FROM dup_pairs
+           | UNION SELECT db, db FROM dup_pairs),
+           |reach AS (
+           | SELECT a, b FROM edges
+           | UNION
+           | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (
+           | SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+           | FROM reach GROUP BY a),
+           |lens AS (
+           | SELECT doc_id, source,
+           |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+           |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           |    <= '1' THEN 1 ELSE 0 END AS del
+           | FROM documents),
+           |labeled AS (
+           | SELECT l.doc_id, l.source, l.n_toks, l.del,
+           |  COALESCE(c.cluster, l.doc_id) AS cluster
+           | FROM lens l LEFT JOIN comp c ON l.doc_id = c.doc_id),
+           |ranked AS (
+           | SELECT *, row_number() OVER (PARTITION BY cluster
+           |   ORDER BY n_toks DESC, doc_id) AS rnk
+           | FROM labeled),
+           |cl AS (
+           | SELECT cluster, COUNT(*) AS n_members, SUM(del) AS n_del,
+           |  SUM(del * n_toks) AS tok_del,
+           |  MAX(CASE WHEN rnk = 1 THEN source END) AS ksrc,
+           |  MAX(CASE WHEN rnk = 1 THEN del END) AS kdel,
+           |  arg_min(source, rnk) FILTER (WHERE del = 0) AS newsrc
+           | FROM ranked GROUP BY cluster)
+           |SELECT ksrc AS source,
+           | CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           | CAST(SUM(n_members) AS BIGINT) AS n_docs,
+           | CAST(SUM(n_del) AS BIGINT) AS n_deleted,
+           | CAST(SUM(tok_del) AS BIGINT) AS tok_deleted,
+           | CAST(SUM(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS clusters_touched,
+           | CAST(SUM(kdel) AS BIGINT) AS keepers_lost,
+           | CAST(SUM(CASE WHEN kdel = 1 AND newsrc IS NOT NULL
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS reelected,
+           | CAST(SUM(CASE WHEN n_del = n_members THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS erased,
+           | CAST(SUM(CASE WHEN kdel = 1 AND newsrc IS NOT NULL
+           |   AND newsrc <> ksrc THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS moved_source
+           |FROM cl GROUP BY ksrc ORDER BY source""".stripMargin,
+
+      // Same 20-row arithmetic: w = 20 - N, B = total // 3, capped
+      // proportional round 1, re-weighted remainder round 2.
+      "d38_mix_plan" ->
+        """WITH src AS (
+          | SELECT source,
+          |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS avail,
+          |  20 - CAST(substring(source, 4) AS BIGINT) AS w
+          | FROM documents GROUP BY source),
+          |tot AS (
+          | SELECT CAST(SUM(avail) AS BIGINT) AS ta,
+          |  CAST(SUM(w) AS BIGINT) AS tw FROM src),
+          |r1 AS (
+          | SELECT source, w, avail, ta // 3 AS budget,
+          |  least(avail, (w * (ta // 3)) // tw) AS a1,
+          |  CASE WHEN least(avail, (w * (ta // 3)) // tw) < avail
+          |    THEN 1 ELSE 0 END AS open
+          | FROM src CROSS JOIN tot),
+          |lf AS (
+          | SELECT CAST(MAX(budget) - SUM(a1) AS BIGINT) AS l1,
+          |  CAST(SUM(open * w) AS BIGINT) AS wu FROM r1)
+          |SELECT source, CAST(w AS BIGINT) AS w,
+          | CAST(avail AS BIGINT) AS avail_toks,
+          | CAST(budget AS BIGINT) AS budget,
+          | CAST(a1 AS BIGINT) AS alloc_r1,
+          | CAST(CASE WHEN open = 1 AND wu > 0
+          |   THEN least(avail - a1, (w * l1) // wu)
+          |   ELSE 0 END AS BIGINT) AS alloc_r2,
+          | CAST(a1 + CASE WHEN open = 1 AND wu > 0
+          |   THEN least(avail - a1, (w * l1) // wu)
+          |   ELSE 0 END AS BIGINT) AS alloc,
+          | CAST(1 - open AS BIGINT) AS saturated_r1,
+          | CAST(a1 + CASE WHEN open = 1 AND wu > 0
+          |   THEN least(avail - a1, (w * l1) // wu)
+          |   ELSE 0 END AS DOUBLE) / CAST(avail AS DOUBLE) AS fill_frac
+          |FROM r1 CROSS JOIN lf ORDER BY source""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

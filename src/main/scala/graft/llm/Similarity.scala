@@ -1596,6 +1596,56 @@ object Similarity {
           col("n_cand_p4"), col("hits_p4"), col("recall_p4"),
           col("n_cand_p8"), col("hits_p8"), col("recall_p8"))
         .orderBy(col("q_id"))
+    },
+
+    "v27_knn_graph" -> { (s, dir) =>
+      // kNN-GRAPH structure audit — the embedding-space health report
+      // behind graph-based curation (SemDeDup picks keepers, NN-descent
+      // builds indexes, hubness tells you whether cosine is even
+      // meaningful on this space): build the exact directed 5-NN graph
+      // on a bounded slice and grade, per node, its IN-degree (hubs:
+      // nodes the metric funnels everything toward), its MUTUAL-edge
+      // count (symmetric neighborhoods — the edges NN-descent and
+      // mutual-kNN clustering actually keep), and its top-1/top-5
+      // similarity (local density). High-hubness + low-mutuality is
+      // the classic symptom of concentrated distances; the fix
+      // (re-normalization, dim reduction) is decided off THIS table.
+      // Scale: the graph is built on a fixed 200-vector calibration
+      // slice (the v05 bounded-slice rule) — one broadcast theta join,
+      // 200×199 codegen'd cosines, and every downstream stat is a
+      // shuffle of ≤1000 edge rows; the 100 TB corpus never joins
+      // itself. Degrees and mutual counts are exact ints; top sims are
+      // single cosine values (never re-aggregated doubles). Edge set
+      // is tie-deterministic: row_number orders (sim DESC, b_id), so
+      // duplicate embeddings (present in this corpus) rank stably.
+      val e = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("sim").desc, col("b_id"))
+      val eg = broadcast(a).join(b, col("a_id") =!= col("b_id"))
+        .withColumn("sim", expr("cosine_sim(a_emb, b_emb)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("a_id"), col("b_id"), col("sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val outStats = eg.groupBy(col("a_id"))
+        .agg(max(col("sim")).as("top1_sim"), min(col("sim")).as("top5_sim"))
+      val ind = eg.select(col("b_id").as("n_id"))
+        .groupBy(col("n_id")).agg(count(lit(1)).as("in_deg"))
+      val rev = eg.select(col("a_id").as("r_a"), col("b_id").as("r_b"))
+      val mut = eg.join(rev,
+          col("a_id") === col("r_b") && col("b_id") === col("r_a"))
+        .groupBy(col("a_id")).agg(count(lit(1)).as("n_mutual"))
+      outStats
+        .join(ind, col("a_id") === col("n_id"), "left_outer")
+        .join(mut, Seq("a_id"), "left_outer")
+        .select(col("a_id").as("vec_id"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+          col("top1_sim"), col("top5_sim"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -3058,7 +3108,41 @@ object Similarity {
          | JOIN h_p8 ON h_p1.q_id = h_p8.q_id
          | JOIN nc_p8 ON h_p1.q_id = nc_p8.q_id
          |ORDER BY h_p1.q_id""".stripMargin
-    }
+    },
+
+    // Same exact 5-NN edge set (sim DESC, b_id tiebreak) over the
+    // 200-vector slice; degrees/mutuality as plain joins.
+    "v27_knn_graph" ->
+      s"""WITH sl AS (
+         | SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |pairs AS (
+         | SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${cos("a.embedding", "b.embedding")} AS sim
+         | FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),
+         |eg AS (
+         | SELECT a_id, b_id, sim FROM (
+         |  SELECT a_id, b_id, sim,
+         |   row_number() OVER (PARTITION BY a_id
+         |     ORDER BY sim DESC, b_id) AS rnk
+         |  FROM pairs) t WHERE rnk <= 5),
+         |outs AS (
+         | SELECT a_id, MAX(sim) AS top1_sim, MIN(sim) AS top5_sim
+         | FROM eg GROUP BY a_id),
+         |ind AS (
+         | SELECT b_id AS n_id, CAST(COUNT(*) AS BIGINT) AS in_deg
+         | FROM eg GROUP BY b_id),
+         |mut AS (
+         | SELECT x.a_id, CAST(COUNT(*) AS BIGINT) AS n_mutual
+         | FROM eg x JOIN eg y ON x.a_id = y.b_id AND x.b_id = y.a_id
+         | GROUP BY x.a_id)
+         |SELECT o.a_id AS vec_id,
+         | CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+         | CAST(COALESCE(m.n_mutual, 0) AS BIGINT) AS n_mutual,
+         | o.top1_sim, o.top5_sim
+         |FROM outs o
+         | LEFT JOIN ind i ON o.a_id = i.n_id
+         | LEFT JOIN mut m ON o.a_id = m.a_id
+         |ORDER BY vec_id""".stripMargin
   )
 
   /** Exact integer squared L2 over a PqSub-dim DuckDB list pair. */

@@ -755,6 +755,46 @@ object TextAnalysis {
         .withColumn("bytes_per_subword",
           col("n_bytes").cast("double") / col("n_subwords").cast("double"))
         .orderBy(col("lang"))
+    },
+
+    "t25_zipf_coverage" -> { (s, dir) =>
+      // ZIPF HEAD-COVERAGE audit — the vocabulary-planning numbers a
+      // tokenizer build reads before fixing a vocab size: per language,
+      // how many word types exist, how heavy the head is (what share
+      // of the running token stream the top-100 types alone cover —
+      // Zipf says ~most of it; a flat curve means noisy or synthetic
+      // text), how long the hapax tail is (types seen ONCE — merge
+      // candidates that buy nothing), and the type/token ratio. All
+      // counts are exact int64; the two ratios are one double division
+      // each, off integer numerators (the t24 rule) — no aggregated
+      // doubles anywhere. Scale: one explode into a (lang, token)
+      // partial-aggregated count (the f-not-f² shape: f distinct types
+      // cross the exchange, not f² token instances), then ONE
+      // lang-keyed window ranks the vocabulary — vocab-sized
+      // partitions, the natural distribution grain — and a 5-group
+      // rollup; the corpus is scanned once.
+      val vocab = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("tok"))
+      vocab
+        .withColumn("rnk", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_types"),
+          sum(when(col("rnk") <= 100, col("cnt")).otherwise(0L))
+            .as("top100_tokens"))
+        .withColumn("coverage_top100",
+          col("top100_tokens").cast("double") /
+            col("n_tokens").cast("double"))
+        .withColumn("type_token_ratio",
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -808,6 +848,34 @@ object TextAnalysis {
         |   AS fertility,
         | CAST(n_bytes AS DOUBLE) / CAST(n_subwords AS DOUBLE)
         |   AS bytes_per_subword
+        |FROM ag ORDER BY lang""".stripMargin,
+
+    // Same vocab grain (space split), same (cnt DESC, tok) rank order.
+    "t25_zipf_coverage" ->
+      """WITH v AS (
+        | SELECT lang, unnest(string_split(text, ' ')) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |vocab AS (
+        | SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM v GROUP BY lang, tok),
+        |ranked AS (
+        | SELECT lang, cnt,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, tok) AS rnk
+        | FROM vocab),
+        |ag AS (
+        | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax_types,
+        |  CAST(SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS top100_tokens
+        | FROM ranked GROUP BY lang)
+        |SELECT lang, n_types, n_tokens, hapax_types, top100_tokens,
+        | CAST(top100_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |   AS coverage_top100,
+        | CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |   AS type_token_ratio
         |FROM ag ORDER BY lang""".stripMargin,
 
     // chr(65533) = U+FFFD, chr(195)/chr(194) = the mojibake marks;

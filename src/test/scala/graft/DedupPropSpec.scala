@@ -878,4 +878,120 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("d37 deletion audit equals in-memory brute force on arbitrary " +
+    "cluster/source/deletion layouts") {
+    val s = spark
+    import s.implicits._
+    // Few clusters + few sources → every interesting case appears:
+    // keeper deleted with cross-source re-election, full erasure,
+    // untouched clusters, singletons.
+    val genCase = for {
+      n <- Gen.choose(3, 16)
+      rows <- Gen.sequence[Seq[(Long, String, Long, Long, Long)],
+        (Long, String, Long, Long, Long)](
+        (0 until n).map { id =>
+          for {
+            src <- Gen.oneOf("sA", "sB", "sC")
+            nt <- Gen.choose(1L, 8L) // narrow → frequent keeper ties
+            del <- Gen.oneOf(0L, 1L)
+            cl <- Gen.choose(0L, 4L)
+          } yield (id.toLong, src, nt, del, cl)
+        })
+    } yield rows
+    def brute(rows: Seq[(Long, String, Long, Long, Long)])
+        : Map[String, (Long, Long, Long, Long, Long, Long, Long, Long,
+          Long)] =
+      rows.groupBy(_._5).values.map { ms =>
+        val ord = ms.sortBy(m => (-m._3, m._1)) // n_toks DESC, doc_id
+        val keeper = ord.head
+        val nDel = ms.count(_._4 == 1L).toLong
+        val surv = ord.find(_._4 == 0L)
+        (keeper._2, ms.size.toLong, nDel,
+          ms.filter(_._4 == 1L).map(_._3).sum,
+          keeper._4, surv,
+          if (nDel == ms.size) 1L else 0L)
+      }.toSeq.groupBy(_._1).map { case (src, cls) =>
+        src -> (cls.size.toLong, cls.map(_._2).sum, cls.map(_._3).sum,
+          cls.map(_._4).sum,
+          cls.count(_._3 > 0).toLong,
+          cls.map(_._5).sum,
+          cls.count(c => c._5 == 1L && c._6.nonEmpty).toLong,
+          cls.map(_._7).sum,
+          cls.count(c => c._5 == 1L &&
+            c._6.exists(_._2 != src)).toLong)
+      }
+    val prop = Prop.forAll(genCase) { rows =>
+      val df = rows.toDF("doc_id", "source", "n_toks", "del", "cluster")
+      val got = Dedup.deletionAudit(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9)))
+        .toMap
+      val want = brute(rows)
+      val ok = got == want
+      if (!ok) println(s"d37 got $got != brute $want on $rows")
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("d38 capped redistribution equals in-memory brute force and " +
+    "never overdraws budget or supply") {
+    val s = spark
+    import s.implicits._
+    val genCase = for {
+      n <- Gen.choose(1, 8)
+      rows <- Gen.sequence[Seq[(String, Long, Long)],
+        (String, Long, Long)](
+        (0 until n).map { i =>
+          for {
+            avail <- Gen.choose(1L, 1000L)
+            w <- Gen.choose(1L, 20L)
+          } yield (f"s$i%02d", avail, w)
+        })
+    } yield rows
+    def brute(rows: Seq[(String, Long, Long)])
+        : Map[String, (Long, Long, Long, Long, Long, Long, Long,
+          Double)] = {
+      val ta = rows.map(_._2).sum; val tw = rows.map(_._3).sum
+      val b = ta / 3
+      val r1 = rows.map { case (src, av, w) =>
+        val a1 = math.min(av, w * b / tw)
+        (src, av, w, a1, if (a1 < av) 1L else 0L)
+      }
+      val l1 = b - r1.map(_._4).sum
+      val wu = r1.filter(_._5 == 1L).map(_._3).sum
+      r1.map { case (src, av, w, a1, open) =>
+        val a2 = if (open == 1L && wu > 0) math.min(av - a1, w * l1 / wu)
+          else 0L
+        src -> (w, av, b, a1, a2, a1 + a2, 1L - open,
+          (a1 + a2).toDouble / av.toDouble)
+      }.toMap
+    }
+    val prop = Prop.forAll(genCase) { rows =>
+      val df = rows.toDF("source", "avail", "w")
+      val gotRows = Dedup.cappedRedistribution(df).collect()
+      val got = gotRows.map(r => r.getString(0) -> (r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getDouble(8))).toMap
+      val want = brute(rows)
+      val b = want.values.head._3
+      // Invariants a mixer must never break: per-source alloc within
+      // supply, total alloc within budget, saturated sources excluded
+      // from round 2.
+      val sane = gotRows.forall { r =>
+        r.getLong(6) <= r.getLong(2) &&
+        (r.getLong(7) == 0L || r.getLong(5) == 0L)
+      } && gotRows.map(_.getLong(6)).sum <= b
+      val ok = got == want && sane
+      if (!ok) println(s"d38 got $got != brute $want (sane=$sane) on $rows")
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

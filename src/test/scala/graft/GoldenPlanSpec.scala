@@ -476,7 +476,30 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the query scans; a corpus×corpus pair join or a shuffle of the
     // corpus against the queries would show here); the RRF fusion is
     // a full-outer SMJ of two ≤20-row-per-query shortlists.
-    "v25_hybrid_rrf")
+    "v25_hybrid_rrf",
+    // round-10 wave 4. d37: cluster labels come off d06's checkpoint
+    // scan (no rebuilt CC chain), ONE cluster-keyed Window feeds a
+    // cluster-grain partial agg whose survivor pick is a struct-MIN
+    // (a second window sort over survivors would show here).
+    "d37_deletion_audit",
+    // d38: the corpus appears as ONE scan into the 20-row source agg
+    // behind the localCheckpoint barrier; both redistribution rounds
+    // join 1-row broadcast aggregates against the 20-row frame — a
+    // second corpus scan (re-derived lineage for the tot/left aggs)
+    // would show here.
+    "d38_mix_plan",
+    // v27: the 5-NN graph is a broadcast theta join of the bounded
+    // 200-vector slice against itself (pushed vec_id < 200 on both
+    // scans); degree/mutuality stats shuffle only edge rows read back
+    // from the InMemoryTableScan of the persisted edge set — a
+    // corpus-sized exchange or a re-built pair join per stat leg
+    // would show here.
+    "v27_knn_graph",
+    // t25: the vocab count is a partial-aggregated explode (f types
+    // cross the exchange, not f² instances — hashAggregate below the
+    // exchange), and the rank is ONE lang-keyed Window; per-doc
+    // windows or a second corpus scan would show here.
+    "t25_zipf_coverage")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
