@@ -1884,6 +1884,72 @@ object Dedup {
         .withColumn("w",
           lit(20L) - expr("CAST(substring(source, 4) AS BIGINT)")))
       cappedRedistribution(src)
+    },
+
+    "d39_containment_pairs" -> { (s, dir) =>
+      // ASYMMETRIC copy detection — shingle CONTAINMENT, the pair class
+      // symmetric dedup is blind to: a short doc pasted inside a long
+      // one has tiny Jaccard (the union is the long doc) but
+      // containment |A∩B|/|A| ≈ 1, so d03/d04/d19 all skip it and the
+      // copy survives into training. Shingle grain (d04's 3-gram
+      // hashes), not token sets: this corpus's docs share a small
+      // vocabulary, so token-set containment is saturated noise while
+      // a shared 3-gram RUN is real copied text. Candidates use the
+      // containment-adapted prefix filter (the d19/d31b rarest-first
+      // discipline): C ≥ 0.9 forces |A\B| ≤ ⌊sza/10⌋, so A's
+      // ⌊sza/10⌋+1 globally-RAREST shingles must hit B — probe side
+      // carries only that prefix, index side is the full postings
+      // (short lists for rare shingles; a doc whose rarest decile is
+      // still corpus-hot degenerates, and the d04 DF cap is the
+      // production valve for that). Role order (sza, doc_id) makes
+      // each pair checked exactly once with A the contained side.
+      // Verification is exact on re-attached sets; the kept pairs
+      // report containment AND Jaccard side by side with the
+      // jac_caught flag — the graded evidence of what the symmetric
+      // pass misses. Work ∝ prefix collisions, never corpus².
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(call_function("shingle_hashes", col("text"),
+            lit(3))).as("shs"))
+        .withColumn("sz", size(col("shs")).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ex = base.select(col("doc_id"), col("sz"),
+        explode(col("shs")).as("h"))
+      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val pref = ex.join(dfreq, "h")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+            .as("ord"),
+          count(lit(1)).as("sza"))
+        .select(col("doc_id").as("da"), col("sza"),
+          explode(slice(col("ord"), lit(1),
+            expr("CAST(sza div 10 + 1 AS INT)"))).as("p"))
+        .select(col("da"), col("sza"), col("p.h").as("h"))
+      val post = ex.select(col("doc_id").as("db"), col("sz").as("szb"),
+        col("h").as("hb"))
+      val cand = pref.join(post, col("h") === col("hb") &&
+          (col("sza") < col("szb") ||
+            (col("sza") === col("szb") && col("da") < col("db"))))
+        .select(col("da"), col("db")).distinct()
+      val sets = base.select(col("doc_id"), col("shs"))
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")),
+          "da")
+        .join(sets.select(col("doc_id").as("db"), col("shs").as("sb")),
+          "db")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("sz_small", size(col("sa")).cast("long"))
+        .withColumn("sz_big", size(col("sb")).cast("long"))
+        .filter(col("inter") * 10 >= col("sz_small") * 9)
+        .withColumn("cont", col("inter").cast("double") /
+          col("sz_small").cast("double"))
+        .withColumn("jac", col("inter").cast("double") /
+          (col("sz_small") + col("sz_big") - col("inter")).cast("double"))
+        .select(col("da"), col("db"), col("sz_small"), col("sz_big"),
+          col("inter"), col("cont"), col("jac"),
+          when(col("jac") >= 0.7, 1L).otherwise(0L).as("jac_caught"))
+        .orderBy(col("da"), col("db"))
     }
   )
 
@@ -3554,6 +3620,58 @@ object Dedup {
           |   THEN least(avail - a1, (w * l1) // wu)
           |   ELSE 0 END AS DOUBLE) / CAST(avail AS DOUBLE) AS fill_frac
           |FROM r1 CROSS JOIN lf ORDER BY source""".stripMargin,
+
+      // Same shingle grain as d04's oracle, same rarest-first prefix
+      // (sz//10+1) probing the full postings, exact verify.
+      "d39_containment_pairs" -> {
+        val shHash = tokHashSqlDuck.format(
+          "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")
+        s"""WITH d AS (
+           | SELECT doc_id, string_split(text, ' ') AS toks
+           | FROM documents),
+           |shs AS (
+           | SELECT doc_id,
+           |  list_distinct(list_transform(range(len(toks) - 2),
+           |    i -> $shHash)) AS shs
+           | FROM d),
+           |ex AS (
+           | SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz,
+           |  unnest(shs) AS h
+           | FROM shs),
+           |dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+           |ord AS (
+           | SELECT e.doc_id,
+           |  list({'df': f.df, 'h': e.h} ORDER BY f.df, e.h) AS ord,
+           |  COUNT(*) AS sza
+           | FROM ex e JOIN dfreq f USING (h) GROUP BY e.doc_id),
+           |pref AS (
+           | SELECT doc_id AS da, sza,
+           |  unnest(list_slice(ord, 1, CAST(sza // 10 + 1 AS INT))) AS p
+           | FROM ord),
+           |ph AS (SELECT da, sza, p.h AS h FROM pref),
+           |cand AS (
+           | SELECT DISTINCT a.da, e.doc_id AS db
+           | FROM ph a JOIN ex e ON a.h = e.h
+           |  AND (a.sza < e.sz OR (a.sza = e.sz AND a.da < e.doc_id)))
+           |SELECT da, db,
+           | CAST(len(x.shs) AS BIGINT) AS sz_small,
+           | CAST(len(y.shs) AS BIGINT) AS sz_big,
+           | CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS inter,
+           | CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+           |   CAST(len(x.shs) AS DOUBLE) AS cont,
+           | CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+           |   CAST(len(x.shs) + len(y.shs)
+           |     - len(list_intersect(x.shs, y.shs)) AS DOUBLE) AS jac,
+           | CAST(CASE WHEN CAST(len(list_intersect(x.shs, y.shs))
+           |     AS DOUBLE) /
+           |   CAST(len(x.shs) + len(y.shs)
+           |     - len(list_intersect(x.shs, y.shs)) AS DOUBLE) >= 0.7
+           |   THEN 1 ELSE 0 END AS BIGINT) AS jac_caught
+           |FROM cand JOIN shs x ON da = x.doc_id
+           | JOIN shs y ON db = y.doc_id
+           |WHERE len(list_intersect(x.shs, y.shs)) * 10 >= len(x.shs) * 9
+           |ORDER BY da, db""".stripMargin
+      },
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

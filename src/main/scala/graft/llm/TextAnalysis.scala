@@ -795,6 +795,54 @@ object TextAnalysis {
         .withColumn("type_token_ratio",
           col("n_types").cast("double") / col("n_tokens").cast("double"))
         .orderBy(col("lang"))
+    },
+
+    "t26_unigram_drift" -> { (s, dir) =>
+      // SOURCE-DRIFT detection — per-source unigram distributions
+      // compared to the corpus mixture over the corpus's top-100 head
+      // tokens: the cheap distribution-shift monitor a pipeline runs
+      // per crawl snapshot / per supplier before anything expensive
+      // (a source whose head-token L1 distance jumps changed domain,
+      // language mix, or got spam-injected — THE signal to quarantine
+      // a feed). Distances are L1 in e9 FIXED-POINT integers (the d36
+      // rule: per-token probabilities floor(cnt·10⁹/total) as int64,
+      // summed as int64 — doubles summed across an unordered head
+      // would hash-flake), so both engines produce identical bits;
+      // head_mass additionally reports how much of each source the
+      // head explains (low mass = the comparison is about the tail,
+      // read with care). Scale: ONE corpus explode into a persisted
+      // (source, tok) count (f·S rows, not token instances), the head
+      // is a 100-row TakeOrdered broadcast, and the scoring grid is
+      // head×sources = 2000 rows — nothing downstream of the first
+      // aggregate sees corpus-sized data.
+      val tokCounts = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val srcTot = tokCounts.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("stot"))
+      val glob = tokCounts.groupBy(col("tok"))
+        .agg(sum(col("cnt")).as("gcnt"))
+      val gtot = glob.agg(sum(col("gcnt")).as("gtot"))
+      val head = glob.orderBy(col("gcnt").desc, col("tok")).limit(100)
+        .crossJoin(broadcast(gtot))
+        .select(col("tok").as("htok"), col("gcnt"), col("gtot"))
+      val tc = tokCounts.select(col("source").as("tsrc"),
+        col("tok").as("ttok"), col("cnt"))
+      val grid = srcTot.crossJoin(broadcast(head))
+        .join(tc,
+          col("source") === col("tsrc") && col("htok") === col("ttok"),
+          "left_outer")
+        .select(col("source"), col("stot"),
+          expr("(coalesce(cnt, 0L) * 1000000000L) div stot").as("ps_e9"),
+          expr("(gcnt * 1000000000L) div gtot").as("p_e9"))
+      grid.groupBy(col("source"))
+        .agg(max(col("stot")).as("n_tokens"),
+          sum(col("ps_e9")).as("head_mass_e9"),
+          sum(abs(col("ps_e9") - col("p_e9"))).as("l1_head_e9"))
+        .orderBy(col("source"))
     }
   )
 
