@@ -1907,7 +1907,19 @@ object Dedup {
       // report containment AND Jaccard side by side with the
       // jac_caught flag — the graded evidence of what the symmetric
       // pass misses. Work ∝ prefix collisions, never corpus².
-      val base = Tables.load(s, dir, "documents")
+      containmentPairsOn(Tables.load(s, dir, "documents"))
+    }
+  )
+
+  /** d39's core over any (doc_id, text) frame: shingle-containment
+    * pairs (C ≥ 0.9, 3-gram shingles, containment-adapted prefix
+    * filter with role order (sza, doc_id)). Exposed for
+    * `DedupPropSpec`'s brute-force recall/precision pin, like
+    * [[prefixFilterPairsOn]] for d19. Persists its base — callers in
+    * tests should `clearCache()` after. */
+  private[graft] def containmentPairsOn(docs: DataFrame): DataFrame = {
+    {
+      val base = docs
         .select(col("doc_id"),
           array_distinct(call_function("shingle_hashes", col("text"),
             lit(3))).as("shs"))
@@ -1951,7 +1963,7 @@ object Dedup {
           when(col("jac") >= 0.7, 1L).otherwise(0L).as("jac_caught"))
         .orderBy(col("da"), col("db"))
     }
-  )
+  }
 
   /** d37's core over any (doc_id, source, n_toks, del, cluster) frame:
     * per old-keeper source, deletion-propagation stats through d07's

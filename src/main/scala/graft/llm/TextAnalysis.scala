@@ -927,6 +927,39 @@ object TextAnalysis {
         |   AS type_token_ratio
         |FROM ag ORDER BY lang""".stripMargin,
 
+    // Same space-split vocab grain as t25; head = corpus top-100 by
+    // (gcnt DESC, tok). All probabilities are e9 fixed-point integer
+    // divisions (// in DuckDB == div in Spark for non-negative int64),
+    // so both engines produce identical bits.
+    "t26_unigram_drift" ->
+      """WITH v AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |tc AS (
+        | SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM v GROUP BY source, tok),
+        |st AS (
+        | SELECT source, CAST(SUM(cnt) AS BIGINT) AS stot
+        | FROM tc GROUP BY source),
+        |gl AS (
+        | SELECT tok, CAST(SUM(cnt) AS BIGINT) AS gcnt
+        | FROM tc GROUP BY tok),
+        |gt AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS gtot FROM gl),
+        |head AS (
+        | SELECT tok AS htok, gcnt, (SELECT gtot FROM gt) AS gtot
+        | FROM gl ORDER BY gcnt DESC, tok LIMIT 100),
+        |grid AS (
+        | SELECT st.source, st.stot,
+        |  (COALESCE(tc.cnt, 0) * 1000000000) // st.stot AS ps_e9,
+        |  (head.gcnt * 1000000000) // head.gtot AS p_e9
+        | FROM st CROSS JOIN head
+        | LEFT JOIN tc
+        |  ON tc.source = st.source AND tc.tok = head.htok)
+        |SELECT source, CAST(MAX(stot) AS BIGINT) AS n_tokens,
+        | CAST(SUM(ps_e9) AS BIGINT) AS head_mass_e9,
+        | CAST(SUM(ABS(ps_e9 - p_e9)) AS BIGINT) AS l1_head_e9
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin,
+
     // chr(65533) = U+FFFD, chr(195)/chr(194) = the mojibake marks;
     // length() counts codepoints and strlen() UTF-8 bytes in DuckDB,
     // matching Spark's length/octet_length on any valid UTF-8.

@@ -411,6 +411,80 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  /** JVM mirror of shingle_hashes(text, 3): md5-prefix hash (same fold
+    * as tokHashJvm) of every 3-token shingle joined by one space,
+    * distinct; empty below 3 tokens. */
+  private def shingleSetJvm(text: String): Set[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) Set.empty
+    else toks.sliding(3).map(w => tokHashJvm(w.mkString(" "))).toSet
+  }
+
+  test("d39 containment pairs equal brute-force C >= 0.9 shingle " +
+    "containment (prefix filter loses no recall, verification adds no " +
+    "false positives)") {
+    val s = spark
+    import s.implicits._
+    // Tiny vocab keeps the 3-gram space small (125 shingles) so prefix
+    // collisions are common; the overlay makes some docs contiguous
+    // slices of earlier docs — the pasted-copy case d39 exists for
+    // (slice shingles are a subset of the parent's, containment 1.0).
+    val genCase = for {
+      nDocs <- Gen.choose(4, 12)
+      bases <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(1, 18)
+        toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield toks)
+      overlays <- Gen.sequence[Seq[Option[(Int, Int, Int)]],
+          Option[(Int, Int, Int)]](
+        (0 until nDocs).map { i =>
+          if (i == 0) Gen.const(None)
+          else Gen.frequency(
+            (1, Gen.const(None)),
+            (1, for {
+              j <- Gen.choose(0, i - 1)
+              st <- Gen.choose(0, 17)
+              ln <- Gen.choose(3, 18)
+            } yield Some((j, st, ln))))
+        })
+    } yield {
+      val bs = bases.toIndexedSeq
+      bs.indices.map { i =>
+        overlays(i) match {
+          case Some((j, st, ln)) =>
+            val parent = bs(j)
+            val s0 = math.min(st, math.max(parent.length - 1, 0))
+            val sl = parent.slice(s0, math.min(parent.length, s0 + ln))
+            (i.toLong, (if (sl.isEmpty) bs(i) else sl).mkString(" "))
+          case None => (i.toLong, bs(i).mkString(" "))
+        }
+      }
+    }
+    val prop = Prop.forAll(genCase) { docs =>
+      val got = Dedup.containmentPairsOn(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // brute force: every ordered pair under the (sz, doc_id) role
+      // order, exact containment on distinct 3-gram shingle-hash sets.
+      val sets = docs.map { case (id, t) => (id, shingleSetJvm(t)) }
+      val brute = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if sa.nonEmpty && sb.nonEmpty
+        if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+        inter = (sa & sb).size.toLong
+        if inter * 10 >= sa.size.toLong * 9
+      } yield (ia, ib) -> (sa.size.toLong, sb.size.toLong, inter)).toMap
+      val ok = got == brute
+      if (!ok) println(s"containment $got != brute $brute on $docs")
+      spark.catalog.clearCache() // containmentPairsOn persists its base
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("d04 DF cap: a corpus-hot shingle is dropped from candidate " +
     "generation; rare-shingle near-dups still surface") {
     val s = spark

@@ -499,7 +499,22 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cross the exchange, not f² instances — hashAggregate below the
     // exchange), and the rank is ONE lang-keyed Window; per-doc
     // windows or a second corpus scan would show here.
-    "t25_zipf_coverage")
+    "t25_zipf_coverage",
+    // round-11 additions. d39: candidates must come from the prefix
+    // EQUI-join on the rarest-shingle hash (role-order predicate as a
+    // join filter, both sides fed off the persisted base's
+    // InMemoryTableScan) — a CartesianProduct / BroadcastNestedLoopJoin
+    // here means the containment prefix filter regressed to the all-
+    // pairs theta join; verification re-attaches sets ABOVE the
+    // distinct candidate shuffle, never below it.
+    "d39_containment_pairs",
+    // t26: ONE corpus explode into the persisted (source, tok) count —
+    // srcTot/glob/head/grid all read InMemoryTableScans of it (a
+    // second Generate over documents would show here); the head and
+    // the global total come back as BROADCASTS against the 20-row
+    // source frame, and the scoring grid is head×sources, so nothing
+    // after the first aggregate is corpus-sized.
+    "t26_unigram_drift")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
@@ -579,6 +594,45 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         v / sentinel > SentinelThreshold && SparkEntry.queries.contains(k)
       }
       .map(_._1).toSet
+  }
+
+  // Round-11 hardening (the round-10 verdict's #3): ten operators
+  // shipped AFTER the bench pin, so the sentinel rule structurally
+  // could not see them. These two assertions turn the end-of-round
+  // ordering invariant into a test: an operator added after the pin
+  // fails the suite instead of shipping unmeasured / un-oracled.
+
+  /** Per-query keys present in a bench artifact (timings or errors). */
+  private def benchedQueries(txt: String): Set[String] =
+    """"([a-z0-9_]+)":""".r.findAllMatchIn(txt)
+      .map(_.group(1)).filter(SparkEntry.queries.contains).toSet
+
+  test("bench coverage: every SparkEntry.queries key has a row in the " +
+    "committed bench_pinned.json") {
+    val pinned = Paths.get("bench_pinned.json")
+    assert(Files.exists(pinned), "bench_pinned.json missing")
+    val benched = benchedQueries(Files.readString(pinned))
+    val missing = (SparkEntry.queries.keySet -- benched).toSeq.sorted
+    assert(missing.isEmpty,
+      s"queries with no row in bench_pinned.json: ${missing.mkString(", ")}" +
+        " — re-run the full sf0.1 bench and re-pin " +
+        "(cp bench_out.json bench_pinned.json) before committing.")
+  }
+
+  // x01–x04 are rows-only BY DESIGN (EXPLAIN/SET/SHOW surface whose
+  // output is engine-specific text, not relational data); everything
+  // else must carry a DuckDB oracle twin.
+  private val rowsOnlyByDesign = Set("x01_explain_analyze",
+    "x02_explain_plan", "x03_set_show", "x04_show_tables")
+
+  test("oracle coverage: every query outside the by-design rows-only " +
+    "set has a DuckDB oracle") {
+    val missing = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      rowsOnlyByDesign).toSeq.sorted
+    assert(missing.isEmpty,
+      s"queries with no oracleSql entry: ${missing.mkString(", ")} — add " +
+        "the DuckDB twin (or, for genuinely non-relational output, add to " +
+        "rowsOnlyByDesign with justification).")
   }
 
   test("golden inventory: every >2-sentinel bench query has a frozen plan") {
