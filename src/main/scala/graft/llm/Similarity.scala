@@ -275,6 +275,53 @@ object Similarity {
     }
   }
 
+  /** v18's probe body, parameterized on shortlist depth k — shared by
+    * v18 (k = 5) and v25b's vector shortlist (k = 20): quantize ONLY
+    * the |Q| probe vectors (vec_id ∈ [100, 120)), walk the
+    * materialized codebook (broadcast) → probed cells (index scan) →
+    * exact cosine re-rank. The plan contains no training and no corpus
+    * quantization pass. Returns (q_id, c_id, rnk, sim), rnk ≤ k,
+    * unordered. */
+  private def indexedAnnShortlist(s: SparkSession, dir: String,
+                                  k: Int): DataFrame = {
+    val idx = ensureAnnIndex(s, dir)
+    val cents = s.read.parquet(s"$idx/cents")
+    val cells = s.read.parquet(s"$idx/cells")
+    val e = Tables.load(s, dir, "embeddings")
+    // nProbe derives from the corpus row count (round(√N)/4), NOT
+    // from cents.count(): a Lloyd round can empty a cell, shrinking
+    // the post-training centroid count below round(√N) — the oracle
+    // and v17 size probes from N, so sizing from the survivor count
+    // would silently diverge on any corpus that empties a cell. The
+    // count is parquet-metadata-only (no data scan).
+    val nEmb = e.count()
+    val kSz = math.round(math.sqrt(nEmb.toDouble))
+    val nProbe = math.max(1L, math.round(kSz / 4.0)).toInt
+    val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
+    val qe = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cid"))
+    val probes = ivfQv(e.filter(isQuery))
+      .select(col("vec_id").as("q_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("cid").as("p_cell"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    probes.join(qe, "q_id")
+      .join(cells, col("p_cell") === col("c_cell") &&
+        col("q_id") =!= col("c_id"))
+      .join(e.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb")), "c_id")
+      .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
+  }
+
   /** v19's artifact: codebook trained on the BASE corpus only
     * (vec_id % 7 != 0), base cell assignment, and a DELTA segment —
     * the % 7 == 0 batch quantized with the base codebook (no retrain,
@@ -1022,43 +1069,9 @@ object Similarity {
       // codebook (broadcast) → probed cells (index scan) → exact
       // cosine re-rank. The plan contains no training and no corpus
       // quantization pass — per-query cost is the K-row argmin plus
-      // the probed cells' re-rank, at any corpus size.
-      val idx = ensureAnnIndex(s, dir)
-      val cents = s.read.parquet(s"$idx/cents")
-      val cells = s.read.parquet(s"$idx/cells")
-      val e = Tables.load(s, dir, "embeddings")
-      // nProbe derives from the corpus row count (round(√N)/4), NOT
-      // from cents.count(): a Lloyd round can empty a cell, shrinking
-      // the post-training centroid count below round(√N) — the oracle
-      // and v17 size probes from N, so sizing from the survivor count
-      // would silently diverge on any corpus that empties a cell. The
-      // count is parquet-metadata-only (no data scan).
-      val nEmb = e.count()
-      val kSz = math.round(math.sqrt(nEmb.toDouble))
-      val nProbe = math.max(1L, math.round(kSz / 4.0)).toInt
-      val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
-      val qe = e.filter(isQuery)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val wp = Window.partitionBy(col("q_id"))
-        .orderBy(col("dist"), col("cid"))
-      val probes = ivfQv(e.filter(isQuery))
-        .select(col("vec_id").as("q_id"), col("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
-        .withColumn("prn", row_number().over(wp))
-        .filter(col("prn") <= nProbe)
-        .select(col("q_id"), col("cid").as("p_cell"))
-      val wr = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("c_id"))
-      probes.join(qe, "q_id")
-        .join(cells, col("p_cell") === col("c_cell") &&
-          col("q_id") =!= col("c_id"))
-        .join(e.select(col("vec_id").as("c_id"),
-          col("embedding").as("c_emb")), "c_id")
-        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
-        .withColumn("rnk", row_number().over(wr).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
+      // the probed cells' re-rank, at any corpus size. Body shared
+      // with v25b's vector shortlist via [[indexedAnnShortlist]].
+      indexedAnnShortlist(s, dir, 5)
         .orderBy(col("q_id"), col("rnk"))
     },
 
@@ -1525,6 +1538,70 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    "v25b_hybrid_rrf_indexed" -> { (s, dir) =>
+      // v25's PRODUCTION shape — hybrid RRF where both shortlists come
+      // from the MATERIALIZED indexes instead of exact corpus passes
+      // (the composition v25's own comment promises): the lexical side
+      // probes the inverted postings index (t23's log-free BM25
+      // rational over [[TextAnalysis.ensurePostingsIndex]] — work ∝
+      // Σ df of the query's terms, df/dl denormalized onto the
+      // postings so the probe is ONE equi-join), the vector side is
+      // v18's IVF probe ([[indexedAnnShortlist]]: codebook broadcast →
+      // probed cells → exact re-rank), and the fusion is the same
+      // |Q|-bounded full-outer RRF join v25 grades. Queries are the
+      // v18 slice (doc 100..119; doc_id keys vec_id in the synthetic
+      // star), query bag = the doc's DISTINCT tokens (qtf = 1 —
+      // standard bag-of-words BM25). Per-(query, doc) BM25 sums term
+      // contributions in e9 FIXED-POINT — each contribution is t23's
+      // exact rational floored to ⌊num·10⁹ / den⌋, int64-summable in
+      // ANY order (a double sum over an unordered term set would
+      // hash-flake; t23 itself dodges this with a fixed 3-term literal
+      // order, which a variable query bag doesn't have) — with the
+      // ×10⁹ step in DECIMAL(38) because num alone reaches ~2^50. At
+      // 100 TB nothing here scans the corpus: a postings probe, a
+      // cells probe, and two ≤20-row-per-query shortlists.
+      val pidx = TextAnalysis.ensurePostingsIndex(s, dir)
+      val postings = s.read.parquet(s"$pidx/postings")
+      val stats = s.read.parquet(s"$pidx/stats")
+      val qterms = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          col("doc_id") >= 100 && col("doc_id") < 120)
+        .select(col("doc_id").as("q_id"),
+          explode_outer(array_distinct(split(col("text"), " ")))
+            .as("tok"))
+      val hits = broadcast(qterms).join(postings, "tok")
+        .filter(col("q_id") =!= col("c_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("c_e9", expr(
+          "CAST(CAST((2*n - 2*df + 1) * tf * 44 * a AS DECIMAL(38,0))" +
+            " * 1000000000 div " +
+            "CAST((2*df + 1) * (20*a*tf + 6*a + 18*dl*n)" +
+            " AS DECIMAL(38,0)) AS BIGINT)"))
+      val wl = Window.partitionBy(col("q_id"))
+        .orderBy(col("score_e9").desc, col("c_id"))
+      val lex = hits.groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("c_e9")).as("score_e9"))
+        .withColumn("r_lex", row_number().over(wl).cast("long"))
+        .filter(col("r_lex") <= 20)
+        .select(col("q_id"), col("c_id"), col("r_lex"))
+      val vec = indexedAnnShortlist(s, dir, 20)
+        .select(col("q_id"), col("c_id"), col("rnk").as("r_vec"))
+      val fused = lex.join(vec, Seq("q_id", "c_id"), "full_outer")
+        .withColumn("rrf",
+          when(col("r_lex").isNotNull,
+            lit(1.0) / (lit(60.0) + col("r_lex"))).otherwise(lit(0.0)) +
+          when(col("r_vec").isNotNull,
+            lit(1.0) / (lit(60.0) + col("r_vec"))).otherwise(lit(0.0)))
+      val wf = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("c_id"))
+      fused.withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("rnk"), col("c_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_vec"), lit(0L)).as("r_vec"), col("rrf"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     "v26_nprobe_sweep" -> { (s, dir) =>
       // The IVF OPERATING CURVE — recall@5 and candidate volume at
       // nProbe ∈ {1,2,4,8} under ONE trained codebook (v09's K=16,
@@ -1785,6 +1862,109 @@ object Similarity {
       |   sqrt(list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])) *
       |        list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])))"""
       .stripMargin
+
+  /** DuckDB twin of the FULL-corpus IVF index (v18's inline
+    * recomputation — the index is a materialized view, not a semantic
+    * change): trains the √N/T=3 codebook over the same bounded 256·K
+    * md5-sample the index build uses, assigns every vector, probes K/4
+    * cells for the queries selected by `queryPred` (over alias q), and
+    * exact-cosine re-ranks. The returned CTE chain (no WITH prefix)
+    * ends with `reranked` (q_id, c_id, sim, rnk). Shared by v18 and
+    * v25b's vector shortlist. */
+  private def annIndexCtes(queryPred: String): String = {
+
+      // DuckDB twin of the indexed serving path: recompute the √N/T=3
+      // codebook (trained over the same bounded 256·K md5-sample the
+      // index build uses) and cell assignment inline (the index is a
+      // materialized view, not a semantic change), probe K/4 cells,
+      // exact-cosine re-rank, emit each query's top 5 with similarity.
+      val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
+      val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM q)"
+      val sSql = "(SELECT 256 * CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
+      def dist(a: String, b: String): String =
+        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+      def seedCte(name: String, limitSql: String,
+                  src: String = "q"): String =
+        s"""$name AS (
+           | SELECT cid, cv FROM (
+           |  SELECT vec_id AS cid, qv AS cv,
+           |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |     vec_id) AS srn
+           |  FROM $src) t WHERE srn <= $limitSql)""".stripMargin
+      def assignCte(name: String, cents: String,
+                    src: String = "q"): String =
+        s"""$name AS (
+           | SELECT vec_id, qv, cid FROM (
+           |  SELECT q.vec_id, q.qv, c.cid,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+           |  FROM $src q CROSS JOIN $cents c) t WHERE rn = 1)"""
+          .stripMargin
+      def updateCte(dimsName: String, centsName: String,
+                    assigned: String): String =
+        s"""$dimsName AS (
+           | SELECT cid, dim,
+           |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+           | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
+           |        unnest(qv) AS v FROM $assigned) t
+           | GROUP BY cid, dim),
+           |${dimsName}s AS (
+           | SELECT cid, list(mval ORDER BY dim) AS mv,
+           |  CAST(SUM(mval * mval) AS BIGINT) AS ss
+           | FROM $dimsName GROUP BY cid),
+           |$centsName AS (
+           | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
+           |   THEN CAST(0 AS BIGINT)
+           |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
+           | FROM ${dimsName}s)""".stripMargin
+      
+    s"""q AS (
+         | SELECT vec_id,
+         |  list_transform(ed, x -> CASE WHEN nrm = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings) tq),
+         |samp AS (
+         | SELECT vec_id, qv FROM (
+         |  SELECT vec_id, qv,
+         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |     vec_id) AS srn
+         |  FROM q) t WHERE srn <= $sSql),
+         |${seedCte("seedsq", kSql, "samp")},
+         |${assignCte("b1", "seedsq", "samp")},
+         |${updateCte("w1", "d1", "b1")},
+         |${assignCte("b2", "d1", "samp")},
+         |${updateCte("w2", "d2", "b2")},
+         |${assignCte("b3", "d2", "samp")},
+         |${updateCte("w3", "d3", "b3")},
+         |af AS (
+         | SELECT vec_id AS c_id, cid AS c_cell FROM (
+         |  SELECT q.vec_id, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM q CROSS JOIN d3 c) t WHERE rn = 1),
+         |probes AS (
+         | SELECT q_id, p_cell FROM (
+         |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS prn
+         |  FROM q CROSS JOIN d3 c
+         |  WHERE $queryPred) t
+         | WHERE prn <= $pSql),
+         |reranked AS (
+         | SELECT p.q_id, a.c_id,
+         |  ${cos("qe.embedding", "ce.embedding")} AS sim,
+         |  row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |    ${cos("qe.embedding", "ce.embedding")} DESC, a.c_id) AS rnk
+         | FROM probes p
+         |  JOIN embeddings qe ON p.q_id = qe.vec_id
+         |  JOIN af a ON p.p_cell = a.c_cell AND p.q_id <> a.c_id
+         |  JOIN embeddings ce ON a.c_id = ce.vec_id)""".stripMargin
+  }
 
   private def cos(a: String, b: String): String =
     duckCos.format(a, b, a, a, b, b)
@@ -2448,101 +2628,14 @@ object Similarity {
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
     },
 
-    "v18_indexed_ann" -> {
-      // DuckDB twin of the indexed serving path: recompute the √N/T=3
-      // codebook (trained over the same bounded 256·K md5-sample the
-      // index build uses) and cell assignment inline (the index is a
-      // materialized view, not a semantic change), probe K/4 cells,
-      // exact-cosine re-rank, emit each query's top 5 with similarity.
-      val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
-      val pSql = "(SELECT GREATEST(1, CAST(round(round(sqrt(COUNT(*))) / 4.0) AS BIGINT)) FROM q)"
-      val sSql = "(SELECT 256 * CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
-      def dist(a: String, b: String): String =
-        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
-      def seedCte(name: String, limitSql: String,
-                  src: String = "q"): String =
-        s"""$name AS (
-           | SELECT cid, cv FROM (
-           |  SELECT vec_id AS cid, qv AS cv,
-           |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-           |     vec_id) AS srn
-           |  FROM $src) t WHERE srn <= $limitSql)""".stripMargin
-      def assignCte(name: String, cents: String,
-                    src: String = "q"): String =
-        s"""$name AS (
-           | SELECT vec_id, qv, cid FROM (
-           |  SELECT q.vec_id, q.qv, c.cid,
-           |   row_number() OVER (PARTITION BY q.vec_id
-           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
-           |  FROM $src q CROSS JOIN $cents c) t WHERE rn = 1)"""
-          .stripMargin
-      def updateCte(dimsName: String, centsName: String,
-                    assigned: String): String =
-        s"""$dimsName AS (
-           | SELECT cid, dim,
-           |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
-           | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
-           |        unnest(qv) AS v FROM $assigned) t
-           | GROUP BY cid, dim),
-           |${dimsName}s AS (
-           | SELECT cid, list(mval ORDER BY dim) AS mv,
-           |  CAST(SUM(mval * mval) AS BIGINT) AS ss
-           | FROM $dimsName GROUP BY cid),
-           |$centsName AS (
-           | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
-           |   THEN CAST(0 AS BIGINT)
-           |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
-           | FROM ${dimsName}s)""".stripMargin
-      s"""WITH q AS (
-         | SELECT vec_id,
-         |  list_transform(ed, x -> CASE WHEN nrm = 0
-         |    THEN CAST(0 AS BIGINT)
-         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
-         | FROM (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |        CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings) tq),
-         |samp AS (
-         | SELECT vec_id, qv FROM (
-         |  SELECT vec_id, qv,
-         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |     vec_id) AS srn
-         |  FROM q) t WHERE srn <= $sSql),
-         |${seedCte("seedsq", kSql, "samp")},
-         |${assignCte("b1", "seedsq", "samp")},
-         |${updateCte("w1", "d1", "b1")},
-         |${assignCte("b2", "d1", "samp")},
-         |${updateCte("w2", "d2", "b2")},
-         |${assignCte("b3", "d2", "samp")},
-         |${updateCte("w3", "d3", "b3")},
-         |af AS (
-         | SELECT vec_id AS c_id, cid AS c_cell FROM (
-         |  SELECT q.vec_id, c.cid,
-         |   row_number() OVER (PARTITION BY q.vec_id
-         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
-         |  FROM q CROSS JOIN d3 c) t WHERE rn = 1),
-         |probes AS (
-         | SELECT q_id, p_cell FROM (
-         |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
-         |   row_number() OVER (PARTITION BY q.vec_id
-         |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS prn
-         |  FROM q CROSS JOIN d3 c
-         |  WHERE q.vec_id >= 100 AND q.vec_id < 120) t
-         | WHERE prn <= $pSql),
-         |reranked AS (
-         | SELECT p.q_id, a.c_id,
-         |  ${cos("qe.embedding", "ce.embedding")} AS sim,
-         |  row_number() OVER (PARTITION BY p.q_id ORDER BY
-         |    ${cos("qe.embedding", "ce.embedding")} DESC, a.c_id) AS rnk
-         | FROM probes p
-         |  JOIN embeddings qe ON p.q_id = qe.vec_id
-         |  JOIN af a ON p.p_cell = a.c_cell AND p.q_id <> a.c_id
-         |  JOIN embeddings ce ON a.c_id = ce.vec_id)
+    "v18_indexed_ann" ->
+      // DuckDB twin of the indexed serving path (CTE chain shared with
+      // v25b's vector shortlist via [[annIndexCtes]]): probe K/4
+      // cells, exact-cosine re-rank, emit each query's top 5.
+      s"""WITH ${annIndexCtes("q.vec_id >= 100 AND q.vec_id < 120")}
          |SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim
          |FROM reranked WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin
-    },
+         |ORDER BY q_id, rnk""".stripMargin,
 
     "v10_pq_codes" -> {
       val codeCols = (0 until PqM).map(m =>
@@ -2995,6 +3088,72 @@ object Similarity {
          |  CAST(row_number() OVER (PARTITION BY q_id
          |    ORDER BY rrf DESC, c_id) AS BIGINT) AS rnk
          | FROM fused) t
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // DuckDB twin of the indexed hybrid: vector shortlist from v18's
+    // shared CTE chain (annIndexCtes — the index is a materialized
+    // view), lexical shortlist from an inline recomputation of the
+    // postings (tf/df/dl/stats), BM25 in the same e9 fixed-point
+    // (HUGEINT ≙ Spark's DECIMAL(38) for the ×10⁹ step, // ≙ div),
+    // identical RRF fusion.
+    "v25b_hybrid_rrf_indexed" ->
+      s"""WITH ${annIndexCtes("q.vec_id >= 100 AND q.vec_id < 120")},
+         |vshort AS (
+         | SELECT q_id, c_id, CAST(rnk AS BIGINT) AS r_vec
+         | FROM reranked WHERE rnk <= 20),
+         |dd AS (
+         | SELECT doc_id, string_split(text, ' ') AS toks
+         | FROM documents WHERE text IS NOT NULL),
+         |tc AS (
+         | SELECT c_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         | FROM (SELECT doc_id AS c_id,
+         |        CAST(len(toks) AS BIGINT) AS dl,
+         |        unnest(toks) AS tok FROM dd) t
+         | GROUP BY c_id, dl, tok),
+         |vocab AS (
+         | SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+         | FROM tc GROUP BY tok),
+         |st AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS a FROM dd),
+         |qt AS (
+         | SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS tok
+         | FROM dd WHERE doc_id >= 100 AND doc_id < 120),
+         |lhits AS (
+         | SELECT qt.q_id, tc.c_id,
+         |  CAST(CAST((2*st.n - 2*v.df + 1) * tc.tf * 44 * st.a
+         |    AS HUGEINT) * 1000000000 //
+         |   CAST((2*v.df + 1) * (20*st.a*tc.tf + 6*st.a
+         |     + 18*tc.dl*st.n) AS HUGEINT) AS BIGINT) AS c_e9
+         | FROM qt JOIN tc ON qt.tok = tc.tok
+         |  JOIN vocab v ON qt.tok = v.tok CROSS JOIN st
+         | WHERE qt.q_id <> tc.c_id),
+         |lsc AS (
+         | SELECT q_id, c_id, CAST(SUM(c_e9) AS BIGINT) AS score_e9
+         | FROM lhits GROUP BY q_id, c_id),
+         |lshort AS (
+         | SELECT q_id, c_id, r_lex FROM (
+         |  SELECT q_id, c_id,
+         |   CAST(row_number() OVER (PARTITION BY q_id
+         |     ORDER BY score_e9 DESC, c_id) AS BIGINT) AS r_lex
+         |  FROM lsc) t WHERE r_lex <= 20),
+         |bfused AS (
+         | SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |  COALESCE(l.c_id, v.c_id) AS c_id, l.r_lex, v.r_vec,
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + l.r_lex AS DOUBLE),
+         |    CAST(0 AS DOUBLE)) +
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + v.r_vec AS DOUBLE),
+         |    CAST(0 AS DOUBLE)) AS rrf
+         | FROM lshort l FULL OUTER JOIN vshort v
+         |  ON l.q_id = v.q_id AND l.c_id = v.c_id)
+         |SELECT q_id, rnk, c_id,
+         | CAST(COALESCE(r_lex, 0) AS BIGINT) AS r_lex,
+         | CAST(COALESCE(r_vec, 0) AS BIGINT) AS r_vec, rrf
+         |FROM (
+         | SELECT q_id, c_id, r_lex, r_vec, rrf,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, c_id) AS BIGINT) AS rnk
+         | FROM bfused) t
          |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
     // v09's training CTEs verbatim (same codebook), then ONE corpus

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * engines (Hail, GenomicsDB) and Flink's window join.
   *
   * Intervals are half-open [start, end) over DATE/TIMESTAMP columns
-  * with start <= end; zero-length intervals overlap nothing. Output:
+  * with start <= end; zero-length intervals overlap nothing — the
+  * predicate is `greatest(starts) < least(ends)`, the set definition
+  * of non-empty intersection, which is false whenever either side is
+  * empty (the two-clause `rStart < lEnd AND lStart < rEnd` form would
+  * wrongly match [x,x) against any interval containing x). Output:
   * every column of `left` then every column of `right`, one row per
   * overlapping pair. Both inputs must be free of the internal names
   * `__bkt`/`__bktr`.
@@ -45,8 +49,8 @@ object IntervalJoin {
       right.columns.map(c => col(s"r.$c"))
     lb.as("l").join(rb.as("r"),
         col("__bkt") === col("__bktr") &&
-        col(s"r.$rStart") < col(s"l.$lEnd") &&
-        col(s"l.$lStart") < col(s"r.$rEnd") &&
+        greatest(col(s"l.$lStart"), col(s"r.$rStart")) <
+          least(col(s"l.$lEnd"), col(s"r.$rEnd")) &&
         col("__bkt") ===
           bkt(greatest(col(s"l.$lStart"), col(s"r.$rStart"))))
       .select(outCols: _*)

@@ -140,8 +140,16 @@ object Aggregates {
       // deltas"): percentile_approx at accuracy 1e6 keeps GK's rank error
       // below one for any group under a million rows, so it returns the
       // exact discrete percentile (the element at rank ceil(q*n)), which
-      // is DuckDB's quantile_disc.
+      // is DuckDB's quantile_disc. Graded on a BOUNDED deterministic
+      // sample (l_orderkey < 15000 — a pushed-down row-group prune, the
+      // first ~60k lineitem rows at any SF): accuracy 10⁶ is the
+      // exactness-grading configuration, and its sketch state is
+      // deliberately sized for <1M-row groups — unbounded input both
+      // breaks the exactness claim past 1M rows/group and made this the
+      // suite's worst superlinear leg at sf1 (24 s, 20.5×). a27 is the
+      // production-accuracy leg over the FULL table.
       Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 15000)
         .groupBy(col("l_linestatus"))
         .agg(
           expr("percentile_approx(l_quantity, 0.25, 1000000)").as("p25"),
@@ -485,7 +493,8 @@ object Aggregates {
         | quantile_disc(l_quantity, 0.5) AS p50,
         | quantile_disc(l_quantity, 0.9) AS p90,
         | COUNT(*) AS n
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+        |FROM lineitem WHERE l_orderkey < 15000
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "a27_percentile_gk_prod" ->
       // Tolerance grading: the engine emits its own GK-bound check

@@ -79,6 +79,8 @@ object ShuffleBench {
     println(line)
     val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_OUT",
       "/root/repo/shuffle_bench.json"))
-    Files.writeString(out, line + "\n")
+    Files.writeString(out, line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 }

@@ -508,6 +508,14 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pairs theta join; verification re-attaches sets ABOVE the
     // distinct candidate shuffle, never below it.
     "d39_containment_pairs",
+    // v25b: BOTH shortlists must be index probes — the lexical leg an
+    // equi-join of the broadcast query-term explode against the
+    // postings FileScan (a corpus documents scan without the pushed
+    // doc_id ∈ [100,120) query filter would mean BM25 regressed to the
+    // full-corpus pass v25 grades), the vector leg v18's
+    // codebook-broadcast → cells-scan probe with no training subtree;
+    // fusion stays the full-outer SMJ of two bounded shortlists.
+    "v25b_hybrid_rrf_indexed",
     // t26: ONE corpus explode into the persisted (source, tok) count —
     // srcTot/glob/head/grid all read InMemoryTableScans of it (a
     // second Generate over documents would show here); the head and

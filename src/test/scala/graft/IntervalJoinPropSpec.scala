@@ -11,7 +11,8 @@ import org.scalacheck.{Gen, Prop, Test => ScTest}
 import graft.operators.IntervalJoin
 
 /** Property: the binned interval-overlap join (p20's engine) is
-  * multiset-identical to the brute-force cartesian theta join on
+  * multiset-identical to an in-memory brute force (max(starts) <
+  * min(ends), the set definition of non-empty intersection) on
   * arbitrary interval sets — including zero-length intervals (overlap
   * nothing under half-open semantics), intervals spanning many buckets
   * (explode fanout > 2), interval ends landing exactly on bucket
@@ -67,10 +68,19 @@ class IntervalJoinPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       val binned = IntervalJoin
         .overlap(left, right, "ls", "le", "rs", "re", bucketDays)
         .select(col("lid"), col("rid")).collect()
-      val brute = left.join(right,
-          col("rs") < col("le") && col("ls") < col("re"))
-        .select(col("lid"), col("rid")).collect()
-      multiset(binned) == multiset(brute)
+      // In-memory brute force from the SET definition — non-empty
+      // intersection of half-open intervals iff max(starts) <
+      // min(ends), which is false whenever either side is empty. An
+      // INDEPENDENT derivation: a Spark theta join sharing the
+      // operator's own predicate could never catch an empty-interval
+      // contract violation.
+      val brute: Map[(Long, Long), Int] = (for {
+        ((la, lb), i) <- ls.zipWithIndex
+        ((ra, rb), j) <- rs.zipWithIndex
+        if math.max(la, ra) < math.min(lb, rb)
+      } yield (i.toLong, j.toLong))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      multiset(binned) == brute
     }
     val res = ScTest.check(ScTest.Parameters.default
       .withMinSuccessfulTests(30), prop)
