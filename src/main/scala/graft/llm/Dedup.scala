@@ -1942,6 +1942,37 @@ object Dedup {
       // jac_caught flag — the graded evidence of what the symmetric
       // pass misses. Work ∝ prefix collisions, never corpus².
       containmentPairsOn(Tables.load(s, dir, "documents"))
+    },
+
+    "d40_block_containment" -> { (s, dir) =>
+      // Containment at BLOCK grain — d39's asymmetric copy detector
+      // run over d12's 20-token block vocabulary instead of 3-gram
+      // shingles: the unit is a whole paragraph-sized block hash, so a
+      // hit means a VERBATIM block was lifted (boilerplate header,
+      // license stanza, pasted paragraph), where d39's shingle grain
+      // also fires on paraphrase-adjacent runs. Coarser units ⇒ fewer
+      // per-doc units (⌈dl/20⌉ vs dl−2) and a lower useful threshold:
+      // C ≥ 1/2 — half of A's blocks appearing verbatim in B is a
+      // structural copy even when no shingle run clears d39's 0.9.
+      // Same engine ([[containmentPairsCore]] at num/den = 1/2): the
+      // prefix filter adapts to ⌊sza/2⌋+1 rarest blocks, recall still
+      // guaranteed by pigeonhole, work ∝ prefix collisions. The
+      // sz/cont/jac columns read at block grain; jac_caught again
+      // flags the overlap with what symmetric dedup would see.
+      val blocks = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        // outer explode — sequence() is provably non-empty (chunkDedup
+        // note); the d12 grid: starts 0, 20, 40, ...
+        .select(col("doc_id"), col("tk"),
+          explode_outer(sequence(lit(0),
+            greatest(size(col("tk")) - 1, lit(0)), lit(20))).as("idx"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("tk"), col("idx") + 1, lit(20)), " ")
+            .cast("binary")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("shs"))
+      containmentPairsCore(blocks, 1, 2)
     }
   )
 
@@ -1951,12 +1982,26 @@ object Dedup {
     * `DedupPropSpec`'s brute-force recall/precision pin, like
     * [[prefixFilterPairsOn]] for d19. Persists its base — callers in
     * tests should `clearCache()` after. */
-  private[graft] def containmentPairsOn(docs: DataFrame): DataFrame = {
+  private[graft] def containmentPairsOn(docs: DataFrame): DataFrame =
+    containmentPairsCore(
+      docs.select(col("doc_id"),
+        array_distinct(call_function("shingle_hashes", col("text"),
+          lit(3))).as("shs")),
+      9, 10)
+
+  /** The containment engine under d39/d40, parameterized on the unit
+    * grain and threshold: input is any (doc_id, shs: array) frame of
+    * DISTINCT unit hashes (3-gram shingles for d39, d12's 20-token
+    * block hashes for d40), pairs kept at containment ≥ num/den.
+    * C ≥ num/den forces |A\B| ≤ ⌊sza·(den−num)/den⌋, so A's
+    * ⌊sza·(den−num)/den⌋+1 globally-RAREST units must hit B — the
+    * containment-adapted prefix filter, guaranteed-recall at any
+    * threshold (pigeonhole; `DedupPropSpec` pins both grains against
+    * brute force). Persists its base — test callers `clearCache()`. */
+  private[graft] def containmentPairsCore(sets: DataFrame,
+                                          num: Int, den: Int): DataFrame = {
     {
-      val base = docs
-        .select(col("doc_id"),
-          array_distinct(call_function("shingle_hashes", col("text"),
-            lit(3))).as("shs"))
+      val base = sets
         .withColumn("sz", size(col("shs")).cast("long"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val ex = base.select(col("doc_id"), col("sz"),
@@ -1969,7 +2014,8 @@ object Dedup {
           count(lit(1)).as("sza"))
         .select(col("doc_id").as("da"), col("sza"),
           explode(slice(col("ord"), lit(1),
-            expr("CAST(sza div 10 + 1 AS INT)"))).as("p"))
+            expr(s"CAST(sza * ${den - num} div $den + 1 AS INT)")))
+            .as("p"))
         .select(col("da"), col("sza"), col("p.h").as("h"))
       val post = ex.select(col("doc_id").as("db"), col("sz").as("szb"),
         col("h").as("hb"))
@@ -1977,17 +2023,17 @@ object Dedup {
           (col("sza") < col("szb") ||
             (col("sza") === col("szb") && col("da") < col("db"))))
         .select(col("da"), col("db")).distinct()
-      val sets = base.select(col("doc_id"), col("shs"))
+      val full = base.select(col("doc_id"), col("shs"))
       cand
-        .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")),
+        .join(full.select(col("doc_id").as("da"), col("shs").as("sa")),
           "da")
-        .join(sets.select(col("doc_id").as("db"), col("shs").as("sb")),
+        .join(full.select(col("doc_id").as("db"), col("shs").as("sb")),
           "db")
         .withColumn("inter",
           size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("sz_small", size(col("sa")).cast("long"))
         .withColumn("sz_big", size(col("sb")).cast("long"))
-        .filter(col("inter") * 10 >= col("sz_small") * 9)
+        .filter(col("inter") * den >= col("sz_small") * num)
         .withColumn("cont", col("inter").cast("double") /
           col("sz_small").cast("double"))
         .withColumn("jac", col("inter").cast("double") /
@@ -3718,6 +3764,58 @@ object Dedup {
            |WHERE len(list_intersect(x.shs, y.shs)) * 10 >= len(x.shs) * 9
            |ORDER BY da, db""".stripMargin
       },
+
+      // d39's oracle shape at block grain (same prefix-filter mirror —
+      // an all-pairs brute at sf0.1 would be 25M list_intersects):
+      // units are d12's 20-token block md5s, threshold C >= 1/2.
+      "d40_block_containment" ->
+        """WITH d AS (
+          | SELECT doc_id, string_split(text, ' ') AS tk
+          | FROM documents WHERE text IS NOT NULL),
+          |bl AS (
+          | SELECT doc_id,
+          |  list_sort(list_distinct(list_transform(
+          |    range(0, greatest(len(tk) - 1, 0) + 1, 20),
+          |    i -> md5(array_to_string(
+          |      list_slice(tk, i + 1, i + 20), ' '))))) AS shs
+          | FROM d),
+          |ex AS (
+          | SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz,
+          |  unnest(shs) AS h
+          | FROM bl),
+          |dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+          |ord AS (
+          | SELECT e.doc_id,
+          |  list({'df': f.df, 'h': e.h} ORDER BY f.df, e.h) AS ord,
+          |  COUNT(*) AS sza
+          | FROM ex e JOIN dfreq f USING (h) GROUP BY e.doc_id),
+          |pref AS (
+          | SELECT doc_id AS da, sza,
+          |  unnest(list_slice(ord, 1, CAST(sza // 2 + 1 AS INT))) AS p
+          | FROM ord),
+          |ph AS (SELECT da, sza, p.h AS h FROM pref),
+          |cand AS (
+          | SELECT DISTINCT a.da, e.doc_id AS db
+          | FROM ph a JOIN ex e ON a.h = e.h
+          |  AND (a.sza < e.sz OR (a.sza = e.sz AND a.da < e.doc_id)))
+          |SELECT da, db,
+          | CAST(len(x.shs) AS BIGINT) AS sz_small,
+          | CAST(len(y.shs) AS BIGINT) AS sz_big,
+          | CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS inter,
+          | CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+          |   CAST(len(x.shs) AS DOUBLE) AS cont,
+          | CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+          |   CAST(len(x.shs) + len(y.shs)
+          |     - len(list_intersect(x.shs, y.shs)) AS DOUBLE) AS jac,
+          | CAST(CASE WHEN CAST(len(list_intersect(x.shs, y.shs))
+          |     AS DOUBLE) /
+          |   CAST(len(x.shs) + len(y.shs)
+          |     - len(list_intersect(x.shs, y.shs)) AS DOUBLE) >= 0.7
+          |   THEN 1 ELSE 0 END AS BIGINT) AS jac_caught
+          |FROM cand JOIN bl x ON da = x.doc_id
+          | JOIN bl y ON db = y.doc_id
+          |WHERE len(list_intersect(x.shs, y.shs)) * 2 >= len(x.shs)
+          |ORDER BY da, db""".stripMargin,
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

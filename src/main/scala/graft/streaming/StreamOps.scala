@@ -347,6 +347,93 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Explicit interval event for the sweep stream (k = sweep key). */
+  case class IvEv(k: Long, st: Timestamp, en: Timestamp)
+  /** Open-island state for the sweep stream: bounds plus the member
+    * interval endpoints in epoch ms (aligned seqs — kept so the exact
+    * per-island sweep can run at CLOSE time, making the emitted peak
+    * independent of arrival order; a depth-counter-only O(1) state
+    * would be cheaper but order-sensitive). Public for the encoder. */
+  case class OpenSweep(start: Long, maxEnd: Long,
+                       sts: Seq[Long], ens: Seq[Long])
+  case class SweepRow(k: Long, island_start: Timestamp,
+                      island_end: Timestamp, n_intervals: Long,
+                      peak_concurrency: Long)
+
+  /** Sweep-line CONCURRENCY stream — the incremental twin of batch
+    * p21 (`Temporal.sweepSummary`), emitted at ISLAND grain: intervals
+    * [st, en) per key merge into islands exactly like
+    * [[intervalIslandsStream]] (touching spans merge; an island is
+    * final once the watermark passes its running max end), and each
+    * island closes with its interval count and PEAK overlap depth —
+    * the ±1-event sweep run over the island's own members at close
+    * time, with -1 before +1 at equal ts so back-to-back intervals
+    * never count as concurrent (p20's half-open rule, same tie order
+    * as the batch window). Summing rows per key reproduces the batch
+    * report: n_islands = count, n_intervals/peak/covered via
+    * sum/max/sum(en−st). State is one open island per key holding its
+    * member endpoints — bounded by the largest CONCURRENT cluster, not
+    * stream length (the p15 closure rule evicts it at watermark);
+    * that's the price of an arrival-order-independent exact peak. A
+    * gap-separated straggler strictly before the open island closes
+    * immediately as a singleton (same caveat as the island stream). */
+  def sweepConcurrencyStream(events: Dataset[IvEv],
+                             watermark: String = "10 minutes")
+      : Dataset[SweepRow] = {
+    import events.sparkSession.implicits._
+
+    def peakOf(sts: Seq[Long], ens: Seq[Long]): Long = {
+      val ev = (sts.map(t => (t, 1L)) ++ ens.map(t => (t, -1L)))
+        .sorted // (ts, delta): -1 sorts before +1 at equal ts
+      var d = 0L
+      var mx = 0L
+      ev.foreach { case (_, dl) => d += dl; if (d > mx) mx = d }
+      mx
+    }
+    def emit(k: Long, s: OpenSweep) = SweepRow(k,
+      new Timestamp(s.start), new Timestamp(s.maxEnd),
+      s.sts.size.toLong, peakOf(s.sts, s.ens))
+
+    def update(k: Long, evs: Iterator[IvEv],
+               state: GroupState[OpenSweep]): Iterator[SweepRow] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(emit(k, s))
+      }
+      val sorted = evs.toSeq.sortBy(e => (e.st.getTime, e.en.getTime))
+      var open = state.getOption
+      val closed = Seq.newBuilder[SweepRow]
+      sorted.foreach { e =>
+        val t = e.st.getTime
+        val en = e.en.getTime
+        open match {
+          case Some(s) if t > s.maxEnd =>          // gap: island is final
+            closed += emit(k, s)
+            open = Some(OpenSweep(t, en, Seq(t), Seq(en)))
+          case Some(s) if en >= s.start =>         // overlap/touch: merge
+            open = Some(OpenSweep(math.min(s.start, t),
+              math.max(s.maxEnd, en), s.sts :+ t, s.ens :+ en))
+          case Some(_) =>                          // gap-separated straggler
+            closed += SweepRow(k, new Timestamp(t), new Timestamp(en),
+              1L, 1L)
+          case None =>
+            open = Some(OpenSweep(t, en, Seq(t), Seq(en)))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.maxEnd)
+      }
+      closed.result().iterator
+    }
+
+    events.withWatermark("st", watermark)
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Valued event for the rolling monitor (cents keeps sums exact). */
   case class VEv(event_type: String, ts: java.sql.Timestamp, cents: Long)
   /** A day's final aggregate (public for the state encoder). */

@@ -485,6 +485,45 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("d40 containment core at C >= 1/2 equals brute force on arbitrary " +
+    "unit sets (the prefix filter's pigeonhole holds at any threshold)") {
+    val s = spark
+    import s.implicits._
+    // Unit hashes drawn from a tiny space (0..11) so both prefix
+    // collisions and half-contained sets are common; sets are what
+    // d40 feeds the core (distinct, sorted), exercising the num/den
+    // = 1/2 arithmetic d39's 9/10 test never touches.
+    val genCase = for {
+      nDocs <- Gen.choose(4, 12)
+      sets <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(0, 8)
+        hs <- Gen.listOfN(n, Gen.choose(0L, 11L))
+      } yield hs.distinct.sorted)
+    } yield sets.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
+    val prop = Prop.forAll(genCase) { docs =>
+      val got = Dedup.containmentPairsCore(
+          docs.toDF("doc_id", "shs"), 1, 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val sets = docs.map { case (id, hs) => (id, hs.toSet) }
+      val brute = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if sa.nonEmpty && sb.nonEmpty
+        if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+        inter = (sa & sb).size.toLong
+        if inter * 2 >= sa.size.toLong
+      } yield (ia, ib) -> (sa.size.toLong, sb.size.toLong, inter)).toMap
+      val ok = got == brute
+      if (!ok) println(s"block containment $got != brute $brute on $docs")
+      spark.catalog.clearCache() // containmentPairsCore persists its base
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("d04 DF cap: a corpus-hot shingle is dropped from candidate " +
     "generation; rare-shingle near-dups still surface") {
     val s = spark

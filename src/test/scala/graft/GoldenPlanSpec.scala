@@ -516,6 +516,10 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // codebook-broadcast → cells-scan probe with no training subtree;
     // fusion stays the full-outer SMJ of two bounded shortlists.
     "v25b_hybrid_rrf_indexed",
+    // d40: same rule as d39 at block grain — candidates from the
+    // rarest-block prefix EQUI-join off the persisted base, no
+    // CartesianProduct/BNLJ, verification above the distinct shuffle.
+    "d40_block_containment",
     // t26: ONE corpus explode into the persisted (source, tok) count —
     // srcTot/glob/head/grid all read InMemoryTableScans of it (a
     // second Generate over documents would show here); the head and

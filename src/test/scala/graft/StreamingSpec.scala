@@ -822,4 +822,86 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
             .take(5).mkString("\n"))
     } finally q.stop()
   }
+
+  test("sweep-line concurrency stream matches the batch island sweep " +
+    "(p21's twin): per-island peak depth, half-open tie rule, " +
+    "cross-batch merge") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.IvEv
+    def iv(k: Long, a: Long, b: Long) = IvEv(k, ts(a), ts(b))
+    // k=1: overlapping triple (peak 3) + back-to-back pair in the SAME
+    //      island (en == next st merges but must NOT count as
+    //      concurrent), then a gap and a second island;
+    // k=2: duplicates plus a cross-batch merge — the batch-2 interval
+    //      starts inside batch-1's open island and lifts its peak to 3.
+    // Times start at 100 (an event AT the initial watermark 0 would be
+    // dropped — the strictly-greater filter the island tests pin), and
+    // the 120-minute delay keeps b2's st=120 above the post-b1
+    // watermark (max st 180 => wm 60).
+    val b1 = Seq(iv(1, 100, 130), iv(1, 110, 120), iv(1, 115, 140),
+      iv(1, 140, 150), iv(1, 180, 190),
+      iv(2, 100, 125), iv(2, 100, 125))
+    val b2 = Seq(iv(2, 120, 160))
+    val input = MemoryStream[IvEv]
+    val q = StreamOps.sweepConcurrencyStream(input.toDS(), "120 minutes")
+      .writeStream.format("memory").queryName("sweep_conc")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      input.addData(iv(99, 1000, 1001)) // push watermark past everything
+      q.processAllAvailable()
+      val got = spark.table("sweep_conc")
+        .filter(col("k") =!= 99)
+        .select(col("k"),
+          (unix_timestamp(col("island_start")) * 1000).as("ist"),
+          (unix_timestamp(col("island_end")) * 1000).as("ien"),
+          col("n_intervals"), col("peak_concurrency"))
+        .orderBy(col("k"), col("ist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+
+      // Batch twin in ms: p15 island assignment (cummax of ends), then
+      // the ±1 sweep PARTITIONed BY (k, island) with the same
+      // (ts, delta) tie order the stream's close-time sweep uses.
+      val W = org.apache.spark.sql.expressions.Window
+      val uPre = W.unboundedPreceding
+      val wIsl = W.partitionBy(col("k")).orderBy(col("st"), col("en"))
+      val base = (b1 ++ b2).toDS()
+        .select(col("k"),
+          (unix_timestamp(col("st")) * 1000).as("st"),
+          (unix_timestamp(col("en")) * 1000).as("en"))
+        .withColumn("mpe", max(col("en")).over(wIsl.rowsBetween(uPre, -1)))
+        .withColumn("ni", when(col("mpe").isNull ||
+          col("st") > col("mpe"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("ni")).over(wIsl.rowsBetween(uPre, 0)))
+      val ev = base.select(col("k"), col("isl"), col("st").as("ts"),
+          lit(1L).as("delta"))
+        .unionAll(base.select(col("k"), col("isl"), col("en").as("ts"),
+          lit(-1L).as("delta")))
+      val wSweep = W.partitionBy(col("k"), col("isl"))
+        .orderBy(col("ts"), col("delta"))
+        .rowsBetween(uPre, W.currentRow)
+      val peaks = ev.withColumn("depth", sum(col("delta")).over(wSweep))
+        .groupBy(col("k"), col("isl"))
+        .agg(max(col("depth")).as("peak"))
+      val batch = base.groupBy(col("k"), col("isl"))
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"),
+          count(lit(1)).as("n"))
+        .join(peaks, Seq("k", "isl"))
+        .select(col("k"), col("ist"), col("ien"), col("n"), col("peak"))
+        .orderBy(col("k"), col("ist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+      // Shape sanity: k=1 closes two islands (peak 3 then 1), k=2 one
+      // island whose cross-batch merge lifts the duplicate peak to 3.
+      assert(got.map(t => (t._1, t._4, t._5)) ==
+        Seq((1L, 4L, 3L), (1L, 1L, 1L), (2L, 3L, 3L)), got.toString)
+    } finally q.stop()
+  }
 }
