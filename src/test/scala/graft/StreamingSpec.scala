@@ -904,4 +904,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq((1L, 4L, 3L), (1L, 1L, 1L), (2L, 3L, 3L)), got.toString)
     } finally q.stop()
   }
+
+  test("sweep-line concurrency stream matches an in-memory island sweep " +
+    "on randomized interval sets (single-batch delivery)") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.IvEv
+    // Deterministic pseudo-random corpus (fixed seed — a streaming
+    // query per ScalaCheck trial would be slow and flaky-prone; one
+    // dense 120-interval corpus over 3 keys exercises merges, ties,
+    // touching spans, duplicates and singletons far past the
+    // example-based test). Delivered in ONE batch so no event is
+    // below the watermark; a closing event finalizes every island.
+    val rnd = new scala.util.Random(11)
+    val evs = (0 until 120).map { i =>
+      val k = 1L + rnd.nextInt(3)
+      val st = 100L + rnd.nextInt(300)
+      val span = 1L + rnd.nextInt(40)
+      IvEv(k, ts(st), ts(st + span))
+    }
+    val input = MemoryStream[IvEv]
+    val q = StreamOps.sweepConcurrencyStream(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("sweep_conc_rand")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(IvEv(99, ts(5000), ts(5001)))
+      q.processAllAvailable()
+      val got = spark.table("sweep_conc_rand")
+        .filter(col("k") =!= 99)
+        .select(col("k"),
+          (unix_timestamp(col("island_start")) * 1000).as("ist"),
+          (unix_timestamp(col("island_end")) * 1000).as("ien"),
+          col("n_intervals"), col("peak_concurrency"))
+        .orderBy(col("k"), col("ist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      // In-memory reference: sort per key by (st, en); an island breaks
+      // where st exceeds the running max end; peak via the ±1 sweep
+      // with -1 before +1 at equal ts (set semantics, independent of
+      // the stream's implementation).
+      val brute = evs.groupBy(_.k).toSeq.flatMap { case (k, ivs) =>
+        val sorted = ivs.map(e => (e.st.getTime, e.en.getTime))
+          .sortBy(identity)
+        val islands = sorted.tail.foldLeft(
+          Vector(Vector(sorted.head))) { (acc, iv) =>
+          if (iv._1 > acc.last.map(_._2).max) acc :+ Vector(iv)
+          else acc.init :+ (acc.last :+ iv)
+        }
+        islands.map { isl =>
+          val events = (isl.map(i => (i._1, 1L)) ++
+            isl.map(i => (i._2, -1L))).sorted
+          val peak = events.scanLeft(0L)(_ + _._2).max
+          (k, isl.map(_._1).min, isl.map(_._2).max,
+            isl.size.toLong, peak)
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == brute,
+        got.zipAll(brute, null, null)
+          .collect { case (a, b) if a != b => s"$a != $b" }
+          .take(5).mkString("\n"))
+      assert(got.size >= 3 && got.exists(_._5 >= 3),
+        s"degenerate corpus: ${got.size} islands, " +
+          s"max peak ${got.map(_._5).max}")
+    } finally q.stop()
+  }
 }
