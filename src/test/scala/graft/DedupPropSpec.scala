@@ -235,6 +235,23 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cluster-label index artifact equals d06's from-scratch labels " +
+    "(cluster-grain consumers probe exactly what the graded path computes)") {
+    val dir = "/root/testdata/sf0.001"
+    // d07's construction forces the build-if-missing.
+    Dedup.queries("d07_keep_best")(spark, dir).collect()
+    val key = graft.llm.IndexStore.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val idx = spark.read
+      .parquet(s"$tmpdir/graft_cluster_index/$key/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fresh = Dedup.queries("d06_dup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(idx.nonEmpty && idx == fresh,
+      s"cluster index diverges from d06 (${idx.size} vs ${fresh.size} rows)")
+  }
+
   test("pointer-jumping CC: same labels as plain propagation on a chain, " +
     "in O(log d) rounds instead of O(d)") {
     val s = spark

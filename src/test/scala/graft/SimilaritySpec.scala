@@ -23,6 +23,45 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("postings index artifact equals a direct recomputation (per-posting " +
+    "tf/df/dl and the corpus stats row)") {
+    // v25b's construction forces the build-if-missing; the artifact is
+    // then compared field-for-field against a from-scratch derivation —
+    // the probe must see exactly what a full corpus pass would.
+    graft.llm.Similarity
+      .queries("v25b_hybrid_rrf_indexed")(spark, sf).collect()
+    val key = graft.llm.IndexStore.fingerprint(
+      new java.io.File(s"$sf/documents.parquet"))
+    val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val post = spark.read
+      .parquet(s"$tmpdir/graft_postings_index/$key/postings")
+      .select(col("tok"), col("c_id"), col("tf"), col("df"), col("dl"))
+      .collect().map(_.toString).sorted.toSeq
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val direct = tf
+      .join(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"), col("dl"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(post.nonEmpty && post == direct,
+      s"postings artifact diverges from direct recomputation " +
+        s"(${post.size} vs ${direct.size} rows)")
+    val stats = spark.read
+      .parquet(s"$tmpdir/graft_postings_index/$key/stats")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dstats = docs
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stats == dstats, s"stats $stats != direct $dstats")
+  }
+
   test("quantizeInt8 emits array<long> codes in [-127, 127], full width") {
     val q = graft.llm.Similarity.quantizeInt8(spark, sf)
     assert(q.schema("q8").dataType.typeName == "array")
