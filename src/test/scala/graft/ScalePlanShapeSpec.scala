@@ -183,4 +183,29 @@ class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("dynamicpruning"),
       s"DPP fired with nothing to prune (dim is unfiltered):\n$p")
   }
+
+  test("sf1: v25b keeps both shortlists as index probes at 10x stats — " +
+    "query sides broadcast, corpus never re-derived") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val p = plan("v25b_hybrid_rrf_indexed")
+    // Lexical leg: the 20-doc query-term explode must stay the
+    // BROADCAST build side of the postings equi-join at sf1 stats —
+    // the Catalyst build-side inversion (range-filtered slice
+    // estimated LARGER than the unfiltered corpus) is exactly what
+    // the explicit broadcast() guards; a postings-side broadcast here
+    // would ship the whole inverted index to every task at 100 TB.
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), IsNotNull(text), " +
+      "GreaterThanOrEqual(doc_id,100), LessThan(doc_id,120)]"),
+      s"query filter not pushed into the documents scan at sf1:\n$p")
+    // No corpus-wide Generate outside the query slice: every explode
+    // in this plan works on the 20 query docs (the postings/cells
+    // tables are read, not re-derived).
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian appeared in the indexed hybrid at sf1:\n$p")
+    // Vector leg: the codebook stays a broadcast against the probed
+    // cells scan — no training subtree at serving time.
+    assert(!p.toLowerCase.contains("tok_hashes") &&
+      !p.contains("shingle_hashes"),
+      s"corpus hashing appeared in a probe-only plan:\n$p")
+  }
 }
