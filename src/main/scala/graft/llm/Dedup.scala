@@ -485,7 +485,20 @@ object Dedup {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_cluster_index/${IndexStore.fingerprint(src)}")
     IndexStore.ensureBuilt(base) { tmp =>
-      queries("d06_dup_clusters")(s, dir)
+      // d06's exact chain, inlined so the mined PAIRS publish alongside
+      // the converged labels (round-12: d25's leak audit probes pairs at
+      // the same per-corpus-version grain as the labels — one mining
+      // pass feeds both artifacts instead of each consumer re-mining).
+      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+        .select(col("da"), col("db")))
+      pairs.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "pairs").getPath)
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .toDF("src", "dst")
+      val (lab, _) = graft.operators.ConnectedComponents.run(edges)
+      lab.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy(col("doc_id"))
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "labels").getPath)
     }
@@ -497,6 +510,13 @@ object Dedup {
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(new java.io.File(
       ensureClusterIndex(s, dir), "labels").getPath)
+
+  /** Pair side of [[ensureClusterIndex]]: the SYMMETRIC-free near-dup
+    * pairs (da < db) the labels were derived from — d25's leak audit
+    * probes these instead of re-mining d03 per query. */
+  private def clusterPairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(new java.io.File(
+      ensureClusterIndex(s, dir), "pairs").getPath)
 
   /** The ingest-probe report d21/d23 share: hash ONLY the batch
     * (doc_id % 7 = 0), probe the supplied corpus-side index scans
@@ -1321,14 +1341,19 @@ object Dedup {
       // Cost on top of the shared d03 mining pass + CC labels: doc-grain
       // linear passes and one pair-grain join — nothing quadratic, and
       // the split hash is uniform, so neither side of the 90/10 cut can
-      // skew a partition at 100 TB.
-      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
-        .select(col("da"), col("db")))
+      // skew a partition at 100 TB. Both cluster-grain inputs — the
+      // converged labels AND the mined pairs — come off the
+      // MATERIALIZED ensureClusterIndex artifact (round-12: the same
+      // probe discipline as d07/d36/d37; re-mining d03 + re-running the
+      // CC fixpoint per audit was a top-7 suite cost and is exactly the
+      // per-consumer fixpoint a 100 TB pipeline cannot afford).
+      val pairs = clusterPairs(s, dir)
       val docs = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
-      splitSafetyReport(docs, pairs)
+      splitSafetyReportFrom(docs, pairs, clusterLabels(s, dir)
+        .select(col("doc_id").as("cid"), col("cluster")))
     },
 
     "d26_dup_span_removal" -> { (s, dir) =>
@@ -2443,6 +2468,20 @@ object Dedup {
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst")
     val (lab, _) = graft.operators.ConnectedComponents.run(edges)
+    splitSafetyReportFrom(docs, pairs,
+      lab.select(col("id").as("cid"), col("lbl").as("cluster")))
+  }
+
+  /** [[splitSafetyReport]] with the converged labels supplied as a
+    * (cid, cluster) frame — d25 passes the MATERIALIZED
+    * [[ensureClusterIndex]] labels so the per-query plan carries no
+    * iterative CC subtree (the d07/d36/d37 discipline); the 2-arg
+    * overload above keeps the from-scratch path for `DedupPropSpec`'s
+    * synthetic pair sets. */
+  private[graft] def splitSafetyReportFrom(docs: DataFrame,
+                                           pairs: DataFrame,
+                                           labels: DataFrame): DataFrame = {
+    val lab = labels
     def splitOf(id: Column): Column = {
       val h = conv(substring(md5(
         concat(id.cast("string"), lit(":split")).cast("binary")),
@@ -2453,8 +2492,7 @@ object Dedup {
     // balance passes, the straddle audit, the pair leak join) — the
     // localCheckpoint stops each from re-running the label join.
     val assigned = barrier(docs
-      .join(lab.select(col("id").as("cid"), col("lbl").as("cluster")),
-        col("doc_id") === col("cid"), "left_outer")
+      .join(lab, col("doc_id") === col("cid"), "left_outer")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("sp_naive", splitOf(col("doc_id")))

@@ -2,6 +2,8 @@ package graft.llm
 
 import java.io.File
 
+import scala.jdk.CollectionConverters._
+
 /** Shared lifecycle for the pre-materialized parquet indexes (d21's
   * ingest index, v18's ANN index, d23's delta chain): a content
   * fingerprint that actually identifies the source corpus, and an
@@ -48,22 +50,91 @@ private[graft] object IndexStore {
       .map("%02x".format(_)).mkString.take(16)
   }
 
-  /** Build-if-missing with atomic publish. `base`'s existence IS the
-    * built marker (a rename either fully succeeds or not at all on the
-    * same filesystem — tmpdir — so no partially-visible state exists).
-    * `build` receives the private temp directory to write into. */
+  /** Manifest file recording each published child with its recursive
+    * file count — the probe-time validity check. The rename makes the
+    * publish atomic, but the artifact then lives under java.io.tmpdir,
+    * where a tmp reaper can delete FILES inside a published directory
+    * while leaving `base` itself: with bare `base.exists()` as the
+    * built marker, consumers would trust (and probe) a gutted index
+    * instead of rebuilding (round-11 advice). The manifest is written
+    * into the temp dir BEFORE the rename, so it is exactly as atomic
+    * as the artifact it describes. */
+  private val ManifestName = "_MANIFEST"
+
+  private def countFiles(f: File): Long =
+    if (f.isFile) 1L
+    else Option(f.listFiles()).getOrElse(Array.empty[File])
+      .map(countFiles).sum
+
+  private def writeManifest(tmp: File): Unit = {
+    val lines = Option(tmp.listFiles()).getOrElse(Array.empty[File])
+      .filterNot(_.getName == ManifestName)
+      .sortBy(_.getName)
+      .map(c => s"${c.getName}\t${countFiles(c)}")
+    java.nio.file.Files.writeString(
+      new File(tmp, ManifestName).toPath, lines.mkString("\n"))
+  }
+
+  /** A published artifact is valid iff its manifest exists and every
+    * recorded child still holds exactly its recorded file count (a
+    * reaper deletes, never adds — any drift means the artifact is no
+    * longer what was published). Pre-manifest artifacts fail this and
+    * rebuild once. */
+  private def isValid(base: File): Boolean = {
+    val mf = new File(base, ManifestName)
+    base.isDirectory && mf.isFile &&
+      java.nio.file.Files.readAllLines(mf.toPath).asScala.forall { line =>
+        line.split('\t') match {
+          case Array(name, n) =>
+            val c = new File(base, name)
+            c.exists() && countFiles(c) == n.toLong
+          case _ => line.trim.isEmpty
+        }
+      }
+  }
+
+  /** Best-effort hygiene on publish (round-11 advice): artifacts are
+    * keyed by corpus fingerprint with no TTL, so every regenerated
+    * corpus strands its predecessor's index tree in tmpdir forever.
+    * After publishing `base`, siblings in the same family directory
+    * that belong to a DIFFERENT fingerprint (first 16 name chars) and
+    * have been idle for >6 h are deleted. The age guard keeps every
+    * artifact of the current round alive (concurrent suites probe
+    * sf0.001/sf0.01/sf0.1/sf1 fingerprints side by side); `.tmp_`
+    * dirs are a concurrent builder's workspace and are never touched.
+    * Failures are swallowed — eviction is hygiene, not correctness:
+    * an evicted-too-early artifact just rebuilds on next probe. */
+  private def evictStaleSiblings(base: File): Unit = try {
+    val fp = base.getName.take(16)
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(base.getParentFile.listFiles()).getOrElse(Array.empty[File])
+      .filter { s =>
+        s.getName != base.getName && !s.getName.contains(".tmp_") &&
+          !s.getName.startsWith(fp) && s.lastModified() < cutoff
+      }
+      .foreach(s => try deleteRec(s) catch { case _: Throwable => })
+  } catch { case _: Throwable => }
+
+  /** Build-if-missing with atomic publish. A present AND
+    * manifest-valid `base` is the built marker (a rename either fully
+    * succeeds or not at all on the same filesystem — tmpdir — so no
+    * partially-visible state exists; the manifest check catches
+    * post-publish decay). `build` receives the private temp directory
+    * to write into. */
   def ensureBuilt(base: File)(build: File => Unit): String = {
-    if (!base.exists()) {
+    if (!isValid(base)) {
+      if (base.exists()) deleteRec(base) // gutted/legacy artifact
       base.getParentFile.mkdirs()
       val tmp = new File(base.getParentFile,
         base.getName + ".tmp_" +
           java.util.UUID.randomUUID().toString.take(8))
       build(tmp)
+      writeManifest(tmp)
       if (!tmp.renameTo(base)) {
         if (base.exists()) deleteRec(tmp) // concurrent builder won
         else throw new java.io.IOException(
           s"cannot publish index at $base")
-      }
+      } else evictStaleSiblings(base)
     }
     base.getAbsolutePath
   }

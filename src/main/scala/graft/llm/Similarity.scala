@@ -1572,11 +1572,22 @@ object Similarity {
       val hits = broadcast(qterms).join(postings, "tok")
         .filter(col("q_id") =!= col("c_id"))
         .crossJoin(broadcast(stats))
+        // The first factor of each side is cast to DECIMAL(38,0) BEFORE
+        // any multiplication (round-12, advice fix): with the cast
+        // outside the product, (2n-2df+1)·tf·44·a and 20·a·tf evaluate
+        // in int64 first and silently wrap (non-ANSI) once n·a-scale
+        // products pass 2^63 — well below 100 TB corpus sizes — while
+        // the DuckDB twin errors: an undetectable engine divergence.
+        // All products now run in DECIMAL(38,0), good to 10^38 (int64
+        // wraps at ~9.2·10^18; num ≈ 88·n·a·tf·10^9 stays exact up to
+        // n·a·tf ≈ 10^27, e.g. 10^12 docs × 10^15 tokens).
         .withColumn("c_e9", expr(
-          "CAST(CAST((2*n - 2*df + 1) * tf * 44 * a AS DECIMAL(38,0))" +
-            " * 1000000000 div " +
-            "CAST((2*df + 1) * (20*a*tf + 6*a + 18*dl*n)" +
-            " AS DECIMAL(38,0)) AS BIGINT)"))
+          "CAST(CAST(2*n - 2*df + 1 AS DECIMAL(38,0))" +
+            " * tf * 44 * a * 1000000000 div " +
+            "(CAST(2*df + 1 AS DECIMAL(38,0))" +
+            " * (20 * CAST(a AS DECIMAL(38,0)) * tf" +
+            "    + 6 * CAST(a AS DECIMAL(38,0))" +
+            "    + 18 * CAST(dl AS DECIMAL(38,0)) * n)) AS BIGINT)"))
       val wl = Window.partitionBy(col("q_id"))
         .orderBy(col("score_e9").desc, col("c_id"))
       val lex = hits.groupBy(col("q_id"), col("c_id"))
@@ -3121,10 +3132,13 @@ object Similarity {
          | FROM dd WHERE doc_id >= 100 AND doc_id < 120),
          |lhits AS (
          | SELECT qt.q_id, tc.c_id,
-         |  CAST(CAST((2*st.n - 2*v.df + 1) * tc.tf * 44 * st.a
-         |    AS HUGEINT) * 1000000000 //
-         |   CAST((2*v.df + 1) * (20*st.a*tc.tf + 6*st.a
-         |     + 18*tc.dl*st.n) AS HUGEINT) AS BIGINT) AS c_e9
+         |  CAST(CAST(2*st.n - 2*v.df + 1 AS HUGEINT)
+         |    * tc.tf * 44 * st.a * 1000000000 //
+         |   (CAST(2*v.df + 1 AS HUGEINT)
+         |    * (20 * CAST(st.a AS HUGEINT) * tc.tf
+         |       + 6 * CAST(st.a AS HUGEINT)
+         |       + 18 * CAST(tc.dl AS HUGEINT) * st.n))
+         |   AS BIGINT) AS c_e9
          | FROM qt JOIN tc ON qt.tok = tc.tok
          |  JOIN vocab v ON qt.tok = v.tok CROSS JOIN st
          | WHERE qt.q_id <> tc.c_id),

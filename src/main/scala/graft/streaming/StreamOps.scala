@@ -349,12 +349,22 @@ object StreamOps {
 
   /** Explicit interval event for the sweep stream (k = sweep key). */
   case class IvEv(k: Long, st: Timestamp, en: Timestamp)
-  /** Open-island state for the sweep stream: bounds plus the member
-    * interval endpoints in epoch ms (aligned seqs — kept so the exact
-    * per-island sweep can run at CLOSE time, making the emitted peak
-    * independent of arrival order; a depth-counter-only O(1) state
-    * would be cheaper but order-sensitive). Public for the encoder. */
-  case class OpenSweep(start: Long, maxEnd: Long,
+  /** Open-island state for the sweep stream: island bounds and count,
+    * a running (depth, maxDepth) pair summarizing the FINALIZED sweep
+    * prefix, plus only the endpoints still at-or-above the watermark
+    * (aligned seqs, epoch ms). Endpoints below the watermark can never
+    * be reordered by a future event (late rows are dropped by the
+    * strictly-greater filter), so each update folds them into the
+    * running pair — state is bounded by the endpoints inside the
+    * watermark HORIZON, not by island length (round-11 advice: a chain
+    * of touching intervals keeps extending maxEnd, so an
+    * endpoints-forever state would grow with stream length on
+    * continuously-active keys). The retained suffix still lets the
+    * close-time sweep stay exact and arrival-order-independent; a
+    * depth-counter-only O(1) state would be cheaper but
+    * order-sensitive. Public for the encoder. */
+  case class OpenSweep(start: Long, maxEnd: Long, nIntervals: Long,
+                       depth: Long, maxDepth: Long,
                        sts: Seq[Long], ens: Seq[Long])
   case class SweepRow(k: Long, island_start: Timestamp,
                       island_end: Timestamp, n_intervals: Long,
@@ -371,10 +381,13 @@ object StreamOps {
     * never count as concurrent (p20's half-open rule, same tie order
     * as the batch window). Summing rows per key reproduces the batch
     * report: n_islands = count, n_intervals/peak/covered via
-    * sum/max/sum(en−st). State is one open island per key holding its
-    * member endpoints — bounded by the largest CONCURRENT cluster, not
-    * stream length (the p15 closure rule evicts it at watermark);
-    * that's the price of an arrival-order-independent exact peak. A
+    * sum/max/sum(en−st). State is one open island per key holding a
+    * compacted (depth, maxDepth) prefix plus only the endpoints at or
+    * above the watermark — bounded by the endpoints inside the
+    * watermark HORIZON, not by island (or stream) length, so a
+    * continuously-active key whose touching intervals never close the
+    * island cannot grow state without bound; that's an exact,
+    * arrival-order-independent peak at O(horizon) state. A
     * gap-separated straggler strictly before the open island closes
     * immediately as a singleton (same caveat as the island stream). */
   def sweepConcurrencyStream(events: Dataset[IvEv],
@@ -382,17 +395,44 @@ object StreamOps {
       : Dataset[SweepRow] = {
     import events.sparkSession.implicits._
 
-    def peakOf(sts: Seq[Long], ens: Seq[Long]): Long = {
-      val ev = (sts.map(t => (t, 1L)) ++ ens.map(t => (t, -1L)))
-        .sorted // (ts, delta): -1 sorts before +1 at equal ts
-      var d = 0L
-      var mx = 0L
+    // Sweep the retained suffix on top of the compacted running pair:
+    // (ts, delta) sorted puts -1 before +1 at equal ts (half-open rule).
+    def peakOf(s: OpenSweep): Long = {
+      val ev = (s.sts.map(t => (t, 1L)) ++ s.ens.map(t => (t, -1L)))
+        .sorted
+      var d = s.depth
+      var mx = s.maxDepth
       ev.foreach { case (_, dl) => d += dl; if (d > mx) mx = d }
       mx
     }
     def emit(k: Long, s: OpenSweep) = SweepRow(k,
       new Timestamp(s.start), new Timestamp(s.maxEnd),
-      s.sts.size.toLong, peakOf(s.sts, s.ens))
+      s.nIntervals, peakOf(s))
+
+    // Fold every endpoint strictly below the watermark into the running
+    // (depth, maxDepth) pair — any future event has st (and so en) > wm,
+    // so it sorts after the folded prefix and the sweep's total order is
+    // preserved; endpoints AT the watermark stay live (a future event at
+    // wm+1 could still tie-order against them only if they were +1s at
+    // the same ts, which an st > wm guarantees can't happen — keeping
+    // them is just the conservative side of the boundary).
+    def compact(s: OpenSweep, wm: Long): OpenSweep =
+      if (wm <= 0 || (s.sts.isEmpty && s.ens.isEmpty)) s
+      else {
+        val ev = (s.sts.map(t => (t, 1L)) ++ s.ens.map(t => (t, -1L)))
+          .sorted
+        var d = s.depth
+        var mx = s.maxDepth
+        val keepSt = Seq.newBuilder[Long]
+        val keepEn = Seq.newBuilder[Long]
+        ev.foreach { case (t, dl) =>
+          if (t < wm) { d += dl; if (d > mx) mx = d }
+          else if (dl == 1L) keepSt += t
+          else keepEn += t
+        }
+        OpenSweep(s.start, s.maxEnd, s.nIntervals, d, mx,
+          keepSt.result(), keepEn.result())
+      }
 
     def update(k: Long, evs: Iterator[IvEv],
                state: GroupState[OpenSweep]): Iterator[SweepRow] = {
@@ -410,19 +450,20 @@ object StreamOps {
         open match {
           case Some(s) if t > s.maxEnd =>          // gap: island is final
             closed += emit(k, s)
-            open = Some(OpenSweep(t, en, Seq(t), Seq(en)))
+            open = Some(OpenSweep(t, en, 1L, 0L, 0L, Seq(t), Seq(en)))
           case Some(s) if en >= s.start =>         // overlap/touch: merge
             open = Some(OpenSweep(math.min(s.start, t),
-              math.max(s.maxEnd, en), s.sts :+ t, s.ens :+ en))
+              math.max(s.maxEnd, en), s.nIntervals + 1L,
+              s.depth, s.maxDepth, s.sts :+ t, s.ens :+ en))
           case Some(_) =>                          // gap-separated straggler
             closed += SweepRow(k, new Timestamp(t), new Timestamp(en),
               1L, 1L)
           case None =>
-            open = Some(OpenSweep(t, en, Seq(t), Seq(en)))
+            open = Some(OpenSweep(t, en, 1L, 0L, 0L, Seq(t), Seq(en)))
         }
       }
       open.foreach { s =>
-        state.update(s)
+        state.update(compact(s, state.getCurrentWatermarkMs()))
         state.setTimeoutTimestamp(s.maxEnd)
       }
       closed.result().iterator

@@ -229,10 +229,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // filter legs as per-row flags (a per-leg join would triple the
     // shuffle); verification runs once over the base candidate set.
     "d22_ppjoin_filter_audit",
-    // split safety: every policy/leak/straddle consumer must read the
-    // checkpointed doc-grain assignment (an InMemory/checkpoint scan) —
-    // a rebuilt label join per consumer would show as repeated CC
-    // lineage; the two leak joins stay doc-grain equi-joins.
+    // split safety: labels AND pairs come off the materialized
+    // ensureClusterIndex FileScans (round-12 — an iterative CC subtree
+    // or a d03 re-mine in this plan is a regression to per-query
+    // fixpoints); every policy/leak/straddle consumer reads the
+    // checkpointed doc-grain assignment, and the two leak joins stay
+    // doc-grain equi-joins.
     "d25_cluster_safe_split",
     // duplicated-span removal: repeated windows come from ONE
     // partial-aggregated groupBy on the window fingerprint (no pair
@@ -526,7 +528,13 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the global total come back as BROADCASTS against the 20-row
     // source frame, and the scoring grid is head×sources, so nothing
     // after the first aggregate is corpus-sized.
-    "t26_unigram_drift")
+    "t26_unigram_drift",
+    // round-12 jitter freeze (the round-8 d69c267 precedent): c02 and
+    // f09 sit in the ~1.5-2.5x sentinel band where run-to-run JVM
+    // noise on a ~1 s query flips the >2x rule — freezing their plans
+    // makes the enforcement outcome independent of which side of the
+    // line a given bench run lands on.
+    "c02_windowed_topk", "f09_json")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
@@ -652,14 +660,32 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(pinned),
       "bench_pinned.json missing — pin the round's final sf0.1 bench " +
         "artifact (cp bench_out.json bench_pinned.json) and commit it.")
-    val sources = Seq(pinned) ++
-      Some(Paths.get("bench_out.json")).filter(Files.exists(_))
     val frozen = flagship.toSet
-    sources.foreach { p =>
-      val missing = (slowQueries(Files.readString(p)) -- frozen).toSeq.sorted
-      assert(missing.isEmpty,
-        s"queries over ${SentinelThreshold}× sentinel in $p without a " +
-          s"plan golden: ${missing.mkString(", ")} — add to " +
+    val pinnedTxt = Files.readString(pinned)
+    val pinnedSlow = slowQueries(pinnedTxt)
+    // The committed pinned artifact is authoritative: anything over
+    // threshold there must be frozen.
+    val missing = (pinnedSlow -- frozen).toSeq.sorted
+    assert(missing.isEmpty,
+      s"queries over ${SentinelThreshold}× sentinel in $pinned without " +
+        s"a plan golden: ${missing.mkString(", ")} — add to " +
+        "GoldenPlanSpec.flagship and regen (GRAFT_REGEN_GOLDENS=1).")
+    // A local (uncommitted) bench_out.json is a single noisy run: on a
+    // ~1 s query the sentinel ratio swings ~2× run-to-run (round-11
+    // verdict: c02 1.52×→3.09× between two driver runs), so it flags a
+    // query only with hysteresis — over threshold in BOTH artifacts, or
+    // a query the pinned artifact has no row for yet (a mid-round
+    // addition; the bench-coverage test already keeps those visible).
+    val local = Paths.get("bench_out.json")
+    if (Files.exists(local)) {
+      val pinnedBenched = benchedQueries(pinnedTxt)
+      val localFlag = slowQueries(Files.readString(local))
+        .filter(q => pinnedSlow.contains(q) || !pinnedBenched.contains(q))
+      val lm = (localFlag -- frozen).toSeq.sorted
+      assert(lm.isEmpty,
+        s"queries over ${SentinelThreshold}× sentinel in $local " +
+          s"(confirmed by or absent from the pinned artifact) without a " +
+          s"plan golden: ${lm.mkString(", ")} — add to " +
           "GoldenPlanSpec.flagship and regen (GRAFT_REGEN_GOLDENS=1).")
     }
   }

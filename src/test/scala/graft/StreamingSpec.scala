@@ -971,4 +971,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"max peak ${got.map(_._5).max}")
     } finally q.stop()
   }
+
+  test("sweep-line concurrency stream compacts the finalized prefix: a " +
+    "touching chain kept open across batches by a SHORT watermark still " +
+    "emits the exact peak (round-11 advice: state must not grow with " +
+    "island length)") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.IvEv
+    def iv(k: Long, a: Long, b: Long) = IvEv(k, ts(a), ts(b))
+    // 10-minute delay: after batch 1 (max st 115) the watermark sits at
+    // 105, so batch 2's update folds the st=100 delta into the running
+    // (depth, maxDepth) pair — the compaction path runs mid-island,
+    // while batches 2 and 3 keep merging into the SAME open island
+    // (every st stays above the advancing watermark and at-or-below the
+    // running max end). The emitted peak must still be the exact
+    // whole-island sweep, i.e. identical to the all-at-once batch twin.
+    val b1 = Seq(iv(1, 100, 120), iv(1, 110, 130), iv(1, 115, 118))
+    val b2 = Seq(iv(1, 125, 160), iv(1, 128, 140))
+    val b3 = Seq(iv(1, 150, 170), iv(1, 152, 156))
+    val all = b1 ++ b2 ++ b3
+    val input = MemoryStream[IvEv]
+    val q = StreamOps.sweepConcurrencyStream(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("sweep_conc_compact")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      input.addData(iv(99, 5000, 5001)) // push watermark past the island
+      q.processAllAvailable()
+      val got = spark.table("sweep_conc_compact")
+        .filter(col("k") =!= 99)
+        .select(col("k"),
+          (unix_timestamp(col("island_start")) * 1000).as("ist"),
+          (unix_timestamp(col("island_end")) * 1000).as("ien"),
+          col("n_intervals"), col("peak_concurrency"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      // In-memory whole-island sweep (the compaction-free definition).
+      val ms = all.map(e => (e.st.getTime, e.en.getTime))
+      val events = (ms.map(i => (i._1, 1L)) ++ ms.map(i => (i._2, -1L)))
+        .sorted
+      val peak = events.scanLeft(0L)(_ + _._2).max
+      val expected = Seq((1L, ms.map(_._1).min, ms.map(_._2).max,
+        ms.size.toLong, peak))
+      assert(got == expected, s"stream $got != expected $expected")
+      assert(peak >= 3L, s"degenerate chain: peak $peak")
+    } finally q.stop()
+  }
 }
