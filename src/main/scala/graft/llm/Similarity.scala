@@ -1562,6 +1562,7 @@ object Similarity {
       // cells probe, and two ≤20-row-per-query shortlists.
       val pidx = TextAnalysis.ensurePostingsIndex(s, dir)
       val postings = s.read.parquet(s"$pidx/postings")
+      val vocab = s.read.parquet(s"$pidx/vocab")
       val stats = s.read.parquet(s"$pidx/stats")
       val qterms = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull &&
@@ -1569,7 +1570,16 @@ object Similarity {
         .select(col("doc_id").as("q_id"),
           explode_outer(array_distinct(split(col("text"), " ")))
             .as("tok"))
-      val hits = broadcast(qterms).join(postings, "tok")
+      // Two-step probe over the dictionary-encoded index (round-12):
+      // the ≤|Q|·|terms| query bag broadcasts into the vocab to pick up
+      // int32 token ids (ONE string-keyed join, against the types-sized
+      // vocab — never the postings), then the id'd bag broadcasts into
+      // the postings equi-join, so the corpus-sized side joins on a
+      // 4-byte key. OOV query tokens drop here (inner join) exactly as
+      // they dropped against the string-keyed postings before.
+      val qids = broadcast(qterms).join(vocab, "tok")
+        .select(col("q_id"), col("tid"))
+      val hits = broadcast(qids).join(postings, "tid")
         .filter(col("q_id") =!= col("c_id"))
         .crossJoin(broadcast(stats))
         // The first factor of each side is cast to DECIMAL(38,0) BEFORE

@@ -25,12 +25,29 @@ object TextAnalysis {
     * shortlist: per-(token, doc) postings with the tf, and the df and
     * doc length DENORMALIZED onto each row (df/dl are static per
     * corpus version, and carrying them in the posting makes the probe
-    * a single equi-join — no vocab join, no doclen join at query
-    * time), plus a 1-row corpus stats table (N docs, A tokens). Built
-    * once per corpus fingerprint, published atomically ([[IndexStore]]
-    * discipline); Bench's warmup builds it, so the measured pass times
-    * the probe alone. Probe cost is Σ df(query terms) — never a corpus
-    * scan. Returns the index directory. */
+    * a single equi-join — no doclen join at query time), plus a
+    * (tok, tid, df) VOCAB table and a 1-row corpus stats table
+    * (N docs, A tokens).
+    *
+    * Postings are DICTIONARY-ENCODED (round-12, verdict #4): the join
+    * key is an int32 token id, not the raw string — at 100 TB the
+    * posting rows dominate the artifact and the probe's shuffle bytes,
+    * and a 4-byte key beats a variable-length UTF-8 token both at rest
+    * and on the wire (parquet's per-rowgroup string dictionary doesn't
+    * help the EXCHANGE). Ids are dense ranks of the sorted vocab,
+    * assigned with zipWithIndex (per-partition offsets — distributed
+    * and deterministic; a row_number window would funnel the whole
+    * vocab through ONE partition). Probes resolve their few query
+    * tokens against the vocab first (broadcast of the query side), so
+    * the corpus-sized postings never see a string compare. int32 holds
+    * to 2^31 distinct types — beyond any observed natural-language
+    * vocab even at web scale.
+    *
+    * Built once per corpus fingerprint, published atomically
+    * ([[IndexStore]] discipline); Bench's warmup builds it, so the
+    * measured pass times the probe alone. Probe cost is
+    * Σ df(query terms) — never a corpus scan. Returns the index
+    * directory. */
   private[llm] def ensurePostingsIndex(s: SparkSession,
                                        dir: String): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
@@ -51,9 +68,31 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("dl"), col("tok"))
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      tf.join(df, "tok")
-        .select(col("tok"), col("doc_id").as("c_id"), col("tf"),
+      val vocabSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("tid",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      s.createDataFrame(
+          df.orderBy(col("tok")).rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row(r.getString(0), r.getLong(1),
+              (i + 1).toInt)
+          }, vocabSchema)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "vocab").getPath)
+      // Postings join the WRITTEN vocab (not the in-memory plan) so the
+      // two artifact tables are self-consistent by construction.
+      val vocab = s.read.parquet(new java.io.File(tmp, "vocab").getPath)
+      // CLUSTERED by (tid, c_id): a posting list is meant to be read a
+      // token at a time — the sort keeps each tid's rows contiguous
+      // (parquet row-group min/max prunes non-probed tokens) and makes
+      // the low-cardinality tid/df/dl columns RLE to near nothing.
+      tf.join(vocab, "tok")
+        .select(col("tid"), col("doc_id").as("c_id"), col("tf"),
           col("df"), col("dl"))
+        .orderBy(col("tid"), col("c_id"))
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "postings").getPath)
       docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("a"))

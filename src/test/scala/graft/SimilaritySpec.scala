@@ -33,10 +33,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val key = graft.llm.IndexStore.fingerprint(
       new java.io.File(s"$sf/documents.parquet"))
     val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    // Round-12: postings carry an int32 token id; decoding through the
+    // vocab table must reproduce the string-keyed rows exactly, and the
+    // dictionary itself must be dense, unique, and df-consistent.
+    val vocabDf = spark.read
+      .parquet(s"$tmpdir/graft_postings_index/$key/vocab")
+    assert(vocabDf.schema("tid").dataType.typeName == "integer",
+      "vocab tid is not int32")
+    val vrows = vocabDf.collect()
+    val tids = vrows.map(_.getAs[Int]("tid")).sorted
+    assert(tids.toSeq == (1 to vrows.length).toSeq,
+      s"vocab ids not dense 1..${vrows.length}")
+    assert(vrows.map(_.getAs[String]("tok")).distinct.length ==
+      vrows.length, "duplicate tokens in vocab")
     val post = spark.read
       .parquet(s"$tmpdir/graft_postings_index/$key/postings")
-      .select(col("tok"), col("c_id"), col("tf"), col("df"), col("dl"))
-      .collect().map(_.toString).sorted.toSeq
+      .join(vocabDf.select(col("tid"), col("tok"),
+        col("df").as("vdf")), "tid")
+      .withColumn("dfOk", col("df") === col("vdf"))
+      .select(col("tok"), col("c_id"), col("tf"), col("df"), col("dl"),
+        col("dfOk"))
+      .collect()
+    assert(post.forall(_.getAs[Boolean]("dfOk")),
+      "postings df diverges from vocab df")
+    val postDecoded = post.map(r => Seq(r.getAs[String]("tok"),
+        r.getAs[Long]("c_id"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Long]("dl")).mkString("[", ",", "]"))
+      .sorted.toSeq
     val docs = Tables.load(spark, sf, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -48,10 +71,13 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = tf
       .join(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
       .select(col("tok"), col("doc_id"), col("tf"), col("df"), col("dl"))
-      .collect().map(_.toString).sorted.toSeq
-    assert(post.nonEmpty && post == direct,
+      .collect().map(r => Seq(r.getAs[String]("tok"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Long]("dl")).mkString("[", ",", "]"))
+      .sorted.toSeq
+    assert(postDecoded.nonEmpty && postDecoded == direct,
       s"postings artifact diverges from direct recomputation " +
-        s"(${post.size} vs ${direct.size} rows)")
+        s"(${postDecoded.size} vs ${direct.size} rows)")
     val stats = spark.read
       .parquet(s"$tmpdir/graft_postings_index/$key/stats")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
