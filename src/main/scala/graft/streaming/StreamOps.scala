@@ -813,4 +813,137 @@ object StreamOps {
         col("best.c_id").as("ann_nn"), col("best.sim").as("ann_sim"),
         col("best.seg").as("ann_seg"))
   }
+
+  /** An arriving retrieval query for the hybrid serving stream. */
+  case class QueryEv(q_id: Long, ts: Timestamp, text: String,
+                     embedding: Array[Float])
+  /** One index hit flowing into the fusion operator (kind = lex|vec;
+    * e9 carries the lexical fixed-point contribution, sim the vector
+    * cosine). Public for the encoder. */
+  case class HybridHit(q_id: Long, ts: Timestamp, kind: String,
+                       c_id: Long, e9: Long, sim: Double)
+  case class RrfRow(q_id: Long, rnk: Long, c_id: Long,
+                    r_lex: Long, r_vec: Long, rrf: Double)
+
+  /** Hybrid-RRF SERVING stream — batch v25b's incremental twin: queries
+    * ARRIVE (q_id, ts, text, embedding) and probe the same two
+    * MATERIALIZED artifacts the batch composite reads — the
+    * dictionary-encoded postings index (BM25 shortlist in the identical
+    * e9 DECIMAL(38) fixed point) and the IVF cells (codebook-argmin
+    * probe → exact cosine re-rank) — then fuse with the same
+    * 1/(60+rank) RRF and emit each query's top 10.
+    *
+    * The d33 serving discipline: every index side is a STREAM-STATIC
+    * join (the stream never scans the corpus — the lexical leg touches
+    * Σ df(query terms) postings via vocab-resolved int32 ids, the
+    * vector leg nProbe cells), and the single stateful operator is the
+    * final per-query fusion, a flatMapGroupsWithState whose per-key
+    * state is ONE boolean serve-guard evicted at the watermark — a
+    * query's hits all materialize in its own micro-batch (stream-static
+    * joins are batch-local), so the fusion needs no cross-batch hit
+    * state; the guard only suppresses a re-issued duplicate q_id inside
+    * the horizon. Both shortlists truncate to depth 20 INSIDE the
+    * group update, so per-invocation work is sort(Σ df) and the emitted
+    * rows are bit-identical to the batch window ranks (score desc,
+    * c_id asc ties, the exact integer e9 sums and the same cosine
+    * doubles). Late queries (ts at or below the watermark) drop — the
+    * standard streaming-vs-batch caveat the dedup twins share. */
+  def hybridRrfStream(queries: Dataset[QueryEv],
+                      postings: DataFrame, // (tid, c_id, tf, df, dl)
+                      vocab: DataFrame, // (tok, tid, df)
+                      stats: DataFrame, // 1 row (n, a)
+                      cents: DataFrame, // (cid, cv)
+                      cells: DataFrame, // (c_cell, c_id)
+                      corpusEmb: DataFrame, // (c_id, c_emb)
+                      nProbe: Int,
+                      watermark: String = "10 minutes")
+      : Dataset[RrfRow] = {
+    import queries.sparkSession.implicits._
+    val base = queries.toDF().withWatermark("ts", watermark)
+
+    // ---- Lexical leg: distinct query tokens → vocab ids → postings
+    // probe → per-hit e9 contribution (v25b's exact expression).
+    val lexHits = base
+      .select(col("q_id"), col("ts"),
+        explode_outer(array_distinct(split(col("text"), " ")))
+          .as("tok"))
+      .join(vocab.select(col("tok"), col("tid")), "tok")
+      .join(postings, "tid")
+      .filter(col("q_id") =!= col("c_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("e9", expr(
+        "CAST(CAST(2*n - 2*df + 1 AS DECIMAL(38,0))" +
+          " * tf * 44 * a * 1000000000 div " +
+          "(CAST(2*df + 1 AS DECIMAL(38,0))" +
+          " * (20 * CAST(a AS DECIMAL(38,0)) * tf" +
+          "    + 6 * CAST(a AS DECIMAL(38,0))" +
+          "    + 18 * CAST(dl AS DECIMAL(38,0)) * n)) AS BIGINT)"))
+      .select(col("q_id"), col("ts"), lit("lex").as("kind"),
+        col("c_id"), col("e9"), lit(0.0).as("sim"))
+
+    // ---- Vector leg: inline quantization + broadcast codebook argmin
+    // (the servingIngestStream shape), probed-cell equi-join, exact
+    // cosine on the bounded candidate set.
+    val centsArr = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("carr"))
+    val vecHits = base.filter(col("embedding").isNotNull)
+      .select(col("q_id"), col("ts"), col("embedding").as("q_emb"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"))
+      .withColumn("nrm", sqrt(aggregate(
+        zip_with(col("ed"), col("ed"), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("qv", transform(col("ed"), x =>
+        when(col("nrm") === 0.0, lit(0L))
+          .otherwise(round(x / col("nrm") * 1000).cast("long"))))
+      .crossJoin(broadcast(centsArr))
+      .withColumn("probe", slice(array_sort(
+        transform(col("carr"), c => struct(
+          graft.llm.Similarity.ivfIntDist(col("qv"), c("cv"))
+            .as("dist"),
+          c("cid").as("cid")))), 1, nProbe))
+      .select(col("q_id"), col("ts"), col("q_emb"),
+        explode(col("probe.cid")).as("p_cell"))
+      .join(cells, col("p_cell") === col("c_cell") &&
+        col("q_id") =!= col("c_id"))
+      .join(corpusEmb, "c_id")
+      .select(col("q_id"), col("ts"), lit("vec").as("kind"),
+        col("c_id"), lit(0L).as("e9"),
+        expr("cosine_sim(q_emb, c_emb)").as("sim"))
+
+    def shortlist(scored: Seq[(Long, Long, Double)], lex: Boolean)
+        : Map[Long, Long] =
+      scored.sortBy { case (c, e9, sim) =>
+        (if (lex) (-e9).toDouble else -sim, c.toDouble)
+      }.take(20).zipWithIndex
+        .map { case ((c, _, _), i) => c -> (i + 1L) }.toMap
+
+    def update(q: Long, evs: Iterator[HybridHit],
+               state: GroupState[Boolean]): Iterator[RrfRow] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val rows = evs.toSeq
+      if (state.exists) return Iterator.empty // duplicate re-issue
+      state.update(true)
+      state.setTimeoutTimestamp(rows.map(_.ts.getTime).max)
+      val lex = shortlist(rows.filter(_.kind == "lex")
+        .groupBy(_.c_id).map { case (c, hs) =>
+          (c, hs.map(_.e9).sum, 0.0)
+        }.toSeq, lex = true)
+      val vec = shortlist(rows.filter(_.kind == "vec")
+        .map(h => (h.c_id, 0L, h.sim)).distinct, lex = false)
+      val fused = (lex.keySet ++ vec.keySet).toSeq.map { c =>
+        val rrf = lex.get(c).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          vec.get(c).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        (c, lex.getOrElse(c, 0L), vec.getOrElse(c, 0L), rrf)
+      }.sortBy { case (c, _, _, rrf) => (-rrf, c.toDouble) }.take(10)
+      fused.zipWithIndex.map { case ((c, rl, rv, rrf), i) =>
+        RrfRow(q, i + 1L, c, rl, rv, rrf)
+      }.iterator
+    }
+
+    lexHits.unionByName(vecHits).as[HybridHit]
+      .groupByKey(_.q_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

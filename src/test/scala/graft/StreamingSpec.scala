@@ -1021,4 +1021,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(peak >= 3L, s"degenerate chain: peak $peak")
     } finally q.stop()
   }
+
+  test("hybrid-RRF serving stream equals batch v25b row-for-row: arriving " +
+    "queries probe the materialized postings + IVF artifacts and fuse " +
+    "with the same fixed-point BM25 and cosine ranks") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamOps.QueryEv
+    val sf = "/root/testdata/sf0.001"
+    // Batch run first: grades the same 20 queries AND forces the
+    // postings/ANN artifact builds the stream then probes.
+    val batch = graft.llm.Similarity
+      .queries("v25b_hybrid_rrf_indexed")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val pfp = graft.llm.IndexStore.fingerprint(
+      new java.io.File(s"$sf/documents.parquet"))
+    val afp = graft.llm.IndexStore.fingerprint(
+      new java.io.File(s"$sf/embeddings.parquet"))
+    val postings = s.read
+      .parquet(s"$tmpdir/graft_postings_index/$pfp/postings")
+    val vocab = s.read.parquet(s"$tmpdir/graft_postings_index/$pfp/vocab")
+    val stats = s.read.parquet(s"$tmpdir/graft_postings_index/$pfp/stats")
+    val cents = s.read.parquet(s"$tmpdir/graft_ann_index/$afp/cents")
+    val cells = s.read.parquet(s"$tmpdir/graft_ann_index/$afp/cells")
+    val emb = Tables.load(s, sf, "embeddings")
+    val nProbe = math.max(1L, math.round(
+      math.round(math.sqrt(emb.count().toDouble)) / 4.0)).toInt
+    val corpusEmb = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"))
+    // The v18/v25b query slice as ARRIVING events (ts > the initial
+    // watermark 0 — the strictly-greater drop rule).
+    val qevs = Tables.load(s, sf, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 100 && col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .collect().zipWithIndex.map { case (r, i) =>
+        QueryEv(r.getAs[Long]("doc_id"), ts(100 + i),
+          r.getAs[String]("text"), r.getAs[Seq[Float]]("embedding").toArray)
+      }.toSeq
+    val input = MemoryStream[QueryEv]
+    val q = StreamOps.hybridRrfStream(input.toDS(), postings, vocab,
+        stats, cents, cells, corpusEmb, nProbe)
+      .writeStream.format("memory").queryName("hybrid_rrf")
+      .outputMode("append").start()
+    try {
+      // Two batches (12 + 8 queries) — serving is per-arrival, no
+      // cross-batch coupling to hide behind single-batch delivery.
+      input.addData(qevs.take(12): _*)
+      q.processAllAvailable()
+      input.addData(qevs.drop(12): _*)
+      q.processAllAvailable()
+      // Duplicate re-issue of an already-served query: the state guard
+      // must suppress it (no second copy of its rows).
+      input.addData(qevs.head)
+      q.processAllAvailable()
+      val got = spark.table("hybrid_rrf")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+          .sortBy(t => (t._1, t._2))
+      assert(got == batch.sortBy(t => (t._1, t._2)),
+        got.zipAll(batch.sortBy(t => (t._1, t._2)), null, null)
+          .collect { case (a, b) if a != b => s"$a != $b" }
+          .take(5).mkString("\n"))
+      assert(got.size == batch.size && got.nonEmpty,
+        s"${got.size} stream rows vs ${batch.size} batch rows")
+    } finally q.stop()
+  }
 }
