@@ -73,6 +73,69 @@ class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"orders under the threshold should broadcast (stats-driven):\n$p")
   }
 
+  test("sf1: q5's six-table chain holds every dim broadcast while the " +
+    "orders-lineitem spine flips to SMJ") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val p = plan("q5_join6")
+    // The q3 signature extended to the full TPC-H chain (round-12,
+    // verdict #6): exactly ONE fact-fact edge outgrows broadcast at
+    // 10x stats; every dimension edge holds. region->nation and
+    // nation->customer broadcast the DIM side (BuildLeft - the dims
+    // are the left inputs), supplier broadcasts into the
+    // lineitem-side probe, customer into orders.
+    assert(p.contains("SortMergeJoin [o_orderkey"),
+      s"orders-lineitem spine should outgrow broadcast at sf1:\n$p")
+    assert(p.contains("BroadcastHashJoin [r_regionkey"),
+      s"region dim must broadcast at sf1:\n$p")
+    assert(p.contains("BroadcastHashJoin [n_nationkey"),
+      s"nation dim must broadcast at sf1:\n$p")
+    assert(p.contains("BroadcastHashJoin [c_custkey"),
+      s"customer should still broadcast into orders at sf1:\n$p")
+    assert(p.contains("BroadcastHashJoin [l_suppkey") ||
+      p.contains("BroadcastHashJoin [s_suppkey"),
+      s"supplier dim must broadcast at sf1:\n$p")
+    // A second SMJ would mean a dim edge regressed to a shuffle.
+    assert("SortMergeJoin".r.findAllIn(p).size == 1,
+      s"expected exactly one SMJ (the fact spine) at sf1:\n$p")
+  }
+
+  test("sf1: q9's profit chain stays an all-broadcast pipeline — " +
+    "filtered part leads BuildLeft, orders sits under the threshold") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val p = plan("q9_profit")
+    // The green%-filtered part table BROADCASTS as the build side INTO
+    // lineitem (BuildLeft - the selective dim starts the pipeline), and
+    // orders (~25 MB at sf1, under the 32 MB profile threshold - the
+    // c09 note) broadcasts into the l_orderkey probe: the whole chain
+    // is one shuffle-free scan of lineitem feeding the final groupBy.
+    assert(p.contains("BroadcastHashJoin [p_partkey") &&
+      {
+        val i = p.indexOf("BroadcastHashJoin [p_partkey")
+        p.substring(i, p.indexOf("\n", i)).contains("BuildLeft")
+      },
+      s"filtered part must lead the probe as the broadcast build:\n$p")
+    assert(p.contains("BroadcastHashJoin [l_orderkey"),
+      s"orders under the threshold should broadcast (stats-driven):\n$p")
+    assert(p.contains("BroadcastHashJoin [s_nationkey"),
+      s"nation dim must broadcast at sf1:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q9 should carry no shuffle join at sf1 stats:\n$p")
+  }
+
+  test("sf1: q10's returns chain — one spine flip, customer and nation " +
+    "hold broadcast") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val p = plan("q10_returns")
+    assert(p.contains("SortMergeJoin [o_orderkey"),
+      s"orders-lineitem spine should outgrow broadcast at sf1:\n$p")
+    assert(p.contains("BroadcastHashJoin [c_custkey"),
+      s"customer should broadcast into the quarter-filtered orders:\n$p")
+    assert(p.contains("BroadcastHashJoin [c_nationkey"),
+      s"nation dim must broadcast at sf1:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size == 1,
+      s"expected exactly one SMJ (the fact spine) at sf1:\n$p")
+  }
+
   test("sf1: c28 bucket-aligned base joins survive the 10× corpus") {
     assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
     val p = plan("c28_colocated_frequent_best")
