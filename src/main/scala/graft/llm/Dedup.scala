@@ -1984,22 +1984,74 @@ object Dedup {
       // guaranteed by pigeonhole, work ∝ prefix collisions. The
       // sz/cont/jac columns read at block grain; jac_caught again
       // flags the overlap with what symmetric dedup would see.
-      val blocks = Tables.load(s, dir, "documents")
+      containmentPairsCore(
+        blockSetsOf(Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull)), 1, 2)
+    },
+
+    "d41_clean_containment" -> { (s, dir) =>
+      // Containment audit over the DEDUP OUTPUT — d40's detector run on
+      // d12's reassembled clean text, connecting block-containment to
+      // the dedup stage that guards against it. d12's canonical rule
+      // keeps exactly ONE instance of every distinct 20-token block
+      // corpus-wide, and the reassembly grid re-slices each clean text
+      // back into precisely its kept blocks (kept paragraphs are
+      // 20-token aligned; only a doc's original tail block can be
+      // short, and it reassembles last) — so after paragraph dedup no
+      // block hash appears in two documents and the containment miner
+      // MUST find zero pairs. The graded report pins that invariant
+      // cross-engine next to the raw corpus's pair counts: one row per
+      // phase with the pair/strict/symmetric-caught tallies, i.e. "what
+      // block-level copying existed, and that the d12 pass removed all
+      // of it". All counters are integers (no doubles cross the
+      // engines); strict = cont ≥ 0.9 tested as inter·10 ≥ sz_small·9.
+      // Scale shape: two phase passes, each d40's prefix-filtered
+      // engine (work ∝ collisions — the clean phase's collision count
+      // is ZERO by the uniqueness argument, so the audit costs one
+      // corpus re-block plus the raw-phase mining).
+      val raw = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        // outer explode — sequence() is provably non-empty (chunkDedup
-        // note); the d12 grid: starts 0, 20, 40, ...
-        .select(col("doc_id"), col("tk"),
-          explode_outer(sequence(lit(0),
-            greatest(size(col("tk")) - 1, lit(0)), lit(20))).as("idx"))
-        .select(col("doc_id"),
-          md5(array_join(slice(col("tk"), col("idx") + 1, lit(20)), " ")
-            .cast("binary")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("h"))).as("shs"))
-      containmentPairsCore(blocks, 1, 2)
+        .select(col("doc_id"), col("text"))
+      val clean = paragraphDedup(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .filter(length(col("text")) > 0)
+      def phase(tag: String, docs: DataFrame): DataFrame = {
+        val sets = blockSetsOf(docs)
+        val pairs = containmentPairsCore(sets, 1, 2)
+        val docStats = sets.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("shs")).cast("long")), lit(0L))
+            .as("n_blocks"))
+        val pairStats = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("inter") * 10 >= col("sz_small") * 9, 1L)
+            .otherwise(0L)), lit(0L)).as("n_strict"),
+          coalesce(sum(col("jac_caught")), lit(0L)).as("n_jac_caught"))
+        // 1-row × 1-row crossJoin — broadcast scalars, never cartesian.
+        docStats.crossJoin(pairStats)
+          .select(lit(tag).as("phase"), col("n_docs"), col("n_blocks"),
+            col("n_pairs"), col("n_strict"), col("n_jac_caught"))
+      }
+      phase("clean_d12", clean).unionByName(phase("raw", raw))
+        .orderBy(col("phase"))
     }
   )
+
+  /** d40/d41's unit derivation: the d12 20-token block grid over any
+    * (doc_id, text) frame, as per-doc DISTINCT sorted block-hash sets —
+    * the input grain [[containmentPairsCore]] mines. */
+  private def blockSetsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // outer explode — sequence() is provably non-empty (chunkDedup
+    // note); the d12 grid: starts 0, 20, 40, ...
+    .select(col("doc_id"), col("tk"),
+      explode_outer(sequence(lit(0),
+        greatest(size(col("tk")) - 1, lit(0)), lit(20))).as("idx"))
+    .select(col("doc_id"),
+      md5(array_join(slice(col("tk"), col("idx") + 1, lit(20)), " ")
+        .cast("binary")).as("h"))
+    .groupBy(col("doc_id"))
+    .agg(sort_array(collect_set(col("h"))).as("shs"))
 
   /** d39's core over any (doc_id, text) frame: shingle-containment
     * pairs (C ≥ 0.9, 3-gram shingles, containment-adapted prefix
@@ -3854,6 +3906,95 @@ object Dedup {
           | JOIN bl y ON db = y.doc_id
           |WHERE len(list_intersect(x.shs, y.shs)) * 2 >= len(x.shs)
           |ORDER BY da, db""".stripMargin,
+
+      // d41: d12's clean-text CTE chain feeds d40's containment engine
+      // for the clean phase, the raw corpus feeds it for the baseline;
+      // each phase reduces to the integer counters (jac_caught keeps
+      // the double compare both engines share in d39/d40).
+      "d41_clean_containment" -> {
+        def phaseCtes(p: String, src: String, label: String): String =
+          s"""bl_$p AS (
+             | SELECT doc_id, list_sort(list_distinct(list_transform(
+             |   range(0, greatest(len(string_split(text, ' ')) - 1, 0)
+             |     + 1, 20),
+             |   i -> md5(array_to_string(list_slice(
+             |     string_split(text, ' '), i + 1, i + 20), ' ')))))
+             |   AS shs
+             | FROM $src),
+             |ex_$p AS (
+             | SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz,
+             |  unnest(shs) AS h
+             | FROM bl_$p),
+             |dfreq_$p AS (SELECT h, COUNT(*) AS df FROM ex_$p GROUP BY h),
+             |ord_$p AS (
+             | SELECT e.doc_id,
+             |  list({'df': f.df, 'h': e.h} ORDER BY f.df, e.h) AS ord,
+             |  COUNT(*) AS sza
+             | FROM ex_$p e JOIN dfreq_$p f USING (h) GROUP BY e.doc_id),
+             |ph_$p AS (
+             | SELECT da, sza, p.h AS h FROM (
+             |  SELECT doc_id AS da, sza,
+             |   unnest(list_slice(ord, 1, CAST(sza // 2 + 1 AS INT)))
+             |     AS p
+             |  FROM ord_$p) t),
+             |cand_$p AS (
+             | SELECT DISTINCT a.da, e.doc_id AS db
+             | FROM ph_$p a JOIN ex_$p e ON a.h = e.h
+             |  AND (a.sza < e.sz OR (a.sza = e.sz AND a.da < e.doc_id))),
+             |pairs_$p AS (
+             | SELECT
+             |  CAST(len(x.shs) AS BIGINT) AS sz_small,
+             |  CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT)
+             |    AS inter,
+             |  CAST(len(x.shs) + len(y.shs)
+             |    - len(list_intersect(x.shs, y.shs)) AS BIGINT) AS un
+             | FROM cand_$p JOIN bl_$p x ON da = x.doc_id
+             |  JOIN bl_$p y ON db = y.doc_id
+             | WHERE len(list_intersect(x.shs, y.shs)) * 2 >= len(x.shs)),
+             |sum_$p AS (
+             | SELECT '$label' AS phase,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bl_$p) AS n_docs,
+             |  (SELECT CAST(COALESCE(SUM(len(shs)), 0) AS BIGINT)
+             |    FROM bl_$p) AS n_blocks,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_$p)
+             |    AS n_pairs,
+             |  (SELECT CAST(COALESCE(SUM(CASE WHEN inter * 10 >=
+             |      sz_small * 9 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    FROM pairs_$p) AS n_strict,
+             |  (SELECT CAST(COALESCE(SUM(CASE WHEN
+             |      CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.7
+             |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    FROM pairs_$p) AS n_jac_caught)""".stripMargin
+        s"""WITH dd12 AS (
+           | SELECT doc_id, string_split(text, ' ') AS tk
+           | FROM documents WHERE text IS NOT NULL),
+           |c12 AS (
+           | SELECT doc_id, tk,
+           |  unnest(range(0, greatest(len(tk) - 1, 0) + 1, 20)) AS idx
+           | FROM dd12),
+           |ph12 AS (
+           | SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+           |  array_to_string(list_slice(tk, idx + 1, idx + 20), ' ') AS p,
+           |  md5(array_to_string(list_slice(tk, idx + 1, idx + 20), ' '))
+           |    AS h,
+           |  {'doc_id': doc_id, 'idx': CAST(idx AS BIGINT)} AS key
+           | FROM c12),
+           |canon12 AS (SELECT h, MIN(key) AS ck FROM ph12 GROUP BY h),
+           |cleanall AS (
+           | SELECT ph12.doc_id,
+           |  COALESCE(string_agg(CASE WHEN key = ck THEN p END, ' '
+           |    ORDER BY idx), '') AS text
+           | FROM ph12 JOIN canon12 ON ph12.h = canon12.h
+           | GROUP BY ph12.doc_id),
+           |cleanf AS (SELECT doc_id, text FROM cleanall
+           | WHERE len(text) > 0),
+           |rawd AS (SELECT doc_id, text FROM documents
+           | WHERE text IS NOT NULL),
+           |${phaseCtes("c", "cleanf", "clean_d12")},
+           |${phaseCtes("r", "rawd", "raw")}
+           |SELECT * FROM sum_c UNION ALL SELECT * FROM sum_r
+           |ORDER BY phase""".stripMargin
+      },
 
       "d07_keep_best" ->
         s"""WITH RECURSIVE $lshPairCtes,

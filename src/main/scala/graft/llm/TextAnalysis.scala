@@ -925,6 +925,69 @@ object TextAnalysis {
           sum(col("ps_e9")).as("head_mass_e9"),
           sum(abs(col("ps_e9") - col("p_e9"))).as("l1_head_e9"))
         .orderBy(col("source"))
+    },
+
+    "t27_tokenizer_roundtrip" -> { (s, dir) =>
+      // TOKENIZER ROUND-TRIP fidelity over the m-family BINARY corpus —
+      // the lossless-encode audit a pipeline runs before committing a
+      // tokenizer: payloads decode to text, a word-level tokenizer with
+      // BYTE FALLBACK (top-100 corpus words are single tokens, every
+      // OOV word shatters into its UTF-8 bytes — the GPT-2/SentencePiece
+      // byte-fallback discipline that makes any byte sequence
+      // encodable) tokenizes each document, and the DETOKENIZED text
+      // must reproduce the original bytes exactly — n_roundtrip_exact
+      // == n_docs is the graded invariant, pinned cross-engine rather
+      // than assumed. Alongside it, the per-lang cost of that
+      // losslessness: word-token vs byte-fallback-token mix and
+      // fertility (tokens per byte, e9 fixed point in DECIMAL(38) —
+      // the round-12 overflow rule; int64 would wrap at ~9·10⁹ tokens
+      // per lang). Distinct from t24 (subword-regex fertility, no
+      // round-trip claim): this grades ENCODE∘DECODE = id, the property
+      // that makes a tokenizer safe for binary-adjacent corpora. Scale
+      // shape: one projection + one posexplode, a 100-row broadcast
+      // vocab, per-doc reassembly rides ONE doc_id shuffle (the d12
+      // sorted-collect), then a bounded per-lang aggregate.
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), col("lang"),
+          col("payload").cast("string").as("txt"),
+          octet_length(col("payload")).cast("long").as("nb"))
+      // posexplode_outer: split() is provably non-empty (the CDC-dedup
+      // inferred-filter lesson).
+      val words = docs.select(col("doc_id"), col("lang"), col("txt"),
+        col("nb"), posexplode_outer(split(col("txt"), " "))
+          .as(Seq("pos", "w")))
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(100)
+        .select(col("w").as("vw"))
+      val tok = words
+        .join(broadcast(vocab), col("w") === col("vw"), "left_outer")
+        .withColumn("nt", when(col("vw").isNotNull, 1L)
+          .otherwise(octet_length(col("w")).cast("long")))
+        .withColumn("iw", when(col("vw").isNotNull, 1L).otherwise(0L))
+      val perDoc = tok.groupBy(col("doc_id"), col("lang"))
+        .agg(max(col("txt")).as("txt"), max(col("nb")).as("nb"),
+          sum(col("nt")).as("n_tok"),
+          sum(col("iw")).as("n_word_tok"),
+          sum(when(col("iw") === 0L, col("nt")).otherwise(0L))
+            .as("n_byte_tok"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("w")))), x => x.getField("w")), " ")
+            .as("recon"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_word_tok")).as("n_word_tokens"),
+          sum(col("n_byte_tok")).as("n_byte_tokens"),
+          sum(when(col("recon") === col("txt"), 1L).otherwise(0L))
+            .as("n_roundtrip_exact"),
+          sum(col("nb")).as("n_bytes"))
+        .withColumn("fert_e9", expr(
+          "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000000" +
+            " div n_bytes AS BIGINT)"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -1040,6 +1103,49 @@ object TextAnalysis {
         | CAST(SUM(ps_e9) AS BIGINT) AS head_mass_e9,
         | CAST(SUM(ABS(ps_e9 - p_e9)) AS BIGINT) AS l1_head_e9
         |FROM grid GROUP BY source ORDER BY source""".stripMargin,
+
+    // t27: word tokenizer with byte fallback (top-100 vocab by
+    // (cnt DESC, w)), detokenization via ORDER BY pos string_agg == the
+    // engine's sorted-collect reassembly; fertility's x1e9 step in
+    // HUGEINT == Spark's DECIMAL(38).
+    "t27_tokenizer_roundtrip" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, text AS txt,
+        |  CAST(strlen(text) AS BIGINT) AS nb
+        | FROM documents WHERE text IS NOT NULL),
+        |w AS (
+        | SELECT doc_id, lang, txt, nb,
+        |  unnest(string_split(txt, ' ')) AS w,
+        |  generate_subscripts(string_split(txt, ' '), 1) AS pos
+        | FROM d),
+        |vocab AS (
+        | SELECT w AS vw FROM (
+        |  SELECT w, COUNT(*) AS cnt FROM w GROUP BY w
+        |  ORDER BY cnt DESC, w LIMIT 100) t),
+        |t AS (
+        | SELECT doc_id, lang, txt, nb, pos, w.w,
+        |  CASE WHEN v.vw IS NOT NULL THEN 1
+        |   ELSE strlen(w.w) END AS nt,
+        |  CASE WHEN v.vw IS NOT NULL THEN 1 ELSE 0 END AS iw
+        | FROM w LEFT JOIN vocab v ON w.w = v.vw),
+        |pd AS (
+        | SELECT doc_id, lang, MAX(txt) AS txt, MAX(nb) AS nb,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tok,
+        |  CAST(SUM(iw) AS BIGINT) AS n_word_tok,
+        |  CAST(SUM(CASE WHEN iw = 0 THEN nt ELSE 0 END) AS BIGINT)
+        |    AS n_byte_tok,
+        |  string_agg(w, ' ' ORDER BY pos) AS recon
+        | FROM t GROUP BY doc_id, lang)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        | CAST(SUM(n_word_tok) AS BIGINT) AS n_word_tokens,
+        | CAST(SUM(n_byte_tok) AS BIGINT) AS n_byte_tokens,
+        | CAST(SUM(CASE WHEN recon = txt THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_roundtrip_exact,
+        | CAST(SUM(nb) AS BIGINT) AS n_bytes,
+        | CAST((CAST(SUM(n_tok) AS HUGEINT) * 1000000000)
+        |   // CAST(SUM(nb) AS BIGINT) AS BIGINT) AS fert_e9
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
 
     // chr(65533) = U+FFFD, chr(195)/chr(194) = the mojibake marks;
     // length() counts codepoints and strlen() UTF-8 bytes in DuckDB,

@@ -26,12 +26,17 @@ import graft.{GraftSession, Tables}
   *    directions, same norm and dimension stats.
   */
 object ScaleUp {
-  private val Shift = 1000000000L
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/target/sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
+    // Key-shift stride per replica. The default (1e9) is sized for the
+    // FIRST decade (sf0.1 keys < 1e9); chaining ScaleUp onto its own
+    // output (the round-12 sf10 leg) must widen the stride past the
+    // previous decade's full key span or replicas collide — pass 1e10
+    // when scaling target/sf1.
+    val Shift = if (args.length > 3) args(3).toLong else 1000000000L
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
