@@ -2034,6 +2034,68 @@ object Dedup {
       }
       phase("clean_d12", clean).unionByName(phase("raw", raw))
         .orderBy(col("phase"))
+    },
+
+    "d42_contamination_sweep" -> { (s, dir) =>
+      // DECONTAMINATION operating curve — d09's cross-source leak signal
+      // swept over THREE n-gram grains (K = 8, 16, 32) in one pass: the
+      // calibration a pipeline runs to pick its contamination K (too
+      // short over-flags idiom, too long misses partial copies; the
+      // curve shows each source pair's leak mass shrinking as K grows —
+      // monotone by construction, since every 32-gram contains 16-grams
+      // and every 16-gram 8-grams). Per (K, source pair): the number of
+      // DISTINCT shared K-grams and the distinct contaminated docs on
+      // each side. Sweep discipline (d15/v26): all three grains ride
+      // ONE Generate — per doc the three window-hash arrays concat into
+      // a single exploded stream of (k, md5(gram)) — and one distinct
+      // shuffle; the cross-source detection is a fingerprint EQUI-join
+      // at the (k, gram, source) grain, so work scales with shared-gram
+      // occurrences, never doc pairs (the d09 rule at every grain). The
+      // two doc-side tallies aggregate separately and join back
+      // bounded — no two-countDistinct RewriteDistinctAggregates
+      // nondeterminism (the verify-skill gotcha).
+      val ks = Seq(8, 16, 32)
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      // greatest(size-k, 0) keeps sequence() total on short docs; the
+      // one spurious short-window gram it emits there carries k > n and
+      // drops in the filter below (no empty-array branches — concat
+      // stays one codegen'd expression).
+      val gramArr = concat(ks.map { k =>
+        transform(sequence(lit(0), greatest(size(col("tk")) - k, lit(0))),
+          i => struct(lit(k.toLong).as("k"),
+            md5(array_join(slice(col("tk"), i + 1, lit(k)), " ")
+              .cast("binary")).as("h")))
+      }: _*)
+      val gd = docs
+        .select(col("doc_id"), col("source"), size(col("tk")).as("n"),
+          explode_outer(gramArr).as("g"))
+        .filter(col("g.k") <= col("n")) // full-length grams only
+        .select(col("g.k").as("k"), col("g.h").as("h"),
+          col("source"), col("doc_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val gs = gd.select(col("k"), col("h"), col("source")).distinct()
+      val shared = gs.select(col("k"), col("h"), col("source").as("sa"))
+        .join(gs.select(col("k"), col("h"), col("source").as("sb")),
+          Seq("k", "h"))
+        .filter(col("sa") < col("sb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nGrams = shared.groupBy(col("k"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+      def sideDocs(side: String) = shared
+        .join(gd.select(col("k"), col("h"),
+          col("source").as(side), col("doc_id")),
+          Seq("k", "h", side))
+        .groupBy(col("k"), col("sa"), col("sb"))
+        .agg(countDistinct(col("doc_id")).as(s"n_docs_$side"))
+      nGrams
+        .join(sideDocs("sa"), Seq("k", "sa", "sb"))
+        .join(sideDocs("sb"), Seq("k", "sa", "sb"))
+        .select(col("k"), col("sa"), col("sb"), col("n_shared_grams"),
+          col("n_docs_sa").as("n_docs_a"), col("n_docs_sb").as("n_docs_b"))
+        .orderBy(col("k"), col("sa"), col("sb"))
     }
   )
 
@@ -3994,6 +4056,57 @@ object Dedup {
            |${phaseCtes("r", "rawd", "raw")}
            |SELECT * FROM sum_c UNION ALL SELECT * FROM sum_r
            |ORDER BY phase""".stripMargin
+      },
+
+      // d42: the three grains as unioned per-K gram CTEs (the engine
+      // fuses them into one Generate; the oracle favors clarity),
+      // distinct (k, gram, source[, doc]) grains, equi-join detection.
+      "d42_contamination_sweep" -> {
+        def gramCte(k: Int): String =
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |  md5(array_to_string(list_slice(tk, i + 1, i + $k), ' '))
+             |    AS h,
+             |  source, doc_id
+             | FROM (
+             |  SELECT doc_id, source, tk,
+             |   unnest(range(0, len(tk) - $k + 1)) AS i
+             |  FROM d WHERE len(tk) >= $k) t""".stripMargin
+        s"""WITH d AS (
+           | SELECT doc_id, source, string_split(text, ' ') AS tk
+           | FROM documents WHERE text IS NOT NULL),
+           |gd AS (
+           | SELECT DISTINCT k, h, source, doc_id FROM (
+           |${gramCte(8)}
+           | UNION ALL
+           |${gramCte(16)}
+           | UNION ALL
+           |${gramCte(32)}) g),
+           |gs AS (SELECT DISTINCT k, h, source FROM gd),
+           |shared AS (
+           | SELECT a.k, a.h, a.source AS sa, b.source AS sb
+           | FROM gs a JOIN gs b ON a.k = b.k AND a.h = b.h
+           | WHERE a.source < b.source),
+           |ng AS (
+           | SELECT k, sa, sb, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+           | FROM shared GROUP BY k, sa, sb),
+           |da AS (
+           | SELECT s.k, s.sa, s.sb,
+           |  CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs_a
+           | FROM shared s JOIN gd g
+           |  ON s.k = g.k AND s.h = g.h AND s.sa = g.source
+           | GROUP BY s.k, s.sa, s.sb),
+           |db AS (
+           | SELECT s.k, s.sa, s.sb,
+           |  CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs_b
+           | FROM shared s JOIN gd g
+           |  ON s.k = g.k AND s.h = g.h AND s.sb = g.source
+           | GROUP BY s.k, s.sa, s.sb)
+           |SELECT ng.k, ng.sa, ng.sb, ng.n_shared_grams,
+           | da.n_docs_a, db.n_docs_b
+           |FROM ng JOIN da ON ng.k = da.k AND ng.sa = da.sa
+           |  AND ng.sb = da.sb
+           | JOIN db ON ng.k = db.k AND ng.sa = db.sa AND ng.sb = db.sb
+           |ORDER BY ng.k, ng.sa, ng.sb""".stripMargin
       },
 
       "d07_keep_best" ->

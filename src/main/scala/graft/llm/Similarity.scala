@@ -1318,6 +1318,50 @@ object Similarity {
         .orderBy(col("dim"))
     },
 
+    "v28_int8_recall_audit" -> { (s, dir) =>
+      // QUANTIZED-SERVING recall audit — what int8 codes actually cost
+      // in ranking quality, measured instead of assumed: the exact
+      // float cosine top-5 (v01's brute-force truth) against the top-5
+      // under v05/v13's per-vector int8 codes ranked by their INTEGER
+      // dot product (the arithmetic an int8 serving tier really runs —
+      // per-vector scales make code-dot ≠ cosine, and THAT distortion
+      // is the graded signal; |dot| ≤ 64·127² keeps every score an
+      // exact int64 both engines agree on bit-for-bit). Per query:
+      // shortlist overlap@5 and whether the top-1 survives — the
+      // go/no-go numbers for replacing a float re-rank tier with int8.
+      // Scale shape: the ≤20-row query side broadcasts into both
+      // passes (the v01/v15/v23 bounded-slice rule); the int8 pass
+      // scans CODES only (64 int64s, no float embeddings) — the
+      // bandwidth saving that motivates int8 serving in the first
+      // place; ranks ride WindowGroupLimit, the final compare joins
+      // two ≤100-row shortlists.
+      val exact = queries("v01_knn_brute")(s, dir)
+        .select(col("q_id"), col("c_id"), col("rnk").as("r_f"))
+      val q8 = quantizeInt8(s, dir).select(col("vec_id"), col("q8"))
+      val qs = q8.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("q8").as("qa"))
+      val cs = q8.select(col("vec_id").as("c_id"), col("q8").as("qb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dot").desc, col("c_id"))
+      val i8 = broadcast(qs).join(cs, col("q_id") =!= col("c_id"))
+        .withColumn("dot", aggregate(
+          zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), col("rnk").as("r_q"))
+      exact.join(i8, Seq("q_id", "c_id"), "full_outer")
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("r_f").isNotNull && col("r_q").isNotNull, 1L)
+          .otherwise(0L)).as("n_overlap"),
+          max(when(col("r_f") === 1L, col("c_id"))).as("top1_f"),
+          max(when(col("r_q") === 1L, col("c_id"))).as("top1_q"))
+        .select(col("q_id"), col("n_overlap"),
+          when(col("top1_f") === col("top1_q"), 1L).otherwise(0L)
+            .as("top1_same"))
+        .orderBy(col("q_id"))
+    },
+
     "v14_embed_dup_clusters" -> { (s, dir) =>
       // Duplicate CLUSTERING over the banded embedding near-dup pairs —
       // the embedding-side twin of d06, and the step SemDeDup-style
@@ -2999,6 +3043,52 @@ object Similarity {
         |SELECT dm.dim, dm.dim_max, vec.n_sat_vec, pd.n_sat_dim
         |FROM dm JOIN vec ON dm.dim = vec.dim JOIN pd ON dm.dim = pd.dim
         |ORDER BY dm.dim""".stripMargin,
+
+    // v28: v01's float-cosine truth vs the per-vector int8 codes ranked
+    // by exact integer dot; overlap@5 + top-1 survival per query.
+    "v28_int8_recall_audit" ->
+      s"""WITH pf AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |tf AS (
+         | SELECT q_id, c_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id) AS BIGINT) AS r_f
+         | FROM pf QUALIFY r_f <= 5),
+         |q8 AS (
+         | SELECT vec_id, list_transform(ed, x ->
+         |   CAST(round(x * (CASE WHEN mab = 0 THEN 0.0
+         |     ELSE 127.0 / mab END)) AS BIGINT)) AS q8
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+         |     x -> abs(x))) AS mab
+         |  FROM embeddings WHERE embedding IS NOT NULL) t),
+         |pq AS (
+         | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |  CAST(list_sum(list_transform(range(64),
+         |    i -> a.q8[i+1] * b.q8[i+1])) AS BIGINT) AS dot
+         | FROM q8 a JOIN q8 b ON a.vec_id <> b.vec_id
+         | WHERE a.vec_id < 20),
+         |tq AS (
+         | SELECT q_id, c_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dot DESC, c_id) AS BIGINT) AS r_q
+         | FROM pq QUALIFY r_q <= 5),
+         |f AS (
+         | SELECT COALESCE(tf.q_id, tq.q_id) AS q_id,
+         |  COALESCE(tf.c_id, tq.c_id) AS c_id, tf.r_f, tq.r_q
+         | FROM tf FULL OUTER JOIN tq
+         |  ON tf.q_id = tq.q_id AND tf.c_id = tq.c_id)
+         |SELECT q_id,
+         | CAST(SUM(CASE WHEN r_f IS NOT NULL AND r_q IS NOT NULL
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         | CAST(CASE WHEN MAX(CASE WHEN r_f = 1 THEN c_id END) =
+         |   MAX(CASE WHEN r_q = 1 THEN c_id END)
+         |   THEN 1 ELSE 0 END AS BIGINT) AS top1_same
+         |FROM f GROUP BY q_id ORDER BY q_id""".stripMargin,
 
     "v14_embed_dup_clusters" ->
       s"""WITH RECURSIVE $duckBandedPairCtes,
