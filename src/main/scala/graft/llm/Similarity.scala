@@ -407,18 +407,28 @@ object Similarity {
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("cid").as("p_cell"))
-    val wr = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("c_id"))
+    // Top-1 as a struct-MIN AGGREGATE, not a row_number window (the
+    // ivfAssign lesson at the serving grain — round 12, found at the
+    // sf10 leg): this probe side is the BATCH (N/7 queries), so the
+    // candidate stream is |batch|·nProbe·cellPop ≈ N^1.5 rows — a
+    // window must SORT it (UnsafeExternalSorter filled the 75 GB of
+    // scratch disk at sf10 before producing a row), while the
+    // lexicographic ((−sim, c_id)) min collapses map-side inside
+    // whole-stage codegen and the exchange carries one struct per
+    // batch doc. Same total order as the former (sim DESC, c_id)
+    // rank-1 — the stream twin (servingIngestStream) has used this
+    // form all along, so the stream==batch pin is unchanged. */
     probes.join(qe, "q_id")
       .join(cells, col("p_cell") === col("c_cell") &&
         col("q_id") =!= col("c_id"))
       .join(e.select(col("vec_id").as("c_id"),
         col("embedding").as("c_emb")), "c_id")
       .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") === 1)
-      .select(col("q_id"), col("c_id").as("ann_nn"),
-        col("sim").as("ann_sim"), col("seg").as("ann_seg"))
+      .groupBy(col("q_id"))
+      .agg(min(struct((-col("sim")).as("nsim"), col("c_id"),
+        col("sim"), col("seg"))).as("best"))
+      .select(col("q_id"), col("best.c_id").as("ann_nn"),
+        col("best.sim").as("ann_sim"), col("best.seg").as("ann_seg"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1360,6 +1370,67 @@ object Similarity {
           when(col("top1_f") === col("top1_q"), 1L).otherwise(0L)
             .as("top1_same"))
         .orderBy(col("q_id"))
+    },
+
+    "v29_two_level_assign" -> { (s, dir) =>
+      // TWO-LEVEL IVF assignment — the scale path for the one N×K pass
+      // the √N harness still pays. Found at the round-12 sf10 leg:
+      // v17's full flat assignment is N·√N distance evals (2.8·10⁹ at
+      // sf10 — the suite's wall; at 100 TB it is simply not runnable).
+      // The standard fix (IMI / hierarchical k-means): group the K fine
+      // centroids under G = round(√K) coarse centroids (a Lloyd over K
+      // rows — free), route each corpus vector to its nearest coarse
+      // group (N·G), then take the exact argmin among only that group's
+      // fine centroids (N·K/G expected) — ~2·N·√K total, an ~18× cut at
+      // sf10 and asymptotically N·N^(1/4). The route is APPROXIMATE (a
+      // vector's true nearest fine centroid can sit in a non-nearest
+      // group), so the graded report measures the damage instead of
+      // assuming it away: per coarse group, the corpus population and
+      // fine-cell usage, plus flat-vs-two-level agreement on the
+      // deterministic 1/97 sample (the a20 bounded-sample rule — the
+      // flat argmin runs ONLY on the sample). Everything is the same
+      // order-invariant integer arithmetic as v09/v17, so the DuckDB
+      // twin is bit-identical; both argmins are struct-MIN aggregates /
+      // row_number twins with (dist, cid) ties. Codebooks broadcast at
+      // every step; the corpus never shuffles.
+      val e = Tables.load(s, dir, "embeddings")
+      val qvAll = ivfQv(e).persist(StorageLevel.MEMORY_AND_DISK)
+      val n = qvAll.count()
+      val kSq = math.round(math.sqrt(n.toDouble)).toInt
+      val g = math.max(1L, math.round(math.sqrt(kSq.toDouble))).toInt
+      val cents = ivfTrainSampled(qvAll, kSq, 3) // the v17/v18 codebook
+      // K tiny rows feed coarse training, the fine map and the cand
+      // table — barrier so the sampled trainer runs once (d06 rule).
+      val centsQv = cents
+        .select(col("cid").as("vec_id"), col("cv").as("qv"))
+        .localCheckpoint(true)
+      val coarse = ivfTrain(centsQv, ivfSeed(centsQv, g), 2)
+      val fineMap = ivfAssign(centsQv, coarse)
+        .select(col("vec_id").as("fcid"), col("cid").as("gid"))
+      val routed = ivfAssign(qvAll, coarse)
+        .select(col("vec_id"), col("qv"), col("cid").as("gid"))
+      val fineCands = fineMap
+        .join(centsQv.select(col("vec_id").as("fcid"), col("qv").as("cv")),
+          "fcid")
+        .select(col("gid").as("fgid"), col("fcid"), col("cv"))
+      val two = routed
+        .join(broadcast(fineCands), col("gid") === col("fgid"))
+        .select(col("vec_id"), col("gid"),
+          struct(ivfIntDist(col("qv"), col("cv")).as("dist"),
+            col("fcid").as("cid")).as("dc"))
+        .groupBy(col("vec_id"), col("gid"))
+        .agg(min(col("dc")).as("dc"))
+        .select(col("vec_id"), col("gid"), col("dc.cid").as("cell"))
+      val flat = ivfAssign(qvAll.filter(col("vec_id") % 97 === 0), cents)
+        .select(col("vec_id").as("sv"), col("cid").as("flat_cell"))
+      two.join(flat, col("vec_id") === col("sv"), "left_outer")
+        .groupBy(col("gid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("cell")).as("n_fine_used"),
+          sum(when(col("sv").isNotNull, 1L).otherwise(0L)).as("n_sample"),
+          sum(when(col("cell") === col("flat_cell"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .orderBy(col("gid"))
     },
 
     "v14_embed_dup_clusters" -> { (s, dir) =>
@@ -2648,6 +2719,101 @@ object Similarity {
          | JOIN h_sq ON h_16.q_id = h_sq.q_id
          | JOIN ncand_sq ON h_16.q_id = ncand_sq.q_id
          |ORDER BY h_16.q_id""".stripMargin
+    },
+
+    // v29: the v17 √N-codebook CTEs, a tiny 2-round coarse Lloyd over
+    // the K centroids themselves, two-level routing (coarse row_number
+    // argmin, then fine argmin restricted to the routed group), flat
+    // argmin on the 1/97 sample only — all the same integer arithmetic.
+    "v29_two_level_assign" -> {
+      val kSql = "(SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
+      val sSql = "(SELECT 256 * CAST(round(sqrt(COUNT(*))) AS BIGINT) FROM q)"
+      val gSql = "(SELECT GREATEST(1, CAST(round(sqrt(CAST(round(sqrt(" +
+        "COUNT(*))) AS DOUBLE))) AS BIGINT)) FROM q)"
+      def dist(a: String, b: String): String =
+        s"list_sum(list_transform(range(64), ii -> ($a[ii+1] - $b[ii+1]) * ($a[ii+1] - $b[ii+1])))"
+      def seedCte(name: String, limitSql: String, src: String): String =
+        s"""$name AS (
+           | SELECT cid, cv FROM (
+           |  SELECT vec_id AS cid, qv AS cv,
+           |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |     vec_id) AS srn
+           |  FROM $src) t WHERE srn <= $limitSql)""".stripMargin
+      def assignCte(name: String, cents: String, src: String): String =
+        s"""$name AS (
+           | SELECT vec_id, qv, cid FROM (
+           |  SELECT q.vec_id, q.qv, c.cid,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |     ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rn
+           |  FROM $src q CROSS JOIN $cents c) t WHERE rn = 1)"""
+          .stripMargin
+      def updateCte(dimsName: String, centsName: String,
+                    assigned: String): String =
+        s"""$dimsName AS (
+           | SELECT cid, dim,
+           |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+           | FROM (SELECT cid, generate_subscripts(qv, 1) AS dim,
+           |        unnest(qv) AS v FROM $assigned) t
+           | GROUP BY cid, dim),
+           |${dimsName}s AS (
+           | SELECT cid, list(mval ORDER BY dim) AS mv,
+           |  CAST(SUM(mval * mval) AS BIGINT) AS ss
+           | FROM $dimsName GROUP BY cid),
+           |$centsName AS (
+           | SELECT cid, list_transform(mv, m -> CASE WHEN ss = 0
+           |   THEN CAST(0 AS BIGINT)
+           |   ELSE CAST(round(CAST(m AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 1000) AS BIGINT) END) AS cv
+           | FROM ${dimsName}s)""".stripMargin
+      s"""WITH q AS (
+         | SELECT vec_id,
+         |  list_transform(ed, x -> CASE WHEN nrm = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(x / nrm * 1000) AS BIGINT) END) AS qv
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings) tq),
+         |samp AS (
+         | SELECT vec_id, qv FROM (
+         |  SELECT vec_id, qv,
+         |   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |     vec_id) AS srn
+         |  FROM q) t WHERE srn <= $sSql),
+         |${seedCte("seedsq", kSql, "samp")},
+         |${assignCte("b1", "seedsq", "samp")},
+         |${updateCte("w1", "d1", "b1")},
+         |${assignCte("b2", "d1", "samp")},
+         |${updateCte("w2", "d2", "b2")},
+         |${assignCte("b3", "d2", "samp")},
+         |${updateCte("w3", "d3", "b3")},
+         |centq AS (SELECT cid AS vec_id, cv AS qv FROM d3),
+         |${seedCte("gseed", gSql, "centq")},
+         |${assignCte("g1", "gseed", "centq")},
+         |${updateCte("gw1", "gc1", "g1")},
+         |${assignCte("g2", "gc1", "centq")},
+         |${updateCte("gw2", "gc2", "g2")},
+         |${assignCte("fmapraw", "gc2", "centq")},
+         |fmap AS (SELECT vec_id AS fcid, cid AS gid FROM fmapraw),
+         |${assignCte("routed", "gc2", "q")},
+         |two AS (
+         | SELECT vec_id, gid, cell FROM (
+         |  SELECT r.vec_id, r.cid AS gid, c.cid AS cell,
+         |   row_number() OVER (PARTITION BY r.vec_id
+         |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
+         |  FROM routed r JOIN fmap fm ON r.cid = fm.gid
+         |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1),
+         |sampv AS (SELECT vec_id, qv FROM q WHERE vec_id % 97 = 0),
+         |${assignCte("flat", "d3", "sampv")}
+         |SELECT two.gid,
+         | CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         | CAST(COUNT(DISTINCT two.cell) AS BIGINT) AS n_fine_used,
+         | CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_sample,
+         | CAST(SUM(CASE WHEN two.cell = f.cid THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_agree
+         |FROM two LEFT JOIN flat f ON two.vec_id = f.vec_id
+         |GROUP BY two.gid ORDER BY two.gid""".stripMargin
     },
 
     "v19_delta_ann" -> {

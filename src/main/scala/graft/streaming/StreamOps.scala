@@ -137,9 +137,14 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("ta"),
         when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"),
         posexplode_outer(col("sig")).as(Seq("band", "mh")))
+    // Corpus-side bucket cap — the batch probes' BandCap rule (see
+    // Dedup.BandCap): hot buckets distinguish nothing and make the
+    // stream-static join quadratic in corpus size.
+    val cappedBands = graft.llm.Dedup.capCorpusBands(
+      corpusBands.withColumnRenamed("band", "bandb")
+        .withColumnRenamed("mh", "mhb"))
     val probed = signed
-      .join(corpusBands.withColumnRenamed("band", "bandb")
-          .withColumnRenamed("mh", "mhb"),
+      .join(cappedBands,
         col("band") === col("bandb") && col("mh") === col("mhb"),
         "left_outer")
       .join(corpusTsets, Seq("db"), "left_outer")
@@ -748,7 +753,8 @@ object StreamOps {
     val lshRows = bloomed
       .select(col("doc_id"), col("ts"), tset.as("ta"),
         posexplode_outer(sig).as(Seq("band", "mh")))
-      .join(corpusBands,
+      // BandCap rule — matches the batch d33 probe it is pinned to.
+      .join(graft.llm.Dedup.capCorpusBands(corpusBands),
         col("band") === col("bandb") && col("mh") === col("mhb"))
       .join(corpusTsets, "db") // brings tb + the segment tag (db-unique)
       .withColumn("inter",
