@@ -341,7 +341,10 @@ object Similarity {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_ann_dindex/${IndexStore.fingerprint(src)}-$tag")
+      // "-e1": cells carry the float embedding since round 12 — the
+      // suffix keys the layout so a pre-e1 artifact can never serve a
+      // probe expecting the denormalized column.
+      s"graft_ann_dindex/${IndexStore.fingerprint(src)}-$tag-e1")
     IndexStore.ensureBuilt(base) { tmp =>
       val qvAll = ivfQv(Tables.load(s, dir, "embeddings"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -352,14 +355,30 @@ object Similarity {
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "cents").getPath)
       val cents = s.read.parquet(new java.io.File(tmp, "cents").getPath)
+      // Cells DENORMALIZE the float embedding (round 12, found at the
+      // sf10 leg): the exact re-rank needs c_emb for every candidate,
+      // and re-attaching it by equi-join AFTER the probe fan-out means
+      // sort-merge-joining the |batch|·nProbe·cellPop candidate stream
+      // on c_id — the sort spilled >75 GB at sf10. Carried in the
+      // artifact, the embedding rides the cell scan and the fan-out
+      // flows straight into codegen cosine + the top-1 partial
+      // aggregate; one |segment|-sized join at BUILD time buys a
+      // join-free probe. Parquet column pruning keeps consumers that
+      // need only (c_id, c_cell) — v19's shortlists — at their old
+      // scan width.
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"))
       ivfAssign(baseQv, cents)
         .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
+        .join(emb, "c_id")
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "cells_base").getPath)
       // The append pass: |delta| × K assignment against the FROZEN
       // codebook — the only work a nightly batch pays.
       ivfAssign(qvAll.filter(deltaPred), cents)
         .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
+        .join(emb, "c_id")
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "cells_delta").getPath)
       qvAll.unpersist()
@@ -418,11 +437,12 @@ object Similarity {
     // batch doc. Same total order as the former (sim DESC, c_id)
     // rank-1 — the stream twin (servingIngestStream) has used this
     // form all along, so the stream==batch pin is unchanged. */
+    // c_emb comes OFF THE CELLS ARTIFACT (denormalized at build — see
+    // ensureAnnDeltaIndexWhere): no post-fan-out join, so nothing ever
+    // sorts the candidate stream.
     probes.join(qe, "q_id")
       .join(cells, col("p_cell") === col("c_cell") &&
         col("q_id") =!= col("c_id"))
-      .join(e.select(col("vec_id").as("c_id"),
-        col("embedding").as("c_emb")), "c_id")
       .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
       .groupBy(col("q_id"))
       .agg(min(struct((-col("sim")).as("nsim"), col("c_id"),
@@ -473,11 +493,12 @@ object Similarity {
         .select(col("q_id"), col("cid").as("p_cell"))
       val wr = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("c_id"))
+      // c_emb rides the cells artifact (round 12 — denormalized at
+      // build; see ensureAnnDeltaIndexWhere): the exact re-rank needs
+      // no per-candidate embedding re-attach join.
       probes.join(qe, "q_id")
         .join(cells, col("p_cell") === col("c_cell") &&
           col("q_id") =!= col("c_id"))
-        .join(e.select(col("vec_id").as("c_id"),
-          col("embedding").as("c_emb")), "c_id")
         .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
         .withColumn("rnk", row_number().over(wr).cast("long"))
         .filter(col("rnk") <= 5)

@@ -708,8 +708,7 @@ object StreamOps {
                           corpusBands: DataFrame, // (db, bandb, mhb)
                           corpusTsets: DataFrame, // (db, tb, seg)
                           cents: DataFrame, // (cid, cv)
-                          cells: DataFrame, // (c_cell, c_id, seg)
-                          corpusEmb: DataFrame, // (c_id, c_emb)
+                          cells: DataFrame, // (c_cell, c_id, c_emb, seg)
                           nProbe: Int,
                           watermark: String = "10 minutes",
                           windowLen: String = "1 minute"): DataFrame = {
@@ -791,9 +790,10 @@ object StreamOps {
           c("cid").as("cid")))), 1, nProbe))
       .select(col("doc_id"), col("ts"), col("q_emb"),
         explode(col("probe.cid")).as("p_cell"))
+      // c_emb rides the cells artifact (round 12 — the batch twin's
+      // join-free exact re-rank; see ensureAnnDeltaIndexWhere).
       .join(cells, col("p_cell") === col("c_cell") &&
         col("doc_id") =!= col("c_id"))
-      .join(corpusEmb, "c_id")
       .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
       .select(col("doc_id"), col("ts"), nl("bloom_pass", "long"),
         nl("exact_dup", "long"), nl("db", "long"), nl("jac", "double"),

@@ -801,7 +801,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (b1, b2) = feed.splitAt(feed.length / 2)
     val input = MemoryStream[ServeDoc]
     val q = StreamOps.servingIngestStream(input.toDS(), hashes, bits,
-        bands, tsets, cents, cells, corpusEmb, nProbe)
+        bands, tsets, cents, cells, nProbe)
       .writeStream.format("memory").queryName("serving_ingest")
       .outputMode("append").start()
     try {
