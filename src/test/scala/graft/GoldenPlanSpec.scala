@@ -534,7 +534,21 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // noise on a ~1 s query flips the >2x rule — freezing their plans
     // makes the enforcement outcome independent of which side of the
     // line a given bench run lands on.
-    "c02_windowed_topk", "f09_json")
+    "c02_windowed_topk", "f09_json",
+    // round-12 additions over the 2x-sentinel line. d41: the clean
+    // phase re-blocks d12's reassembled text — BOTH phase miners must
+    // keep the prefix-filtered containment equi-join (no
+    // CartesianProduct) and the raw corpus scan appears once per
+    // phase. d42: all three K grains ride ONE Generate into one
+    // distinct shuffle; detection stays fingerprint equi-joins. v29:
+    // coarse routing and the in-group argmin are struct-MIN
+    // aggregates over broadcast codebooks (a window or a corpus-side
+    // shuffle against a codebook is a regression); the flat leg scans
+    // only the 1/97 sample. t27 sits in the jitter band (~2x) — frozen
+    // under the c02/f09 rule; its vocab is a 100-row broadcast and
+    // reassembly rides one doc_id shuffle.
+    "d41_clean_containment", "d42_contamination_sweep",
+    "v29_two_level_assign", "t27_tokenizer_roundtrip")
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder(4, 4).appName("graft-test").getOrCreate()
