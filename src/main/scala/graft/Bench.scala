@@ -241,18 +241,20 @@ object Bench {
     }
     val out =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson$sentinelJson$groupsJson,"sf":"$sfDir"}"""
-    // Round-12 (verdict #7): the full line above runs to tens of KB at
-    // 270+ queries, so a driver capturing a bounded window of stdout can
-    // land mid-line and parse nothing. A COMPACT self-contained summary
-    // (headline numbers, no per-query map) goes out first so a head
-    // capture parses, and the full line follows for anything reading the
-    // whole stream; the on-disk copy below stays the full artifact.
+    // Round-12 (verdict #7), corrected round-13 (verdict #4): the full
+    // line runs to tens of KB at 270+ queries, and the driver captures a
+    // bounded TAIL of stdout — so the compact self-contained summary
+    // (headline numbers, no per-query map) must be printed BOTH before
+    // (for head captures) and AFTER the full line (so a bounded tail
+    // always ENDS with parseable JSON instead of landing mid-full-line);
+    // the on-disk copy below stays the full artifact.
     val compact =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
         s""""n_queries":${ok.size},"n_errors":${errors.size}""" +
         s"""$sentinelJson,"sf":"$sfDir"}"""
     println(compact)
     println(out)
+    println(compact)
     // sbt wraps stdout in "[info] " prefixes (r1 driver got parsed:null),
     // so always leave a machine-readable copy on disk too.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

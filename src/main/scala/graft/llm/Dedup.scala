@@ -450,13 +450,35 @@ object Dedup {
   private[graft] def ensureIngestIndexWhere(s: SparkSession, dir: String,
                                             tag: String, pred: Column): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
+    // `-v2`: round-13 artifact schema (bands carry the build-time bucket
+    // population + a bucket-grain `pops` table) — the suffix retires
+    // pre-pop artifacts that would otherwise pass the manifest check and
+    // fail the probe's pop-column read.
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_ingest_index/${IndexStore.fingerprint(src)}-$tag")
+      s"graft_ingest_index/${IndexStore.fingerprint(src)}-$tag-v2")
     IndexStore.ensureBuilt(base) { tmp =>
       val sig = lshSigDf(s, dir).filter(pred)
-      sig.select(col("doc_id").as("db"),
-          posexplode_outer(col("sig")).as(Seq("band", "mh")))
+      val bands = sig.select(col("doc_id").as("db"),
+        posexplode_outer(col("sig")).as(Seq("band", "mh")))
+      // Band-bucket populations are computed ONCE here, at build time,
+      // and shipped in the artifact (round-13, verdict #1): the BandCap
+      // probe rule needs per-bucket populations, and recomputing them
+      // at query time was a hidden O(corpus) aggregate inside every
+      // "work ∝ batch" probe. Two forms, same discipline as df/dl in
+      // the postings index (TextAnalysis):
+      //  - a `pop` column denormalized onto each band row, so a
+      //    single-segment probe caps with a PUSHED parquet filter
+      //    (pop <= BandCap) — no aggregate, no join;
+      //  - a bucket-grain `pops` table, so a multi-segment probe folds
+      //    the pre-aggregated per-segment counts additively (delta
+      //    append writes only its own counts; compaction re-folds).
+      val pops = bands.groupBy(col("band"), col("mh"))
+        .agg(count(lit(1)).as("pop"))
+      pops.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "pops").getPath)
+      bands.join(pops, Seq("band", "mh"))
+        .select(col("db"), col("band"), col("mh"), col("pop"))
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "bands").getPath)
       sig.select(col("doc_id").as("db"), col("tset").as("tb"))
@@ -466,6 +488,42 @@ object Dedup {
         .select(md5(col("text").cast("binary")).as("cch")).distinct()
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "hashes").getPath)
+    }
+  }
+
+  /** Corpus-side CAPPED band table off index artifacts (round-13,
+    * verdict #1): the probe-time replacement for re-aggregating corpus
+    * band rows. Each segment's bands carry their build-time `pop`, so
+    * per-segment hot buckets die in a pushed parquet filter at the
+    * scan; with multiple segments the exact union-population rule
+    * (the cap is a property of the WHOLE standing corpus, d23's rule)
+    * is applied by folding the segments' pre-aggregated bucket-grain
+    * `pops` tables — an aggregate over bucket counts, never over
+    * corpus band rows. Probe plans therefore carry NO corpus-band-row
+    * aggregate: single segment = filter only; k segments = filter +
+    * a fold over k bucket-count tables ∝ distinct buckets.
+    * Returns (db, bandb, mhb). */
+  private def cappedIndexBands(s: SparkSession,
+                               idxDirs: Seq[String]): DataFrame = {
+    val bands = idxDirs.map(d => s.read.parquet(s"$d/bands")
+        .toDF("db", "bandb", "mhb", "pop"))
+      .reduce(_ unionByName _)
+      // Valid pre-filter under the union rule: a bucket over the cap
+      // within ONE segment is over it in the union too.
+      .filter(col("pop") <= BandCap)
+    if (idxDirs.sizeIs <= 1) bands.drop("pop")
+    else {
+      // Union populations fold over the UNFILTERED per-segment counts
+      // (a bucket can exceed the cap only in union — e.g. 200 + 100 —
+      // and a segment-filtered fold would under-count it back in).
+      val capped = idxDirs.map(d => s.read.parquet(s"$d/pops")
+          .toDF("bandb", "mhb", "pop"))
+        .reduce(_ unionByName _)
+        .groupBy(col("bandb"), col("mhb"))
+        .agg(sum(col("pop")).as("__tot"))
+        .filter(col("__tot") <= BandCap)
+        .select(col("bandb"), col("mhb"))
+      bands.drop("pop").join(capped, Seq("bandb", "mhb"))
     }
   }
 
@@ -521,7 +579,9 @@ object Dedup {
   /** The ingest-probe report d21/d23 share: hash ONLY the batch
     * (doc_id % 7 = 0), probe the supplied corpus-side index scans
     * (exact hashes, band table, token sets — however many physical
-    * segments they union over). */
+    * segments they union over). `bands` must arrive ALREADY capped
+    * ([[cappedIndexBands]]) — the cap moved to the artifact side in
+    * round 13 so this probe carries no corpus-scale aggregate. */
   private def ingestProbeReport(s: SparkSession, dir: String,
       hashes: DataFrame, bands: DataFrame,
       tsets: DataFrame): DataFrame = {
@@ -540,10 +600,11 @@ object Dedup {
         when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
     val bb = bsig.select(col("doc_id").as("da"),
       posexplode_outer(col("sig")).as(Seq("band", "mh")))
-    // Corpus-side bucket cap (BandCap note above): the probe joins only
-    // buckets a bounded population lives in — candidate volume stays
-    // ∝ |batch|·cap instead of |batch|·(N/buckets).
-    val cand = bb.join(capBuckets(bands, Seq("bandb", "mhb")),
+    // Corpus-side bucket cap (BandCap note above): the pre-capped band
+    // table means the probe joins only buckets a bounded population
+    // lives in — candidate volume stays ∝ |batch|·cap instead of
+    // |batch|·(N/buckets), and the cap cost was paid at index BUILD.
+    val cand = bb.join(bands,
         col("band") === col("bandb") && col("mh") === col("mhb"))
       .select(col("da"), col("db")).distinct()
     val verified = cand
@@ -607,9 +668,31 @@ object Dedup {
 
   /** [[capBuckets]] over a corpus-side (…, bandb, mhb) band table — the
     * shape the streaming twins probe (StreamOps shares the batch rule
-    * so the stream==batch pins stay exact). */
+    * so the stream==batch pins stay exact).
+    *
+    * Schema-adaptive (round-13): a band table carrying a `pop` column
+    * is an index ARTIFACT whose bucket populations were computed at
+    * build time — the cap is then a pushed filter, and the stream's
+    * static side re-executes per micro-batch WITHOUT re-aggregating
+    * the corpus. A pop-less table (the specs' in-memory corpora)
+    * falls back to the inline aggregate.
+    *
+    * Cap population rule, shared by every probe (batch d18/d21/d23/
+    * d33 and both stream twins): the STANDING corpus's population,
+    * excluding the in-flight batch. That is the only rule that is
+    * (a) storable in a build-time artifact and (b) delivery-invariant
+    * for the stream==batch pins — a cap that counted the in-flight
+    * batch would flip at the cap edge depending on how a batch is
+    * split across micro-batches. Documented consequence (round-12
+    * advice): a from-scratch FULL re-mine whose population includes
+    * the new docs (d03's rule, where no batch/corpus split exists)
+    * can disagree with the incremental probe on buckets that the new
+    * batch itself pushes over the cap — a property of the cap's
+    * definition, not a bug; no pin equates those two paths. */
   private[graft] def capCorpusBands(bands: DataFrame): DataFrame =
-    capBuckets(bands, Seq("bandb", "mhb"))
+    if (bands.columns.contains("pop"))
+      bands.filter(col("pop") <= BandCap).drop("pop")
+    else capBuckets(bands, Seq("bandb", "mhb"))
 
   private def lshPairsFrom(sig: DataFrame): DataFrame = {
     require(sig.storageLevel != StorageLevel.NONE,
@@ -1138,10 +1221,14 @@ object Dedup {
       // plan contains no corpus re-hash: the corpus side is three
       // column-pruned parquet scans, so daily cost is ∝ |batch| ×
       // collision rate at any corpus size.
+      // The band probe is CAPPED BY A PUSHED PARQUET FILTER on the
+      // artifact's build-time pop column (round-13): the plan carries
+      // no corpus-side aggregate of any kind — three column-pruned
+      // index FileScans, batch-side hashing, probe joins.
       val idx = ensureIngestIndex(s, dir)
       ingestProbeReport(s, dir,
         s.read.parquet(s"$idx/hashes"),
-        s.read.parquet(s"$idx/bands").toDF("db", "bandb", "mhb"),
+        cappedIndexBands(s, Seq(idx)),
         s.read.parquet(s"$idx/tsets").toDF("db", "tb"))
     },
 
@@ -1171,9 +1258,14 @@ object Dedup {
       def seg(part: String, cols: Seq[String]): DataFrame =
         s.read.parquet(s"$base/$part").toDF(cols: _*)
           .unionByName(s.read.parquet(s"$delta/$part").toDF(cols: _*))
+      // Band cap = the exact base∪delta union population, applied by
+      // folding the two segments' build-time bucket-count tables
+      // (round-13): counts were maintained additively at append (the
+      // delta build wrote only its own pops), the fold aggregates
+      // bucket counts — never corpus band rows.
       ingestProbeReport(s, dir,
         seg("hashes", Seq("cch")),
-        seg("bands", Seq("db", "bandb", "mhb")),
+        cappedIndexBands(s, Seq(base, delta)),
         seg("tsets", Seq("db", "tb")))
     },
 
@@ -1770,8 +1862,10 @@ object Dedup {
       // Bucket cap over the base∪delta union (BandCap note at
       // lshPairsFrom) — the population is a property of the whole
       // standing corpus, so the cap must see both segments together.
-      val bands = capBuckets(seg("bands", Seq("db", "bandb", "mhb")),
-        Seq("bandb", "mhb"))
+      // Round-13: applied off the artifacts' build-time pop columns +
+      // bucket-count fold (cappedIndexBands) — no corpus band rows are
+      // aggregated at probe time.
+      val bands = cappedIndexBands(s, Seq(baseIdx, deltaIdx))
       val tsets = seg("tsets", Seq("db", "tb"))
       val bb = bsig.select(col("doc_id").as("da"),
         posexplode_outer(col("sig")).as(Seq("band", "mh")))

@@ -106,7 +106,11 @@ private[graft] object IndexStore {
     * an evicted-too-early artifact just rebuilds on next probe. */
   private def evictStaleSiblings(base: File): Unit = try {
     val fp = base.getName.take(16)
-    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    // 24 h (round-12 advice): a build round runs ~6 h, and mtime is only
+    // refreshed at ensureBuilt hits, so the idle horizon must comfortably
+    // exceed a full round or a concurrent suite's in-use artifact could
+    // be evicted between its ensureBuilt and its last scan.
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(base.getParentFile.listFiles()).getOrElse(Array.empty[File])
       .filter { s =>
         s.getName != base.getName && !s.getName.contains(".tmp_") &&
@@ -122,7 +126,15 @@ private[graft] object IndexStore {
     * post-publish decay). `build` receives the private temp directory
     * to write into. */
   def ensureBuilt(base: File)(build: File => Unit): String = {
-    if (!isValid(base)) {
+    if (isValid(base)) {
+      // Refresh mtime on every valid reuse (round-12 advice): the
+      // eviction clock below reads lastModified as "last use", but
+      // parquet reads never touch the directory — without the touch a
+      // long round could evict an artifact a concurrent suite is
+      // actively scanning, crashing that query mid-read instead of
+      // "rebuild on next probe". Best-effort: some filesystems refuse.
+      base.setLastModified(System.currentTimeMillis())
+    } else {
       if (base.exists()) deleteRec(base) // gutted/legacy artifact
       base.getParentFile.mkdirs()
       val tmp = new File(base.getParentFile,

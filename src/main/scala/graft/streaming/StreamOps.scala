@@ -122,7 +122,7 @@ object StreamOps {
     * fan-out, not the corpus. */
   def indexedIngestDedupStream(docs: Dataset[IngestDoc],
                                corpusHashes: DataFrame, // (cch)
-                               corpusBands: DataFrame, // (db, band, mh)
+                               corpusBands: DataFrame, // (db, band, mh[, pop])
                                corpusTsets: DataFrame, // (db, tb)
                                watermark: String = "10 minutes",
                                windowLen: String = "1 minute")
@@ -705,7 +705,7 @@ object StreamOps {
   def servingIngestStream(docs: Dataset[ServeDoc],
                           corpusHashes: DataFrame, // (cch) distinct
                           bloomBits: DataFrame, // (sb) set-bit table
-                          corpusBands: DataFrame, // (db, bandb, mhb)
+                          corpusBands: DataFrame, // (db, bandb, mhb[, pop])
                           corpusTsets: DataFrame, // (db, tb, seg)
                           cents: DataFrame, // (cid, cv)
                           cells: DataFrame, // (c_cell, c_id, c_emb, seg)
@@ -917,12 +917,21 @@ object StreamOps {
         col("c_id"), lit(0L).as("e9"),
         expr("cosine_sim(q_emb, c_emb)").as("sim"))
 
+    // The lex leg MUST sort by exact Long ordering (round-12 advice):
+    // summed e9 scores live in the int64 fixed-point domain whose
+    // magnitudes exceed 2^53 (that is why the batch BM25 first factor is
+    // DECIMAL(38,0)), so a Double sort key could collapse distinct
+    // scores and reorder ranks relative to batch v25b's exact integer
+    // `score_e9 DESC` window — breaking the stream==batch rank pin. The
+    // Double key survives only on the vec leg, whose sims are Doubles.
     def shortlist(scored: Seq[(Long, Long, Double)], lex: Boolean)
-        : Map[Long, Long] =
-      scored.sortBy { case (c, e9, sim) =>
-        (if (lex) (-e9).toDouble else -sim, c.toDouble)
-      }.take(20).zipWithIndex
+        : Map[Long, Long] = {
+      val ranked =
+        if (lex) scored.sortBy { case (c, e9, _) => (-e9, c) }
+        else scored.sortBy { case (c, _, sim) => (-sim, c.toDouble) }
+      ranked.take(20).zipWithIndex
         .map { case ((c, _, _), i) => c -> (i + 1L) }.toMap
+    }
 
     def update(q: Long, evs: Iterator[HybridHit],
                state: GroupState[Boolean]): Iterator[RrfRow] = {

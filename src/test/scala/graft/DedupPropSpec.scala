@@ -215,9 +215,19 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
       val key = graft.llm.IndexStore.fingerprint(fp)
       def bands(tag: String) = spark.read
-        .parquet(s"$tmpdir/graft_ingest_index/$key-$tag/bands")
-      val folded = bands("base").unionByName(bands("delta"))
-      folded.write.mode("overwrite")
+        .parquet(s"$tmpdir/graft_ingest_index/$key-$tag-v2/bands")
+      // Compaction re-FOLDS the bucket populations (round-13: pop is a
+      // per-segment build-time count, so the folded segment must carry
+      // the recomputed whole-population pop — additive maintenance at
+      // append, exact recount at compaction). The result must be
+      // byte-identical to the monolithic index's bands, pop included.
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val folded = bands("base").unionByName(bands("delta")).drop("pop")
+      val pops = folded.groupBy(col("band"), col("mh"))
+        .agg(count(lit(1)).as("pop"))
+      folded.join(pops, Seq("band", "mh"))
+        .select(col("db"), col("band"), col("mh"), col("pop"))
+        .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "bands").getPath)
       val compacted = spark.read
         .parquet(new java.io.File(tmp, "bands").getPath)

@@ -212,6 +212,55 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ingest probes aggregate no corpus band rows: the BandCap rule " +
+    "rides the artifacts' build-time pop column (round-13)") {
+    // The round-12 finding: capBuckets recomputed bucket populations
+    // with a groupBy over the FULL corpus band table on every probe —
+    // an O(corpus) aggregate inside paths whose contract is "work ∝
+    // batch". The fix materializes pop into the index artifacts, so a
+    // probe plan may aggregate bucket-grain pops scans (3-col
+    // band/mh/pop schema) but NEVER corpus band rows (the 4-col
+    // db/band/mh/pop table). Walk the physical plans: every aggregate
+    // keyed on the band bucket must have only pops-shaped leaves.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("d21_indexed_ingest", "d23_index_delta_append",
+        "d33_serving_pipeline")) {
+      // sparkPlan, not executedPlan: the AQE wrapper's collect() does
+      // not traverse into its current physical plan, and the pre-AQE
+      // tree is the one whose shape this pin freezes anyway.
+      val exec = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan
+      val offending = exec.collect {
+        case a: BaseAggregateExec
+            if a.groupingExpressions.size == 2 &&
+              a.groupingExpressions.flatMap(_.references)
+                .map(_.name.stripSuffix("b")).toSet == Set("band", "mh") &&
+              a.collectLeaves().exists {
+                case f: FileSourceScanExec =>
+                  f.output.map(_.name).contains("db") // band ROWS, not pops
+                case _ => false
+              } => a
+      }
+      assert(offending.isEmpty,
+        s"$q: bucket-grain aggregate over corpus band rows (the probe " +
+          s"re-counts populations the artifact already stores):\n" +
+          offending.mkString("\n"))
+      // And the cap must actually reach the band scans as a pushed
+      // parquet filter — the artifact's pop column doing its job.
+      val scans = exec.collectLeaves().collect {
+        case f: FileSourceScanExec
+            if f.output.map(_.name).toSet
+              .intersect(Set("db", "pop")).size == 2 => f
+      }
+      assert(scans.nonEmpty, s"$q: no band-artifact scan found")
+      scans.foreach { f =>
+        assert(f.dataFilters.exists(_.toString.contains("<= 256")),
+          s"$q: band scan without the pushed pop<=256 cap:\n$f")
+      }
+    }
+  }
+
   test("SELECT without FROM executes as a one-row plan") {
     // Reference: test_empty_exec_with_one_row (EmptyExec producing a
     // single row) — Spark's OneRowRelation.
