@@ -2496,75 +2496,161 @@ object Dedup {
     * per probe that has a neighbor within edit distance τ:
     * (qk, mk, dist), mk = the (dist, ck)-argmin candidate.
     *
-    * Candidates come from the ED-Join prefix filter: each entity's
-    * distinct q-grams get a global rarest-first total order (document
-    * frequency asc, gram asc — both engines agree exactly), and only
-    * the first q·τ+1 grams act as blocking keys. A pair within edit
-    * distance τ shares ≥ max(|D(x)|,|D(y)|) − q·τ distinct grams
-    * (each edit destroys ≤ q gram occurrences, and a lost DISTINCT
-    * gram costs at least one destroyed occurrence), so when either
-    * side has ≥ q·τ+1 distinct grams the pair MUST collide inside the
-    * (q·τ+1)-prefixes — dropping non-colliding pairs loses no recall.
-    * SHORT-STRING REGIME: when BOTH sides have ≤ q·τ distinct grams
-    * the bound is vacuous (τ edits can destroy every gram — e.g.
-    * ed("bddb","bdcdbc") = 2 with zero shared 3-grams, found by the
-    * `DedupPropSpec` generator), so such entities additionally emit a
-    * marker key ("" — impossible as a real q-gram, which has length
-    * exactly q) that pairs every short entity with every other short
-    * entity; short×long needs no fallback (the LONG side's ≥ q·τ+1
-    * distinct grams make the overlap bound ≥ 1, and the short side's
-    * prefix is its whole gram set). `DedupPropSpec` pins the whole
-    * scheme == brute force on adversarial low-diversity corpora.
-    * Precondition: |en| ≥ q (shorter strings emit no grams and can't
-    * match — the graded caller filters them).
+    * Round-13 rebuild — the sf10 leg measured the previous shape at
+    * 12.6× for 10× data, from two superlinear terms (entity-grain
+    * gram blocks growing ∝ N on a duplicate-heavy corpus, and a
+    * single `""` marker key pairing ALL low-gram-diversity entities
+    * all-pairs). Three recall-lossless changes:
     *
-    * 100 TB shape: the prefix table is row-linear (≤ q·τ+1 rows per
-    * entity), the candidate join is an EQUI-join on the gram key (the
-    * probe side is the small one — stats/AQE broadcast it), the length
-    * filter and ek≠ck prune inside the join condition, and the
-    * distinct pair shuffle carries two short strings per row. Exact
-    * Levenshtein runs on blocked pairs only — work ∝ candidates, the
-    * d19 discipline applied to edit distance. */
+    * 1. STRING-GRAIN CANONICALIZATION. All blocking, candidate
+    *    generation and Levenshtein run over DISTINCT entity strings;
+    *    entity keys re-attach at the end. Edit distance is a function
+    *    of the strings alone, so the (dist, ck)-argmin factors: per
+    *    candidate string the best representative is its min entity
+    *    key (min2 covers the one case where that key is the probe
+    *    itself — a probe holding the smallest key in its own string
+    *    group). On a duplicate-heavy corpus (this one: 24-char
+    *    prefixes drawn from a ~31-token vocabulary, so distinct
+    *    strings SATURATE while N grows) pair work scales with
+    *    distinct², not N² — canonicalize-then-match, the industrial
+    *    record-linkage shape.
+    * 2. ED-Join prefix filter (unchanged core): each string's distinct
+    *    q-grams get a global rarest-first total order (document
+    *    frequency asc, gram asc — both engines agree exactly); only
+    *    the first q·τ+1 act as blocking keys. A pair within τ shares
+    *    ≥ max(|D(x)|,|D(y)|) − q·τ distinct grams, so it MUST collide
+    *    inside the prefixes. NEW: the POSITIONAL filter — for shared
+    *    total orders the pair's FIRST shared gram (ranks rq, rc in
+    *    the two prefix orders) bounds the achievable overlap at
+    *    1 + min(|D(x)|−rq, |D(y)|−rc), so a collision row failing
+    *    1 + min(...) ≥ max(|D(x)|,|D(y)|) − q·τ cannot be the first
+    *    shared gram of a true pair and is dropped pre-shuffle; the
+    *    true pair always survives via its first-match row (whose rank
+    *    is ≤ q·τ+1 on both sides, since all other shared grams rank
+    *    after it consistently under ONE global order).
+    * 3. SHORT-STRING REGIME: when a string has ≤ q·τ distinct grams
+    *    the overlap bound is vacuous (τ edits can destroy every gram
+    *    — e.g. ed("bddb","bdcdbc") = 2 with zero shared 3-grams).
+    *    The old all-pairs marker key is replaced by the τ-DELETION
+    *    NEIGHBORHOOD (FastSS, Bocek et al. 2007): each short string
+    *    emits every string reachable by deleting ≤ τ characters; if
+    *    ed(x,y) ≤ τ an alignment matches ≥ max(|x|,|y|) − τ character
+    *    pairs, and deleting each side's unmatched characters (≤ τ
+    *    each) yields the SAME subsequence — so true pairs share a
+    *    variant key by construction, and unrelated short strings no
+    *    longer meet at all. Keys are namespaced ("d"+variant vs
+    *    "g"+gram) so variants can never collide with real grams.
+    *    short×long still rides the gram path (the long side's ≥
+    *    q·τ+1 distinct grams make the overlap bound ≥ 1, and a short
+    *    string's prefix is its whole gram set).
+    *
+    * `DedupPropSpec` pins the whole scheme == brute force on
+    * adversarial low-diversity corpora (which generate duplicate
+    * strings, short strings, and probe-probe matches), and d31b ==
+    * d31's argmin on d31's own slice. Precondition: |en| ≥ q.
+    *
+    * 100 TB shape: two linear map-side-combined groupBys canonicalize;
+    * the prefix table is ≤ q·τ+1 rows per DISTINCT string (+ a
+    * bounded variant fan-out on short strings only); the candidate
+    * join is an EQUI-join on the namespaced key with the length and
+    * positional filters pruning inside the join; the pair-distinct
+    * shuffle carries two short strings per row at distinct-string
+    * grain; exact Levenshtein runs once per distinct blocked STRING
+    * pair, not per entity pair; the final argmin is a struct-MIN
+    * aggregate (map-side partials), never a window sort over the
+    * candidate stream. */
   private[graft] def blockedNearest(ents: DataFrame, q: Int,
                                     tau: Int): DataFrame = {
+    require(tau <= 2,
+      "deletion-neighborhood short-string blocking is generated for tau <= 2")
     val pfxLen = q * tau + 1
-    val grams = ents.select(col("ek"), col("en"), col("is_probe"),
+    // ---- 1. canonicalize to distinct strings ----------------------
+    // min1/min2 = two smallest entity keys per string (min2 only
+    // matters when the probe itself holds min1); isq = some probe
+    // carries this string. Both passes are map-side-combined linear
+    // aggregates — never a collect_list of group members (hot strings
+    // hold arbitrarily many entities at corpus scale).
+    val eg1 = ents.groupBy(col("en"))
+      .agg(min(col("ek")).as("min1"),
+        max(col("is_probe").cast("int")).as("isqi"))
+    val eg2 = ents.join(eg1.select(col("en"), col("min1")), "en")
+      .filter(col("ek") =!= col("min1"))
+      .groupBy(col("en")).agg(min(col("ek")).as("min2"))
+    val dstr = eg1.join(eg2, Seq("en"), "left_outer")
+      .select(col("en").as("sn"), col("min1"), col("min2"),
+        (col("isqi") === 1).as("isq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- 2. gram prefixes + positional metadata at string grain ---
+    val grams = dstr.select(col("sn"), col("isq"),
       explode(array_distinct(expr(
-        s"transform(sequence(1, length(en) - ${q - 1}), " +
-          s"i -> substring(en, i, $q))"))).as("g"))
+        s"transform(sequence(1, length(sn) - ${q - 1}), " +
+          s"i -> substring(sn, i, $q))"))).as("g"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ek")).orderBy(col("gdf"), col("g"))
-    // One ranked-prefix table feeds BOTH join sides — persist so the
-    // gram df pass runs once, not once per side. nd rides the same
-    // ek partitioning as rn (one Exchange, two window frames).
+      .partitionBy(col("sn")).orderBy(col("gdf"), col("g"))
     val ranked = grams.join(dfreq, "g")
       .withColumn("rn", row_number().over(wp))
       .withColumn("nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("ek"))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sn"))))
+    // ---- 3. deletion-neighborhood keys for the short regime -------
+    // Every string reachable from sn by deleting 0..tau characters
+    // (substring is 1-based; 1000 = "to end of string").
+    val del1 = "transform(sequence(1, length(sn)), i -> " +
+      "concat(substring(sn, 1, i-1), substring(sn, i+1, 1000)))"
+    val del2 = "flatten(transform(sequence(1, length(sn) - 1), i -> " +
+      "transform(sequence(i + 1, length(sn)), j -> " +
+      "concat(substring(sn, 1, i-1), substring(sn, i+1, j-i-1), " +
+      "substring(sn, j+1, 1000)))))"
+    val variants = tau match {
+      case 0 => "array(sn)"
+      case 1 => s"concat(array(sn), $del1)"
+      case _ => s"concat(array(sn), $del1, $del2)"
+    }
+    val shortRows = ranked
+      .filter(col("rn") === 1 && col("nd") <= q * tau)
+      .select(col("sn"), col("isq"),
+        explode(array_distinct(expr(variants))).as("v"))
+      .select(col("sn"), col("isq"), concat(lit("d"), col("v")).as("g"),
+        lit(0).as("rn"), lit(0).cast("long").as("nd"))
     val pref = ranked.filter(col("rn") <= pfxLen)
-      .select(col("ek"), col("en"), col("is_probe"), col("g"))
-      .unionByName(ranked
-        .filter(col("rn") === 1 && col("nd") <= q * tau)
-        .select(col("ek"), col("en"), col("is_probe"),
-          lit("").as("g")))
+      .select(col("sn"), col("isq"), concat(lit("g"), col("g")).as("g"),
+        col("rn"), col("nd"))
+      .unionByName(shortRows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qp = pref.filter(col("is_probe"))
-      .select(col("ek").as("qk"), col("en").as("qn"), col("g"))
-    val cp = pref.select(col("ek").as("ck"), col("en").as("cn"),
-      col("g").as("cg"))
+    // ---- 4. blocked candidate pairs (string grain) -----------------
+    // qn == cn pairs stay IN (string-grain "self" = a different entity
+    // with the same string); per-entity self-exclusion happens at the
+    // representative step below. rn = 0 marks deletion-key rows, which
+    // are complete by construction and skip the positional filter.
+    val qp = pref.filter(col("isq"))
+      .select(col("sn").as("qn"), col("g"),
+        col("rn").as("rnq"), col("nd").as("ndq"))
+    val cp = pref.select(col("sn").as("cn"), col("g").as("cg"),
+      col("rn").as("rnc"), col("nd").as("ndc"))
     val cand = qp.join(cp, col("g") === col("cg") &&
-        col("qk") =!= col("ck") &&
-        abs(length(col("qn")) - length(col("cn"))) <= tau)
-      .select(col("qk"), col("qn"), col("ck"), col("cn")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qk")).orderBy(col("dist"), col("ck"))
-    cand
+        abs(length(col("qn")) - length(col("cn"))) <= tau &&
+        (col("rnq") === 0 ||
+          lit(1) + least(col("ndq") - col("rnq"),
+            col("ndc") - col("rnc")) >=
+            greatest(col("ndq"), col("ndc")) - q * tau))
+      .select(col("qn"), col("cn")).distinct()
+    val verified = cand
       .withColumn("dist", levenshtein(col("qn"), col("cn")).cast("long"))
       .filter(col("dist") <= tau)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("qk"), col("ck").as("mk"), col("dist"))
+    // ---- 5. expand to probe grain, struct-MIN argmin ---------------
+    val probes = ents.filter(col("is_probe"))
+      .select(col("ek").as("qk"), col("en").as("qn"))
+    probes.join(verified, "qn")
+      .join(dstr.select(col("sn").as("cn"), col("min1"), col("min2")),
+        "cn")
+      // min1 === qk implies cn === qn (the probe's own string group).
+      .withColumn("rep",
+        when(col("min1") === col("qk"), col("min2"))
+          .otherwise(col("min1")))
+      .filter(col("rep").isNotNull)
+      .groupBy(col("qk"))
+      .agg(min(struct(col("dist"), col("rep"))).as("best"))
+      .select(col("qk"), col("best.rep").as("mk"), col("best.dist").as("dist"))
   }
 
   /** d26's window length: a duplicated run shorter than K tokens is
