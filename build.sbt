@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's contract is ONE compact JSON line as the process's final
+// stdout; sbt's "[success] Total time: …" banner would otherwise be
+// the last line and break line-oriented parsers downstream.
+Global / showSuccess := false
+// Forked `run` output passes through raw (no "[info] " logger prefix)
+// for the same reason.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -459,8 +459,20 @@ object Dedup {
       s"graft_ingest_index/${IndexStore.fingerprint(src)}-$tag-v2")
     IndexStore.ensureBuilt(base) { tmp =>
       val sig = lshSigDf(s, dir).filter(pred)
+      // The artifact's row contract is "one row per (doc, band)": docs
+      // with a null/empty signature are intentionally ABSENT from
+      // bands AND pops — they can collide with nothing (round-13
+      // advice: that was previously an accident of the inner pop join
+      // below silently defeating the _outer choice; now it's the
+      // explicit filter). Still posexplode_OUTER + post-filter, not a
+      // plain posexplode: Catalyst infers `size(sig) > 0` from a
+      // non-outer generator over a COMPUTED array and pushes the whole
+      // signature expression into the scan filter — evaluated twice
+      // per row (the CDC-dedup 5× lesson). A filter on the generator
+      // OUTPUT is not pushed through it.
       val bands = sig.select(col("doc_id").as("db"),
         posexplode_outer(col("sig")).as(Seq("band", "mh")))
+        .filter(col("band").isNotNull)
       // Band-bucket populations are computed ONCE here, at build time,
       // and shipped in the artifact (round-13, verdict #1): the BandCap
       // probe rule needs per-bucket populations, and recomputing them
@@ -690,9 +702,22 @@ object Dedup {
     * batch itself pushes over the cap — a property of the cap's
     * definition, not a bug; no pin equates those two paths. */
   private[graft] def capCorpusBands(bands: DataFrame): DataFrame =
-    if (bands.columns.contains("pop"))
-      bands.filter(col("pop") <= BandCap).drop("pop")
-    else capBuckets(bands, Seq("bandb", "mhb"))
+    if (bands.columns.contains("union_pop"))
+      bands.filter(col("union_pop") <= BandCap).drop("union_pop")
+    else {
+      // Guard (round-13 advice): a raw artifact band table carries a
+      // per-SEGMENT `pop`; naively unioning two segments and capping
+      // on it would under-cap (a 200+100 bucket survives because
+      // neither segment exceeds 256). The pushed-filter branch is
+      // therefore keyed on a distinct name — callers must fold the
+      // segments' `pops` tables and attach the result as `union_pop`
+      // (single segment: rename; see the stream feeds) to claim it.
+      require(!bands.columns.contains("pop"),
+        "capCorpusBands: `pop` is a per-segment count — fold segment " +
+          "pops additively and attach as `union_pop`, or drop it to " +
+          "use the inline aggregate")
+      capBuckets(bands, Seq("bandb", "mhb"))
+    }
 
   private def lshPairsFrom(sig: DataFrame): DataFrame = {
     require(sig.storageLevel != StorageLevel.NONE,
@@ -2594,13 +2619,16 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("sn"))))
     // ---- 3. deletion-neighborhood keys for the short regime -------
     // Every string reachable from sn by deleting 0..tau characters
-    // (substring is 1-based; 1000 = "to end of string").
+    // (substring is 1-based; len = length(sn) ≥ any remainder, i.e.
+    // "to end of string" — a fixed literal here would truncate the
+    // remainder for long-but-low-gram-diversity strings and silently
+    // lose recall, round-13 advice).
     val del1 = "transform(sequence(1, length(sn)), i -> " +
-      "concat(substring(sn, 1, i-1), substring(sn, i+1, 1000)))"
+      "concat(substring(sn, 1, i-1), substring(sn, i+1, length(sn))))"
     val del2 = "flatten(transform(sequence(1, length(sn) - 1), i -> " +
       "transform(sequence(i + 1, length(sn)), j -> " +
       "concat(substring(sn, 1, i-1), substring(sn, i+1, j-i-1), " +
-      "substring(sn, j+1, 1000)))))"
+      "substring(sn, j+1, length(sn))))))"
     val variants = tau match {
       case 0 => "array(sn)"
       case 1 => s"concat(array(sn), $del1)"

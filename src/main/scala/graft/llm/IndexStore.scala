@@ -97,15 +97,19 @@ private[graft] object IndexStore {
     * keyed by corpus fingerprint with no TTL, so every regenerated
     * corpus strands its predecessor's index tree in tmpdir forever.
     * After publishing `base`, siblings in the same family directory
-    * that belong to a DIFFERENT fingerprint (first 16 name chars) and
-    * have been idle for >6 h are deleted. The age guard keeps every
-    * artifact of the current round alive (concurrent suites probe
-    * sf0.001/sf0.01/sf0.1/sf1 fingerprints side by side); `.tmp_`
-    * dirs are a concurrent builder's workspace and are never touched.
+    * that have been idle for >24 h are deleted — ANY fingerprint or
+    * tag (round-13 advice: sparing same-fingerprint siblings stranded
+    * every retired artifact-schema generation, e.g. the pre-`-v2` tag
+    * names, doubling index disk per corpus forever). The age guard is
+    * what makes this sound: [[ensureBuilt]] refreshes mtime on every
+    * valid reuse, so anything 24 h idle is genuinely unprobed — and a
+    * round runs ~6 h, so every artifact of the current round stays
+    * alive (concurrent suites probe sf0.001/sf0.01/sf0.1/sf1
+    * fingerprints side by side); `.tmp_` dirs are a concurrent
+    * builder's workspace and are never touched.
     * Failures are swallowed — eviction is hygiene, not correctness:
     * an evicted-too-early artifact just rebuilds on next probe. */
   private def evictStaleSiblings(base: File): Unit = try {
-    val fp = base.getName.take(16)
     // 24 h (round-12 advice): a build round runs ~6 h, and mtime is only
     // refreshed at ensureBuilt hits, so the idle horizon must comfortably
     // exceed a full round or a concurrent suite's in-use artifact could
@@ -114,7 +118,7 @@ private[graft] object IndexStore {
     Option(base.getParentFile.listFiles()).getOrElse(Array.empty[File])
       .filter { s =>
         s.getName != base.getName && !s.getName.contains(".tmp_") &&
-          !s.getName.startsWith(fp) && s.lastModified() < cutoff
+          s.lastModified() < cutoff
       }
       .foreach(s => try deleteRec(s) catch { case _: Throwable => })
   } catch { case _: Throwable => }

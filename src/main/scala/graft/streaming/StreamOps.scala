@@ -122,7 +122,7 @@ object StreamOps {
     * fan-out, not the corpus. */
   def indexedIngestDedupStream(docs: Dataset[IngestDoc],
                                corpusHashes: DataFrame, // (cch)
-                               corpusBands: DataFrame, // (db, band, mh[, pop])
+                               corpusBands: DataFrame, // (db, band, mh[, union_pop])
                                corpusTsets: DataFrame, // (db, tb)
                                watermark: String = "10 minutes",
                                windowLen: String = "1 minute")
@@ -705,7 +705,7 @@ object StreamOps {
   def servingIngestStream(docs: Dataset[ServeDoc],
                           corpusHashes: DataFrame, // (cch) distinct
                           bloomBits: DataFrame, // (sb) set-bit table
-                          corpusBands: DataFrame, // (db, bandb, mhb[, pop])
+                          corpusBands: DataFrame, // (db, bandb, mhb[, union_pop])
                           corpusTsets: DataFrame, // (db, tb, seg)
                           cents: DataFrame, // (cid, cv)
                           cells: DataFrame, // (c_cell, c_id, c_emb, seg)

@@ -64,10 +64,10 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(new File(base, "_MANIFEST").isFile)
   }
 
-  test("publish evicts only >6h-idle siblings of a DIFFERENT fingerprint " +
-    "— fresh siblings, same-fingerprint tags, and .tmp_ dirs survive") {
+  test("publish evicts >24h-idle siblings of ANY fingerprint (retired " +
+    "tag generations included) — fresh siblings and .tmp_ dirs survive") {
     val fam = freshFamily()
-    val old = System.currentTimeMillis() - 7L * 3600 * 1000
+    val old = System.currentTimeMillis() - 25L * 3600 * 1000
     def sibling(name: String, mtime: Long): File = {
       val d = new File(fam, name)
       d.mkdirs()
@@ -77,14 +77,28 @@ class IndexStoreSpec extends AnyFunSuite {
     }
     val staleOther = sibling("1111222233334444-full", old)
     val freshOther = sibling("5555666677778888", System.currentTimeMillis())
-    val sameFpTag = sibling("aaaabbbbccccdddd-delta", old)
+    // 7h idle: would have died under the old 6h horizon — pins that the
+    // horizon is 24h (a build round runs ~6h; see IndexStore doc).
+    val midOther = sibling("2222333344445555",
+      System.currentTimeMillis() - 7L * 3600 * 1000)
+    // Retired artifact-schema generation of the SAME corpus (e.g. a
+    // pre-"-v2" name after a cache-key bump): 24h idle → evicted, or
+    // it strands forever (round-13 advice).
+    val staleSameFp = sibling("aaaabbbbccccdddd-delta", old)
+    val freshSameFp = sibling("aaaabbbbccccdddd-delta-v2",
+      System.currentTimeMillis())
     val tmpDir = sibling("9999000011112222.tmp_ab12cd34", old)
     val base = new File(fam, "aaaabbbbccccdddd")
     IndexStore.ensureBuilt(base)(writeArtifact)
     assert(!staleOther.exists(),
       "stale different-fingerprint sibling must be evicted")
     assert(freshOther.exists(), "fresh sibling must survive (age guard)")
-    assert(sameFpTag.exists(), "same-fingerprint tag sibling must survive")
+    assert(midOther.exists(),
+      "a 7h-idle sibling must survive — the horizon is 24h, not 6h")
+    assert(!staleSameFp.exists(),
+      "24h-idle same-fingerprint retired-tag sibling must be evicted")
+    assert(freshSameFp.exists(),
+      "fresh same-fingerprint tag sibling must survive (age guard)")
     assert(tmpDir.exists(), "a concurrent builder's .tmp_ must survive")
   }
 }

@@ -766,15 +766,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         1, 8), 16, 10).cast("long") % mBits
     val bits = hashes.select(explode(array(bit(col("cch"), 0),
       bit(col("cch"), 1), bit(col("cch"), 2))).as("sb")).distinct()
-    // Artifact bands carry a build-time `pop` column (round-13). The
-    // batch d33 caps by the base∪delta UNION population, so the stream
-    // feed reconstructs exactly that: fold the two segments' bucket-
-    // grain pops artifacts additively and attach the union count as
-    // `pop` — capCorpusBands' artifact branch then caps with a plain
-    // filter (no corpus band rows aggregated on the static side).
+    // Artifact bands carry a build-time per-segment `pop` column
+    // (round-13). The batch d33 caps by the base∪delta UNION
+    // population, so the stream feed reconstructs exactly that: fold
+    // the two segments' bucket-grain pops artifacts additively and
+    // attach the union count as `union_pop` — the distinct name is
+    // capCorpusBands' guard that the fold happened (a per-segment
+    // `pop` would under-cap; round-13 advice) — and its artifact
+    // branch then caps with a plain filter (no corpus band rows
+    // aggregated on the static side).
     val popsU = part(baseIdx, "pops", Seq("bandb", "mhb", "pop"))
       .unionByName(part(deltaIdx, "pops", Seq("bandb", "mhb", "pop")))
-      .groupBy(col("bandb"), col("mhb")).agg(sum(col("pop")).as("pop"))
+      .groupBy(col("bandb"), col("mhb"))
+      .agg(sum(col("pop")).as("union_pop"))
     val bands = part(baseIdx, "bands", Seq("db", "bandb", "mhb", "p0"))
       .unionByName(part(deltaIdx, "bands", Seq("db", "bandb", "mhb", "p0")))
       .drop("p0")
