@@ -15,6 +15,7 @@ run / fork := true
 // stdout; sbt's "[success] Total time: …" banner would otherwise be
 // the last line and break line-oriented parsers downstream.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt itself, not a task
 // Forked `run` output passes through raw (no "[info] " logger prefix)
 // for the same reason.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
