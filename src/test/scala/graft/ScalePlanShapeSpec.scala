@@ -30,8 +30,11 @@ import org.scalatest.BeforeAndAfterAll
 class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sf1 = "/root/repo/target/sf1"
+  private val sf10 = "/root/repo/target/sf10"
   private def sf1Present: Boolean =
     new java.io.File(s"$sf1/lineitem.parquet").exists()
+  private def sf10Present: Boolean =
+    new java.io.File(s"$sf10/lineitem.parquet").exists()
 
   private var spark: SparkSession = _
 
@@ -43,8 +46,10 @@ class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def plan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf1)
+  private def plan(name: String): String = planAt(sf1, name)
+
+  private def planAt(dir: String, name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
     df.queryExecution.executedPlan.toString()
   }
 
@@ -213,6 +218,91 @@ class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"blocking regressed to an all-pairs join at sf1:\n$p")
     assert(p.contains("levenshtein"),
       s"expected the blocked Levenshtein evaluation:\n$p")
+  }
+
+  test("q18's spine and semi flip broadcast→SMJ between decades while " +
+    "customer and the TopK hold (round-13, verdict #7)") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    val p1 = plan("q18_large_orders")
+    // sf1, probed: the 2-column lineitem scan (l_orderkey, l_quantity)
+    // column-prunes under the 32 MB profile threshold, so BOTH the
+    // spine and the big-orders semi broadcast — a correct stats
+    // decision at this decade, NOT an invariant.
+    assert(p1.contains("BroadcastHashJoin [o_orderkey"),
+      s"q18 spine should sit under the threshold at sf1 stats:\n$p1")
+    assert(!p1.contains("SortMergeJoin"),
+      s"q18 should be all-broadcast at sf1 stats:\n$p1")
+    // Invariants at EVERY decade: customer broadcasts BuildLeft, and
+    // the 100-row top-k never plans a global sort.
+    assert(p1.contains("BroadcastHashJoin [c_custkey"),
+      s"customer dim must broadcast at sf1:\n$p1")
+    assert(p1.contains("TakeOrderedAndProject(limit=100"),
+      s"q18 top-100 must be TakeOrderedAndProject at sf1:\n$p1")
+    assume(sf10Present, "sf10 corpus absent (run graft.tools.ScaleUp ×10)")
+    val p10 = planAt(sf10, "q18_large_orders")
+    // sf10, probed: one more decade pushes the pruned lineitem estimate
+    // over the threshold — spine AND semi flip to SMJ; the holds hold.
+    assert("SortMergeJoin \\[o_orderkey".r.findAllIn(p10).size == 2,
+      s"q18 spine + semi must both outgrow broadcast at sf10:\n$p10")
+    assert(p10.contains("BroadcastHashJoin [c_custkey"),
+      s"customer dim must still broadcast at sf10:\n$p10")
+    assert(p10.contains("TakeOrderedAndProject(limit=100"),
+      s"q18 top-100 must stay TakeOrderedAndProject at sf10:\n$p10")
+  }
+
+  test("c15's three channel blocks ride their aggregate partitioning " +
+    "into the rollup at both decades — exactly 6 block exchanges + 1") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    def check(p: String, sf: String): Unit = {
+      // Each block shuffles its sales and returns slices ONCE on
+      // l_suppkey; the LeftOuter join and the ROLLUP's Expand ride
+      // that partitioning with no re-shuffle. The only other exchange
+      // is the final (channel, id, grouping) aggregate. Aggregate-
+      // derived sides carry no file stats, so the block joins are SMJ
+      // at every SF — a broadcast here would mean the planner invented
+      // stats for a derived relation.
+      assert("Exchange hashpartitioning\\(l_suppkey".r
+        .findAllIn(p).size == 6,
+        s"$sf: expected exactly 6 block-aggregate exchanges:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 7,
+        s"$sf: a join or rollup re-shuffled the block output:\n$p")
+      assert("SortMergeJoin \\[id".r.findAllIn(p).size == 3,
+        s"$sf: the three sales⋈returns joins must stay SMJ:\n$p")
+      assert(p.contains("Expand"),
+        s"$sf: ROLLUP lost its Expand:\n$p")
+    }
+    check(plan("c15_channel_profit_rollup"), "sf1")
+    assume(sf10Present, "sf10 corpus absent (run graft.tools.ScaleUp ×10)")
+    check(planAt(sf10, "c15_channel_profit_rollup"), "sf10")
+  }
+
+  test("c23's fact spine flips broadcast→SMJ between decades; the " +
+    "agg-grain joins and part dim hold") {
+    assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
+    def holds(p: String, sf: String): Unit = {
+      // At every decade: the two aggregate-grain joins (bought⋈returned
+      // on (custkey, partkey), ⋈resold on partkey) join fact-DERIVED
+      // relations on both sides — SMJ at every SF; the part dim
+      // broadcasts into the final brand attach.
+      assert(p.contains("SortMergeJoin [ck1"),
+        s"$sf: bought⋈returned must not broadcast a fact-derived side:\n$p")
+      assert(p.contains("SortMergeJoin [pk1"),
+        s"$sf: resold attach must not broadcast a fact-derived side:\n$p")
+      assert(p.contains("BroadcastHashJoin [pk1") ||
+        p.contains("BroadcastHashJoin [p_partkey"),
+        s"$sf: part dim must broadcast:\n$p")
+    }
+    val p1 = plan("c23_buy_return_resell")
+    holds(p1, "sf1")
+    // sf1, probed: orders (~25 MB) sits under the threshold — the
+    // three lineitem⋈orders passes broadcast orders (the c09 note).
+    assert("BroadcastHashJoin \\[l_orderkey".r.findAllIn(p1).size == 3,
+      s"sf1: orders under the threshold should broadcast:\n$p1")
+    assume(sf10Present, "sf10 corpus absent (run graft.tools.ScaleUp ×10)")
+    val p10 = planAt(sf10, "c23_buy_return_resell")
+    holds(p10, "sf10")
+    assert("SortMergeJoin \\[l_orderkey".r.findAllIn(p10).size == 3,
+      s"sf10: the lineitem⋈orders passes must outgrow broadcast:\n$p10")
   }
 
   test("sf1: c32 DPP composes with AQE + broadcast reuse — the pruning " +
