@@ -109,7 +109,15 @@ final class KllState(val capacity: Int) {
 
   /** Weighted quantile: smallest value whose cumulative weight reaches
     * q * totalWeight. */
-  def quantile(q: Double): Double = {
+  def quantile(q: Double): Double = quantiles(Seq(q)).head
+
+  /** Many quantiles from ONE sort of the weighted summary. quantile()
+    * per call re-sorts everything, which in the EXACT regime (summary
+    * size ≈ input size) dominates the whole derivation — 31 file cuts
+    * over a ~600k-item exact sketch cost 31 sorts (~13 s driver-side)
+    * where this costs one. Returns exactly quantile(q) for each q, in
+    * input order. */
+  def quantiles(qs: Seq[Double]): Seq[Double] = {
     val weighted = ArrayBuffer.empty[(Double, Long)]
     var i = 0
     while (i < levels.length) {
@@ -117,18 +125,25 @@ final class KllState(val capacity: Int) {
       levels(i).foreach(v => weighted += ((v, w)))
       i += 1
     }
-    if (weighted.isEmpty) return Double.NaN
+    if (weighted.isEmpty) return qs.map(_ => Double.NaN)
     val sorted = weighted.sortBy(_._1)
-    val total = sorted.map(_._2).sum
-    val target = math.max(1L, math.ceil(q * total).toLong)
-    var cum = 0L
+    val n = sorted.length
+    val cum = new Array[Long](n)
+    var c = 0L
     var k = 0
-    while (k < sorted.length) {
-      cum += sorted(k)._2
-      if (cum >= target) return sorted(k)._1
-      k += 1
+    while (k < n) { c += sorted(k)._2; cum(k) = c; k += 1 }
+    val total = c
+    qs.map { q =>
+      val target = math.max(1L, math.ceil(q * total).toLong)
+      // first index with cum(idx) >= target (cum is strictly increasing)
+      var lo = 0
+      var hi = n - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) >= target) hi = mid else lo = mid + 1
+      }
+      sorted(lo)._1
     }
-    sorted.last._1
   }
 
   def serialize(): Array[Byte] = {

@@ -73,7 +73,7 @@ object ParallelWindow {
       .deserialize(aggRow.getAs[Array[Byte]](0))
     val n = aggRow.getLong(1)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val cuts = probs.map(st.quantile).toArray
+    val cuts = st.quantiles(probs).toArray // one sort for all cuts
 
     // 2. deterministic bucket id: #cuts strictly below the key.
     val bucketExpr = cuts.foldLeft(lit(0)) { (acc, c) =>

@@ -50,6 +50,40 @@ object Composite {
         Tables.load(s, dir, "orders"), 32, "o_orderkey"))
   }
 
+  /** 2-d bit-interleave of two [[zorderNormalized]] 10-bit keys — the
+    * Z-value every real `OPTIMIZE ... ZORDER BY` computes (shared by
+    * c29's exact-ntile layout and c29b's sketch-cut layout). */
+  private def zval(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 10).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(1), 2 * i + 1) +
+        shiftleft(shiftrightunsigned(b, i).bitwiseAND(1), 2 * i)
+    }.reduce(_ + _)
+
+  /** lineitem keys range-normalized to a common 10-bit space from column
+    * min/max stats (one tiny scalar agg — production reads these from
+    * file footers): the step every real Z-ORDER implementation performs,
+    * and load-bearing — raw interleave lets the wider key's high bits
+    * dominate and degenerates to a 1-d sort (see c29's rationale). */
+  private def zorderNormalized(s: SparkSession, dir: String): DataFrame = {
+    val l0 = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val stats = l0.agg(min(col("l_partkey")).as("pkmn"),
+      max(col("l_partkey")).as("pkmx"),
+      min(col("l_suppkey")).as("skmn"),
+      max(col("l_suppkey")).as("skmx"))
+    l0.crossJoin(broadcast(stats))
+      .withColumn("npk", expr(
+        "CASE WHEN pkmx = pkmn THEN CAST(0 AS BIGINT)" +
+          " ELSE ((l_partkey - pkmn) * 1023) div (pkmx - pkmn) END"))
+      .withColumn("nsk", expr(
+        "CASE WHEN skmx = skmn THEN CAST(0 AS BIGINT)" +
+          " ELSE ((l_suppkey - skmn) * 1023) div (skmx - skmn) END"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("npk"), col("nsk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_channel_rollup" -> { (s, dir) =>
       // Channel union -> dimension joins -> ROLLUP report (q5 shape).
@@ -903,31 +937,7 @@ object Composite {
       // in production this assignment IS the repartitionByRange write;
       // the audit aggregate is 64 rows. The span-product column makes
       // the comparison one ORDER BY away.
-      val nBits = 10
-      def zval(a: org.apache.spark.sql.Column,
-               b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (0 until nBits).map { i =>
-          shiftleft(shiftrightunsigned(a, i).bitwiseAND(1), 2 * i + 1) +
-            shiftleft(shiftrightunsigned(b, i).bitwiseAND(1), 2 * i)
-        }.reduce(_ + _)
-      val l0 = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"))
-      // Column stats (one tiny scalar agg — production reads these from
-      // file footers) drive the 10-bit range normalization of each key.
-      val stats = l0.agg(min(col("l_partkey")).as("pkmn"),
-        max(col("l_partkey")).as("pkmx"),
-        min(col("l_suppkey")).as("skmn"),
-        max(col("l_suppkey")).as("skmx"))
-      val l = l0.crossJoin(broadcast(stats))
-        .withColumn("npk", expr(
-          "CASE WHEN pkmx = pkmn THEN CAST(0 AS BIGINT)" +
-            " ELSE ((l_partkey - pkmn) * 1023) div (pkmx - pkmn) END"))
-        .withColumn("nsk", expr(
-          "CASE WHEN skmx = skmn THEN CAST(0 AS BIGINT)" +
-            " ELSE ((l_suppkey - skmn) * 1023) div (skmx - skmn) END"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"), col("npk"), col("nsk"))
+      val l = zorderNormalized(s, dir)
       val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
       val uFol = org.apache.spark.sql.expressions.Window.unboundedFollowing
       def leg(name: String, key: org.apache.spark.sql.Column,
@@ -972,6 +982,62 @@ object Composite {
       }
       leg("pk_sort", col("l_partkey"), 8)
         .unionByName(leg("zorder", zval(col("npk"), col("nsk")), 13))
+        .select(col("layout"), col("f"), col("n_rows"),
+          col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+          col("span_product"))
+        .orderBy(col("layout"), col("f"))
+    },
+
+    "c29b_zorder_sketch_cuts" -> { (s, dir) =>
+      // c29's layout audit with the file-cut boundaries derived from a
+      // KLL SKETCH instead of the exact two-grain global row number —
+      // the reference's own runtime-stats mechanism (a per-partition
+      // sketch merged into range cuts,
+      // `core/src/execution_plans/runtime_stats.rs:877`; our
+      // ParallelWindow already feeds its range cuts the same way).
+      // Shape: per leg ONE kll_sketch aggregation (mergeable, one input
+      // pass, driver holds <= capacity doubles — the footprint class of
+      // RangePartitioner's sample), then assignment is a pure PROJECTION
+      // against the 31 driver-literal cuts — no window of ANY kind, no
+      // prefix-sum machinery; at 100 TB this is strictly cheaper than
+      // c29's exact leg and is what a real repartitionByRange write
+      // does. The trade the audit makes gradeable: a sketch cut cannot
+      // split a run of equal keys, so repeated keys skew file sizes
+      // (n_rows) where exact ntile stays balanced — span tightness vs
+      // file balance, side by side with c29's rows.
+      // Determinism: capacity 2^20 exceeds the graded-SF row counts, so
+      // the sketch never compacts (rankErr == 0) and every cut is the
+      // EXACT ceil(q*N)-th smallest value — order-independent and
+      // DuckDB-replicable; beyond ~1M rows (sf1+, bench-only) cuts are
+      // approximate within the KLL rank bound. 1023-normalized keys and
+      // 20-bit z-values are exactly representable as doubles, so the
+      // sketch's double domain loses nothing.
+      val l = zorderNormalized(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def leg(name: String, key: org.apache.spark.sql.Column): DataFrame = {
+        val keyed = l.withColumn("k", key)
+        val skBytes = keyed
+          .agg(expr(s"kll_sketch(k, ${1 << 20})").as("__sk"))
+          .head().getAs[Array[Byte]](0)
+        val st = graft.functions.KllState.deserialize(skBytes)
+        val cuts = st.quantiles((1 until 32).map(_ / 32.0))
+        val f = cuts.foldLeft(lit(1)) { (acc, c) =>
+          acc + when(col("k") > c, 1).otherwise(0)
+        }.cast("long")
+        keyed.withColumn("f", f)
+          .groupBy(col("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("pk_min"),
+            max(col("l_partkey")).as("pk_max"),
+            min(col("l_suppkey")).as("sk_min"),
+            max(col("l_suppkey")).as("sk_max"))
+          .withColumn("layout", lit(name))
+          .withColumn("span_product",
+            (col("pk_max") - col("pk_min")) *
+              (col("sk_max") - col("sk_min")))
+      }
+      leg("pk_sort", col("l_partkey"))
+        .unionByName(leg("zorder", zval(col("npk"), col("nsk"))))
         .select(col("layout"), col("f"), col("n_rows"),
           col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
           col("span_product"))
@@ -1729,6 +1795,61 @@ object Composite {
            |    COUNT(*) OVER () // 32 AS base,
            |    COUNT(*) OVER () % 32 AS rem
            |   FROM zl))
+           | GROUP BY f""".stripMargin
+      s"""WITH stats AS (
+         | SELECT MIN(l_partkey) AS pkmn, MAX(l_partkey) AS pkmx,
+         |  MIN(l_suppkey) AS skmn, MAX(l_suppkey) AS skmx
+         | FROM lineitem),
+         |nl AS (
+         | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CASE WHEN pkmx = pkmn THEN CAST(0 AS BIGINT)
+         |   ELSE ((l_partkey - pkmn) * 1023) // (pkmx - pkmn) END AS npk,
+         |  CASE WHEN skmx = skmn THEN CAST(0 AS BIGINT)
+         |   ELSE ((l_suppkey - skmn) * 1023) // (skmx - skmn) END AS nsk
+         | FROM lineitem CROSS JOIN stats),
+         |zl AS (
+         | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ($z) AS zk
+         | FROM nl)
+         |${leg("pk_sort", "l_partkey")}
+         |UNION ALL
+         |${leg("zorder", "zk")}
+         |ORDER BY layout, f""".stripMargin
+    },
+
+    "c29b_zorder_sketch_cuts" -> {
+      val z = (0 until 10).map(i =>
+        s"(((npk >> $i) & 1) << ${2 * i + 1})" +
+          s" + (((nsk >> $i) & 1) << ${2 * i})")
+        .mkString("\n    + ")
+      // Twin of the EXACT-regime sketch: below capacity the KLL cut at
+      // q = i/32 is the smallest value whose rank reaches
+      // max(1, ceil(q*N)) — replicated here with a rank scan; the
+      // assignment (1 + number of cuts strictly below the key) is the
+      // same fold the Spark side projects.
+      def leg(name: String, key: String): String =
+        s"""SELECT '$name' AS layout, f, COUNT(*) AS n_rows,
+           |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+           |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,
+           |  (MAX(l_partkey) - MIN(l_partkey))
+           |    * (MAX(l_suppkey) - MIN(l_suppkey)) AS span_product
+           | FROM (
+           |  SELECT z.l_partkey, z.l_suppkey,
+           |   CAST(1 + COUNT(c.c) AS BIGINT) AS f
+           |  FROM zl z
+           |  LEFT JOIN (
+           |   SELECT MIN(r.$key) AS c
+           |   FROM (SELECT range AS i FROM range(1, 32)) i
+           |   JOIN (SELECT $key,
+           |          row_number() OVER (ORDER BY $key) AS rn,
+           |          COUNT(*) OVER () AS n
+           |         FROM zl) r
+           |     ON r.rn >= GREATEST(1,
+           |          CAST(CEIL(i.i / 32.0 * r.n) AS BIGINT))
+           |   GROUP BY i.i) c
+           |    ON z.$key > c.c
+           |  GROUP BY z.l_orderkey, z.l_linenumber,
+           |           z.l_partkey, z.l_suppkey)
            | GROUP BY f""".stripMargin
       s"""WITH stats AS (
          | SELECT MIN(l_partkey) AS pkmn, MAX(l_partkey) AS pkmx,

@@ -273,6 +273,13 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // row-grain Window over lineitem would show here; the stats
     // aggregate broadcasts into the normalization projection.
     "c29_zorder_layout",
+    // z-order audit, sketch-cut variant: assignment must be a pure
+    // PROJECTION against 31 driver-literal cuts — NO Window operator
+    // anywhere in the plan (the exact leg's two-grain windows showing
+    // up here would mean the sketch path regressed to the prefix-sum
+    // machinery it exists to replace); the audit is one hash aggregate
+    // per leg over the persisted normalization.
+    "c29b_zorder_sketch_cuts",
     // PageRank authority: each of the 3 rounds is ONE edge⋈rank
     // equi-join + partial-aggregated groupBy(dst); the edge list reads
     // off the d06-style checkpoint barrier (a re-mined pair join per

@@ -77,6 +77,22 @@ class QuantileSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batch quantiles() equals per-call quantile() in both regimes") {
+    val rnd = new scala.util.Random(7)
+    val qs = (1 until 32).map(_ / 32.0) ++ Seq(0.0, 1.0, 0.999)
+    // exact regime (no compaction) and compacted regime
+    for (cap <- Seq(1 << 16, 64)) {
+      val st = new KllState(cap)
+      (0 until 5000).foreach(_ => st.insert(rnd.nextInt(1000).toDouble))
+      val batch = st.quantiles(qs)
+      qs.zip(batch).foreach { case (q, b) =>
+        assert(st.quantile(q) == b, s"cap=$cap q=$q")
+      }
+    }
+    // empty sketch: NaN for every q, same as quantile()
+    assert(new KllState(64).quantiles(Seq(0.5)).head.isNaN)
+  }
+
   test("distributed partial/merge across a shuffle stays exact under capacity") {
     val df = spark.range(0, 5000, 1, 8) // 8 partitions -> 8 partial sketches
       .select((col("id") % 100).as("g"), col("id").cast("double").as("v"))
