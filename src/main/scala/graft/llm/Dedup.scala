@@ -1739,15 +1739,14 @@ object Dedup {
     },
 
     "d31b_blocked_entity" -> { (s, dir) =>
-      // BLOCKED fuzzy entity resolution — d31's production shape: the
-      // q-gram prefix filter (ED-Join, Xiao et al. 2008) generates
-      // candidates BEFORE any distance evaluation, so work is
-      // ∝ Σ_gram |probes(g)|·|cands(g)|, never |Q|×|C|. Soundness (no
-      // recall loss at τ): an edit destroys ≤ q distinct q-grams, so
-      // ed(x,y) ≤ τ ⟹ |D(x)∩D(y)| ≥ max(|D(x)|,|D(y)|) − q·τ, and two
-      // sets with that overlap MUST collide within their (q·τ+1)-
-      // prefixes under any shared total order — rarest-first makes the
-      // colliding gram as selective as the data allows
+      // BLOCKED fuzzy entity resolution — d31's production shape:
+      // PassJoin segment blocking (Li/Deng/Feng 2011, see
+      // `blockedNearest`) generates candidates BEFORE any distance
+      // evaluation, so work is ∝ Σ_key |probes|·|cands|, never
+      // |Q|×|C|. Soundness (no recall loss at τ): τ edits cannot
+      // touch all τ+1 candidate segments, so a true pair shares one
+      // segment verbatim within a ±τ position window and MUST collide
+      // on its (length, slot, segment) key
       // (`DedupPropSpec` pins d31b == brute-force τ-argmin, and
       // d31b ⊇ d31's argmin at dist ≤ τ on d31's own slice). The
       // record-linkage benchmark construction: the registry is every
@@ -1758,7 +1757,7 @@ object Dedup {
       // copies — one char deterministically deleted at position
       // (doc_id % 20) + 2 — so each probe has a planted dist-1 source
       // the blocker must recover among the full registry. Length
-      // filter |len Δ| ≤ τ prunes inside the join condition;
+      // compatibility |len Δ| ≤ τ rides the key's L component;
       // Levenshtein runs on blocked pairs only; argmin by (dist, ck).
       val base = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) >= 24)
@@ -1771,7 +1770,7 @@ object Dedup {
           expr("concat(substring(en, 1, p - 1), substring(en, p + 1, 30))")
             .as("en"),
           lit(true).as("is_probe"))
-      blockedNearest(reg.unionByName(probes), 3, 2)
+      blockedNearest(reg.unionByName(probes), 2)
         .select((col("qk") - 1000000000L).as("doc_id"),
           col("mk").as("match_id"), col("dist"))
         .orderBy(col("doc_id"))
@@ -2530,74 +2529,63 @@ object Dedup {
     * per probe that has a neighbor within edit distance τ:
     * (qk, mk, dist), mk = the (dist, ck)-argmin candidate.
     *
-    * Round-13 rebuild — the sf10 leg measured the previous shape at
-    * 12.6× for 10× data, from two superlinear terms (entity-grain
-    * gram blocks growing ∝ N on a duplicate-heavy corpus, and a
-    * single `""` marker key pairing ALL low-gram-diversity entities
-    * all-pairs). Three recall-lossless changes:
+    * Round-14 rebuild — the round-13 ED-Join/FastSS gram-prefix shape
+    * measured 73× for 10× data at the sf10 leg: on a corpus drawn from
+    * a small template vocabulary even each string's RAREST q-grams are
+    * corpus-hot (top block 27,000 strings at sf10), so gram-block
+    * populations grow ∝ distinct strings and the candidate join
+    * materialized 2.30·10⁹ key-collision pairs. Measured against the
+    * same corpus, exact SEGMENT keys cut that to 8.0·10⁷ (29×, top
+    * block 11,621) — so the blocking layer is now PassJoin
+    * (partition-based similarity join; Li, Deng, Feng 2011):
     *
-    * 1. STRING-GRAIN CANONICALIZATION. All blocking, candidate
-    *    generation and Levenshtein run over DISTINCT entity strings;
-    *    entity keys re-attach at the end. Edit distance is a function
-    *    of the strings alone, so the (dist, ck)-argmin factors: per
-    *    candidate string the best representative is its min entity
-    *    key (min2 covers the one case where that key is the probe
-    *    itself — a probe holding the smallest key in its own string
-    *    group). On a duplicate-heavy corpus (this one: 24-char
-    *    prefixes drawn from a ~31-token vocabulary, so distinct
-    *    strings SATURATE while N grows) pair work scales with
-    *    distinct², not N² — canonicalize-then-match, the industrial
-    *    record-linkage shape.
-    * 2. ED-Join prefix filter (unchanged core): each string's distinct
-    *    q-grams get a global rarest-first total order (document
-    *    frequency asc, gram asc — both engines agree exactly); only
-    *    the first q·τ+1 act as blocking keys. A pair within τ shares
-    *    ≥ max(|D(x)|,|D(y)|) − q·τ distinct grams, so it MUST collide
-    *    inside the prefixes. NEW: the POSITIONAL filter — for shared
-    *    total orders the pair's FIRST shared gram (ranks rq, rc in
-    *    the two prefix orders) bounds the achievable overlap at
-    *    1 + min(|D(x)|−rq, |D(y)|−rc), so a collision row failing
-    *    1 + min(...) ≥ max(|D(x)|,|D(y)|) − q·τ cannot be the first
-    *    shared gram of a true pair and is dropped pre-shuffle; the
-    *    true pair always survives via its first-match row (whose rank
-    *    is ≤ q·τ+1 on both sides, since all other shared grams rank
-    *    after it consistently under ONE global order).
-    * 3. SHORT-STRING REGIME: when a string has ≤ q·τ distinct grams
-    *    the overlap bound is vacuous (τ edits can destroy every gram
-    *    — e.g. ed("bddb","bdcdbc") = 2 with zero shared 3-grams).
-    *    The old all-pairs marker key is replaced by the τ-DELETION
-    *    NEIGHBORHOOD (FastSS, Bocek et al. 2007): each short string
-    *    emits every string reachable by deleting ≤ τ characters; if
-    *    ed(x,y) ≤ τ an alignment matches ≥ max(|x|,|y|) − τ character
-    *    pairs, and deleting each side's unmatched characters (≤ τ
-    *    each) yields the SAME subsequence — so true pairs share a
-    *    variant key by construction, and unrelated short strings no
-    *    longer meet at all. Keys are namespaced ("d"+variant vs
-    *    "g"+gram) so variants can never collide with real grams.
-    *    short×long still rides the gram path (the long side's ≥
-    *    q·τ+1 distinct grams make the overlap bound ≥ 1, and a short
-    *    string's prefix is its whole gram set).
+    * 1. STRING-GRAIN CANONICALIZATION (unchanged). All blocking,
+    *    candidate generation and Levenshtein run over DISTINCT entity
+    *    strings; entity keys re-attach at the end. Edit distance is a
+    *    function of the strings alone, so the (dist, ck)-argmin
+    *    factors: per candidate string the best representative is its
+    *    min entity key (min2 covers the one case where that key is
+    *    the probe itself). On a duplicate-heavy corpus pair work
+    *    scales with distinct², not N².
+    * 2. SEGMENT BLOCKING (PassJoin). Every candidate string of length
+    *    L is split into k = τ+1 contiguous segments (even partition:
+    *    the first k − L%k segments carry ⌊L/k⌋ chars, the rest one
+    *    more). τ edits cannot touch all τ+1 segments, so for any pair
+    *    within τ at least one candidate segment survives VERBATIM in
+    *    the probe, shifted by at most the net indel count before it
+    *    (≤ τ). Blocking key = (L, slot, segment text): the candidate
+    *    emits its k segments; the probe emits, for each candidate
+    *    length L ∈ [m−τ, m+τ] and slot, every substring of the
+    *    slot's segment length starting within ±τ of the slot's start
+    *    — O(k·(2τ+1)²) keys per distinct probe string, constant in
+    *    corpus size. The L in the key subsumes the length filter. An
+    *    exact multi-char equality key is selective even where every
+    *    q-gram is common — template corpora, natural-language names —
+    *    and a string shorter than k gets zero-length segments whose
+    *    empty keys degrade gracefully to length-blocking (still
+    *    sound; brute force within the length class is what a
+    *    sub-(τ+1)-char corpus costs anyway). No gram ranking, no
+    *    document-frequency pass, no per-string window — candidate
+    *    generation is two pure projections and one equi-join.
     *
     * `DedupPropSpec` pins the whole scheme == brute force on
-    * adversarial low-diversity corpora (which generate duplicate
-    * strings, short strings, and probe-probe matches), and d31b ==
-    * d31's argmin on d31's own slice. Precondition: |en| ≥ q.
+    * adversarial low-diversity corpora (duplicate strings, strings
+    * down to 1 char, probe-probe matches), and d31b == d31's argmin
+    * on d31's own slice.
     *
     * 100 TB shape: two linear map-side-combined groupBys canonicalize;
-    * the prefix table is ≤ q·τ+1 rows per DISTINCT string (+ a
-    * bounded variant fan-out on short strings only); the candidate
-    * join is an EQUI-join on the namespaced key with the length and
-    * positional filters pruning inside the join; the pair-distinct
-    * shuffle carries two short strings per row at distinct-string
-    * grain; exact Levenshtein runs once per distinct blocked STRING
-    * pair, not per entity pair; the final argmin is a struct-MIN
-    * aggregate (map-side partials), never a window sort over the
-    * candidate stream. */
-  private[graft] def blockedNearest(ents: DataFrame, q: Int,
+    * key generation is a projection (no shuffle, no window); the
+    * candidate join is an EQUI-join on (L, slot, seg) whose probe
+    * side is ∝ distinct probe strings and whose build side is
+    * k rows per distinct corpus string; the pair-distinct shuffle
+    * carries two short strings per row at distinct-string grain;
+    * exact Levenshtein runs once per distinct blocked STRING pair;
+    * the final argmin is a struct-MIN aggregate (map-side partials),
+    * never a window sort over the candidate stream. */
+  private[graft] def blockedNearest(ents: DataFrame,
                                     tau: Int): DataFrame = {
-    require(tau <= 2,
-      "deletion-neighborhood short-string blocking is generated for tau <= 2")
-    val pfxLen = q * tau + 1
+    require(tau >= 0, "tau must be non-negative")
+    val k = tau + 1
     // ---- 1. canonicalize to distinct strings ----------------------
     // min1/min2 = two smallest entity keys per string (min2 only
     // matters when the probe itself holds min1); isq = some probe
@@ -2614,62 +2602,53 @@ object Dedup {
       .select(col("en").as("sn"), col("min1"), col("min2"),
         (col("isqi") === 1).as("isq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ---- 2. gram prefixes + positional metadata at string grain ---
-    val grams = dstr.select(col("sn"), col("isq"),
-      explode(array_distinct(expr(
-        s"transform(sequence(1, length(sn) - ${q - 1}), " +
-          s"i -> substring(sn, i, $q))"))).as("g"))
-    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sn")).orderBy(col("gdf"), col("g"))
-    val ranked = grams.join(dfreq, "g")
-      .withColumn("rn", row_number().over(wp))
-      .withColumn("nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sn"))))
-    // ---- 3. deletion-neighborhood keys for the short regime -------
-    // Every string reachable from sn by deleting 0..tau characters
-    // (substring is 1-based; len = length(sn) ≥ any remainder, i.e.
-    // "to end of string" — a fixed literal here would truncate the
-    // remainder for long-but-low-gram-diversity strings and silently
-    // lose recall, round-13 advice).
-    val del1 = "transform(sequence(1, length(sn)), i -> " +
-      "concat(substring(sn, 1, i-1), substring(sn, i+1, length(sn))))"
-    val del2 = "flatten(transform(sequence(1, length(sn) - 1), i -> " +
-      "transform(sequence(i + 1, length(sn)), j -> " +
-      "concat(substring(sn, 1, i-1), substring(sn, i+1, j-i-1), " +
-      "substring(sn, j+1, length(sn))))))"
-    val variants = tau match {
-      case 0 => "array(sn)"
-      case 1 => s"concat(array(sn), $del1)"
-      case _ => s"concat(array(sn), $del1, $del2)"
-    }
-    val shortRows = ranked
-      .filter(col("rn") === 1 && col("nd") <= q * tau)
-      .select(col("sn"), col("isq"),
-        explode(array_distinct(expr(variants))).as("v"))
-      .select(col("sn"), col("isq"), concat(lit("d"), col("v")).as("g"),
-        lit(0).as("rn"), lit(0).cast("long").as("nd"))
-    val pref = ranked.filter(col("rn") <= pfxLen)
-      .select(col("sn"), col("isq"), concat(lit("g"), col("g")).as("g"),
-        col("rn"), col("nd"))
-      .unionByName(shortRows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ---- 4. blocked candidate pairs (string grain) -----------------
+    // ---- 2. PassJoin segment keys ---------------------------------
+    // Even-partition arithmetic for a string of length L, slot i in
+    // 1..k: len_i = L div k + (1 if i > k - L%k), start_i =
+    // (i-1)*(L div k) + max(0, i-1-(k - L%k)) + 1. Shared by both
+    // sides; the probe side re-derives it per enumerated L.
+    def segLen(l: String, i: String) =
+      s"($l div $k) + if($i > $k - ($l % $k), 1, 0)"
+    def segStart(l: String, i: String) =
+      s"($i - 1) * ($l div $k) + greatest(0, $i - 1 - ($k - ($l % $k))) + 1"
+    val cseg = dstr.select(col("sn"),
+      explode(expr(
+        s"""transform(sequence(1, $k), i -> struct(
+           |  i AS slot,
+           |  substring(sn, ${segStart("length(sn)", "i")},
+           |    ${segLen("length(sn)", "i")}) AS seg))""".stripMargin))
+        .as("x"))
+      .select(col("sn").as("cn"), length(col("sn")).as("sl"),
+        col("x.slot").as("slot"), col("x.seg").as("seg"))
+    // Probe keys: (L, slot, p) triples first (pure integer fan-out,
+    // bounded by k·(2τ+1)² per string), then the substring + validity
+    // filter in row land — sequence() would flip descending on an
+    // empty window, so the p range is emitted unguarded and clipped
+    // by the filter instead.
+    val pk = dstr.filter(col("isq")).select(col("sn"),
+      explode(expr(
+        s"""flatten(transform(
+           |  sequence(greatest(0, length(sn) - $tau), length(sn) + $tau),
+           |  L -> flatten(transform(sequence(1, $k), i ->
+           |    transform(
+           |      sequence(${segStart("L", "i")} - $tau,
+           |               ${segStart("L", "i")} + $tau),
+           |      p -> struct(L AS sl, i AS slot, p AS p,
+           |        ${segLen("L", "i")} AS len))))))""".stripMargin))
+        .as("x"))
+      .select(col("sn"), col("x.sl").as("sl"), col("x.slot").as("slot"),
+        col("x.p").as("p"), col("x.len").as("len"))
+      .filter(col("p") >= 1 &&
+        col("p") - 1 + col("len") <= length(col("sn")))
+      .select(col("sn").as("qn"), col("sl"), col("slot"),
+        expr("substring(qn, p, len)").as("seg"))
+      .distinct()
+    // ---- 3. blocked candidate pairs (string grain) -----------------
     // qn == cn pairs stay IN (string-grain "self" = a different entity
     // with the same string); per-entity self-exclusion happens at the
-    // representative step below. rn = 0 marks deletion-key rows, which
-    // are complete by construction and skip the positional filter.
-    val qp = pref.filter(col("isq"))
-      .select(col("sn").as("qn"), col("g"),
-        col("rn").as("rnq"), col("nd").as("ndq"))
-    val cp = pref.select(col("sn").as("cn"), col("g").as("cg"),
-      col("rn").as("rnc"), col("nd").as("ndc"))
-    val cand = qp.join(cp, col("g") === col("cg") &&
-        abs(length(col("qn")) - length(col("cn"))) <= tau &&
-        (col("rnq") === 0 ||
-          lit(1) + least(col("ndq") - col("rnq"),
-            col("ndc") - col("rnc")) >=
-            greatest(col("ndq"), col("ndc")) - q * tau))
+    // representative step below. |len(qn) - len(cn)| <= tau is
+    // enforced by the L component of the key.
+    val cand = pk.join(cseg, Seq("sl", "slot", "seg"))
       .select(col("qn"), col("cn")).distinct()
     val verified = cand
       .withColumn("dist", levenshtein(col("qn"), col("cn")).cast("long"))

@@ -976,9 +976,15 @@ object Composite {
             min(col("l_suppkey")).as("sk_min"),
             max(col("l_suppkey")).as("sk_max"))
           .withColumn("layout", lit(name))
-          .withColumn("span_product",
-            (col("pk_max") - col("pk_min")) *
-              (col("sk_max") - col("sk_min")))
+          // Dx rule: exact DECIMAL product (≙ HUGEINT), one closing
+          // double cast. At the sf10 leg a file's span on each key
+          // reaches ~1e11, so a long product overflows 2^63 and ANSI
+          // mode throws — the bounding-box product must be
+          // overflow-proof at any scale; both engines round the same
+          // exact integer to the same double.
+          .withColumn("span_product", expr(
+            "CAST(CAST(pk_max - pk_min AS DECIMAL(19,0))" +
+              " * CAST(sk_max - sk_min AS DECIMAL(19,0)) AS DOUBLE)"))
       }
       leg("pk_sort", col("l_partkey"), 8)
         .unionByName(leg("zorder", zval(col("npk"), col("nsk")), 13))
@@ -1032,9 +1038,14 @@ object Composite {
             min(col("l_suppkey")).as("sk_min"),
             max(col("l_suppkey")).as("sk_max"))
           .withColumn("layout", lit(name))
-          .withColumn("span_product",
-            (col("pk_max") - col("pk_min")) *
-              (col("sk_max") - col("sk_min")))
+          // Dx rule as in c29 (exact DECIMAL product, double close).
+          // Sketch cuts cannot split an equal-key run, so a skewed
+          // file can span the FULL key range — the long product
+          // overflowed here first (sf10, ANSI ARITHMETIC_OVERFLOW)
+          // before c29's balanced files did.
+          .withColumn("span_product", expr(
+            "CAST(CAST(pk_max - pk_min AS DECIMAL(19,0))" +
+              " * CAST(sk_max - sk_min AS DECIMAL(19,0)) AS DOUBLE)"))
       }
       leg("pk_sort", col("l_partkey"))
         .unionByName(leg("zorder", zval(col("npk"), col("nsk"))))
@@ -1780,8 +1791,9 @@ object Composite {
         s"""SELECT '$name' AS layout, f, COUNT(*) AS n_rows,
            |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
            |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,
-           |  (MAX(l_partkey) - MIN(l_partkey))
-           |    * (MAX(l_suppkey) - MIN(l_suppkey)) AS span_product
+           |  CAST(CAST(MAX(l_partkey) - MIN(l_partkey) AS HUGEINT)
+           |    * (MAX(l_suppkey) - MIN(l_suppkey)) AS DOUBLE)
+           |   AS span_product
            | FROM (
            |  SELECT l_partkey, l_suppkey,
            |   CAST(CASE WHEN rn <= rem * (base + 1)
@@ -1831,8 +1843,9 @@ object Composite {
         s"""SELECT '$name' AS layout, f, COUNT(*) AS n_rows,
            |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
            |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,
-           |  (MAX(l_partkey) - MIN(l_partkey))
-           |    * (MAX(l_suppkey) - MIN(l_suppkey)) AS span_product
+           |  CAST(CAST(MAX(l_partkey) - MIN(l_partkey) AS HUGEINT)
+           |    * (MAX(l_suppkey) - MIN(l_suppkey)) AS DOUBLE)
+           |   AS span_product
            | FROM (
            |  SELECT z.l_partkey, z.l_suppkey,
            |   CAST(1 + COUNT(c.c) AS BIGINT) AS f

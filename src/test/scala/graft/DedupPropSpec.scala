@@ -908,15 +908,16 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet
 
   test("d31b blocked nearest equals brute-force tau-argmin on arbitrary " +
-    "entity corpora (ED-Join prefix filter loses no recall)") {
+    "entity corpora (PassJoin segment blocking loses no recall)") {
     val s = spark
     import s.implicits._
     // Tiny alphabet + short strings maximize near-collisions — the
-    // regime where a recall bug (a true tau-pair whose prefixes miss
-    // each other) would actually surface. Length >= q = 3 per the
-    // documented precondition.
+    // regime where a recall bug (a true tau-pair whose segment keys
+    // miss each other) would actually surface. Lengths from 1 char
+    // exercise the zero-length-segment degenerate regime (strings
+    // shorter than tau+1 block by length class alone).
     val genEnt = for {
-      len <- Gen.choose(3, 10)
+      len <- Gen.choose(1, 10)
       cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd'))
     } yield cs.mkString
     val genCase = for {
@@ -926,9 +927,9 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong + 1L, nm, i % 3 == 0)
     }
     val prop = Prop.forAll(genCase) { ents =>
-      spark.catalog.clearCache() // blockedNearest persists its prefix table
+      spark.catalog.clearCache() // blockedNearest persists its string table
       val got = Dedup.blockedNearest(
-          ents.toDF("ek", "en", "is_probe"), 3, 2)
+          ents.toDF("ek", "en", "is_probe"), 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet
       val want = bruteNearest(ents, 2)
@@ -951,7 +952,7 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(org.apache.spark.sql.functions.col("c_custkey") < 500)
       .selectExpr("c_custkey AS ek", "c_name AS en",
         "c_custkey < 30 AS is_probe")
-    val blocked = Dedup.blockedNearest(ents, 3, 2).collect()
+    val blocked = Dedup.blockedNearest(ents, 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // Any candidate at dist <= tau implies the global argmin is at
     // dist <= tau and the two argmins coincide — so equality, not
