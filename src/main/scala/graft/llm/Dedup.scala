@@ -503,6 +503,64 @@ object Dedup {
     }
   }
 
+  /** LSM-style segment COMPACTION — folds k index segments (the
+    * [[ensureIngestIndexWhere]] artifacts d23's delta chain appends)
+    * into ONE artifact with d21's single-segment contract. The fold is
+    * ARTIFACT-to-ARTIFACT: `documents` is never read, nothing is
+    * re-tokenized or re-minhashed — bands/tsets union, hashes union
+    * distinct, and the bucket-grain `pops` tables sum additively into
+    * the union population, which is then denormalized back onto each
+    * band row. So the compacted artifact's `pop` column IS the union
+    * population by construction, and probes against it re-earn the
+    * single-segment fast path in [[cappedIndexBands]] (pushed
+    * pop<=cap parquet filter, no per-probe pops fold at all).
+    * Cost ∝ index rows: at 100 TB this is the minutes-scale rewrite
+    * of a few int/hash columns, not the hours-scale re-hash of the
+    * corpus text a fingerprint-invalidating rebuild ([[
+    * ensureIngestIndex]]) would pay — the LSM compaction discipline,
+    * and the bound on d23's one growth axis (k FileScans + a k-way
+    * pops fold per probe as appends accumulate). ≙ the reference's
+    * consumers-union-materialized-partitions design
+    * (core/src/execution_plans/shuffle_reader.rs:100) — compaction is
+    * what keeps that union's k bounded. */
+  private[graft] def compactIndexSegments(s: SparkSession, dir: String,
+                                          tag: String,
+                                          segs: Seq[String]): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_ingest_index/${IndexStore.fingerprint(src)}-$tag-v2")
+    IndexStore.ensureBuilt(base) { tmp =>
+      val popsPath = new java.io.File(tmp, "pops").getPath
+      segs.map(d => s.read.parquet(s"$d/pops").toDF("band", "mh", "pop"))
+        .reduce(_ unionByName _)
+        .groupBy(col("band"), col("mh"))
+        .agg(sum(col("pop")).as("pop"))
+        .write.mode("overwrite").parquet(popsPath)
+      // Join the UNION bands to the just-written fold (bucket-grain,
+      // one cheap re-read) rather than recomputing it — per-segment
+      // `pop` values are dropped; the compacted rows carry the union
+      // population, exactly what a fresh single-segment build stores.
+      segs.map(d => s.read.parquet(s"$d/bands")
+          .select(col("db"), col("band"), col("mh")))
+        .reduce(_ unionByName _)
+        .join(s.read.parquet(popsPath), Seq("band", "mh"))
+        .select(col("db"), col("band"), col("mh"), col("pop"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "bands").getPath)
+      segs.map(d => s.read.parquet(s"$d/tsets")).reduce(_ unionByName _)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "tsets").getPath)
+      // hashes are per-segment DISTINCT but can repeat ACROSS segments
+      // (the same text on both sides of a slice boundary); the
+      // compacted artifact restores the corpus-wide distinct contract.
+      segs.map(d => s.read.parquet(s"$d/hashes")).reduce(_ unionByName _)
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "hashes").getPath)
+    }
+  }
+
   /** Corpus-side CAPPED band table off index artifacts (round-13,
     * verdict #1): the probe-time replacement for re-aggregating corpus
     * band rows. Each segment's bands carry their build-time `pop`, so
@@ -605,11 +663,20 @@ object Dedup {
         array_distinct(col("__th")).as("tset"),
         sigArray(col("__th")).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds bands + re-attach
+    // EXISTS-shaped flag (round-14): the oracle's exact_dup is an
+    // EXISTS, but a bare left_outer is only EXISTS-equivalent when
+    // `hashes` is globally distinct. d21's monolithic artifact is;
+    // d23's probe unions per-segment-distinct sets, so one duplicate
+    // text straddling the base/delta slice boundary would fan the
+    // batch row out 2×. The batch-grain max() collapses any
+    // multiplicity back to the EXISTS semantics — O(|batch|) rows,
+    // map-side partial, regardless of corpus-side duplication.
     val exact = Tables.load(s, dir, "documents").filter(isNew)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
       .join(hashes, col("ch") === col("cch"), "left_outer")
-      .select(col("doc_id"),
-        when(col("cch").isNotNull, 1L).otherwise(0L).as("exact_dup"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("cch").isNotNull, 1L).otherwise(0L))
+        .as("exact_dup"))
     val bb = bsig.select(col("doc_id").as("da"),
       posexplode_outer(col("sig")).as(Seq("band", "mh")))
     // Corpus-side bucket cap (BandCap note above): the pre-capped band
@@ -1292,6 +1359,35 @@ object Dedup {
         seg("hashes", Seq("cch")),
         cappedIndexBands(s, Seq(base, delta)),
         seg("tsets", Seq("db", "tb")))
+    },
+
+    "d43_index_compaction" -> { (s, dir) =>
+      // SEGMENT COMPACTION — the maintenance step d23's design comment
+      // promises ("fold base+delta into one segment and nothing
+      // changes"), now an actual operation: [[compactIndexSegments]]
+      // rewrites the base+delta artifacts into ONE segment as a pure
+      // artifact-to-artifact fold (unions + an additive pops fold —
+      // `documents` is never read, nothing is re-hashed), and today's
+      // batch probes the compacted index. Semantics are EXACTLY
+      // d21/d23's (compacted = base ∪ delta = the standing corpus), so
+      // the oracle is d18's SQL verbatim and DedupPropSpec pins all
+      // three reports row-identical; what compaction BUYS is plan
+      // shape: the probe drops from k band FileScans + a k-way pops
+      // fold back to d21's single scan with the pushed pop<=cap
+      // filter (PlanShapeSpec's no-corpus-aggregate pin covers this
+      // query too). At 100 TB this is the daily-append lifecycle
+      // closed: appends stay O(delta), probes stay O(batch), and the
+      // periodic compaction that keeps segment count bounded costs
+      // O(index rows) — never O(corpus text).
+      val base = ensureIngestIndexWhere(s, dir, "base",
+        col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 3)
+      val delta = ensureIngestIndexWhere(s, dir, "delta",
+        col("doc_id") % 7 === 3)
+      val cmp = compactIndexSegments(s, dir, "cmp", Seq(base, delta))
+      ingestProbeReport(s, dir,
+        s.read.parquet(s"$cmp/hashes"),
+        cappedIndexBands(s, Seq(cmp)),
+        s.read.parquet(s"$cmp/tsets").toDF("db", "tb"))
     },
 
     "d24_training_pipeline" -> { (s, dir) =>
@@ -3346,6 +3442,10 @@ object Dedup {
       // is invisible to semantics — the probe is over base ∪ delta =
       // the same standing corpus d18/d21 see.
       "d23_index_delta_append" -> oracleD18,
+
+      // d43 compacts d23's segments back into one artifact — by
+      // construction the same standing corpus again, so the same SQL.
+      "d43_index_compaction" -> oracleD18,
 
       // d24: the full pipeline unrolled — t07 filter, exact canonical,
       // near-dup mining over survivors (the shared pair CTEs, sourced

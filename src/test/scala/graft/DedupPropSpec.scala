@@ -198,50 +198,31 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delta == mono,
       s"delta-segmented probe diverged from monolithic index " +
         s"(${delta.size} vs ${mono.size} rows)")
-    // Compaction: the d23 plan reads each index part from two segment
-    // directories; folding them through a unionByName+write and
-    // re-probing is exactly what the monolithic d21 index already IS
-    // (same rows, one segment), so mono == delta above covers the
-    // compacted read path. What compaction must additionally preserve
-    // is the PHYSICAL fold: write the union out, probe from the files.
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_compact_test").toFile
-    try {
-      val d21 = Dedup.queries("d21_indexed_ingest")(spark, dir)
-      d21.collect() // forces both segment builds via d23 above + d21
-      // Fold the two segment band tables and compare content equality
-      // with the monolithic band table (same rows, any order).
-      val fp = new java.io.File(s"$dir/documents.parquet")
-      val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-      val key = graft.llm.IndexStore.fingerprint(fp)
-      def bands(tag: String) = spark.read
-        .parquet(s"$tmpdir/graft_ingest_index/$key-$tag-v2/bands")
-      // Compaction re-FOLDS the bucket populations (round-13: pop is a
-      // per-segment build-time count, so the folded segment must carry
-      // the recomputed whole-population pop — additive maintenance at
-      // append, exact recount at compaction). The result must be
-      // byte-identical to the monolithic index's bands, pop included.
-      import org.apache.spark.sql.functions.{col, count, lit}
-      val folded = bands("base").unionByName(bands("delta")).drop("pop")
-      val pops = folded.groupBy(col("band"), col("mh"))
-        .agg(count(lit(1)).as("pop"))
-      folded.join(pops, Seq("band", "mh"))
-        .select(col("db"), col("band"), col("mh"), col("pop"))
-        .write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "bands").getPath)
-      val compacted = spark.read
-        .parquet(new java.io.File(tmp, "bands").getPath)
-        .collect().map(_.toString).sorted.toSeq
-      val monoBands = bands("full")
-        .collect().map(_.toString).sorted.toSeq
-      assert(compacted == monoBands,
-        "compacted band segment differs from the monolithic index")
-    } finally {
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-        f.delete()
-      }
-      rec(tmp)
+    // Compaction is a REAL operation since round 14 (d43): fold the
+    // base+delta artifacts into one segment — artifact-to-artifact,
+    // documents never read — and probe it. The probe must match d21
+    // row-for-row, and the compacted artifact must be content-equal,
+    // part by part, to what a from-scratch single-segment build ("full")
+    // stores: bands WITH the re-folded union pop (round-13: pop is a
+    // per-segment build-time count, so compaction must fold it back to
+    // the whole-population value — additive maintenance at append,
+    // additive fold at compaction), bucket-grain pops, tsets, and the
+    // re-distincted hashes.
+    val compacted = rows("d43_index_compaction")
+    assert(compacted == mono,
+      s"compacted-index probe diverged from monolithic index " +
+        s"(${compacted.size} vs ${mono.size} rows)")
+    val fp = new java.io.File(s"$dir/documents.parquet")
+    val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val key = graft.llm.IndexStore.fingerprint(fp)
+    def part(tag: String, p: String) = spark.read
+      .parquet(s"$tmpdir/graft_ingest_index/$key-$tag-v2/$p")
+      .collect().map(_.toString).sorted.toSeq
+    for (p <- Seq("bands", "pops", "tsets", "hashes")) {
+      val (cmp, full) = (part("cmp", p), part("full", p))
+      assert(cmp.nonEmpty && cmp == full,
+        s"compacted $p differs from the monolithic index " +
+          s"(${cmp.size} vs ${full.size} rows)")
     }
   }
 

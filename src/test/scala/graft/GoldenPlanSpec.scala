@@ -82,7 +82,13 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // would mean a component re-scanned the corpus. (The signature
     // pass itself sits behind the CC checkpoint barrier, as in d06 —
     // its single-pass shape is pinned by d03's golden instead.)
-    "d23_index_delta_append", "d24_training_pipeline",
+    "d23_index_delta_append",
+    // round-14: the compacted-index probe must hold d21's single-segment
+    // shape — one band FileScan carrying the pushed pop<=cap data
+    // filter, no pops fold — that recovery being the entire point of
+    // compaction (PlanShapeSpec pins the invariant; the golden pins
+    // the exact plan).
+    "d43_index_compaction", "d24_training_pipeline",
     // round-9: the span-removal extension must keep d24's whole-plan
     // hygiene — ONE corpus scan (the span pass's md5-per-window
     // explode reads the persisted uniq/kept lineage, never a second

@@ -224,8 +224,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // keyed on the band bucket must have only pops-shaped leaves.
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // d43 probes the COMPACTED artifact: single segment again, so the
+    // cap must be back to the pushed-filter-only form — that plan-shape
+    // recovery is what compaction buys, so it's pinned here too.
     for (q <- Seq("d21_indexed_ingest", "d23_index_delta_append",
-        "d33_serving_pipeline")) {
+        "d43_index_compaction", "d33_serving_pipeline")) {
       // sparkPlan, not executedPlan: the AQE wrapper's collect() does
       // not traverse into its current physical plan, and the pre-AQE
       // tree is the one whose shape this pin freezes anyway.
