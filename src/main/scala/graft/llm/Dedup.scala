@@ -522,33 +522,57 @@ object Dedup {
     * pops fold per probe as appends accumulate). ≙ the reference's
     * consumers-union-materialized-partitions design
     * (core/src/execution_plans/shuffle_reader.rs:100) — compaction is
-    * what keeps that union's k bounded. */
+    * what keeps that union's k bounded.
+    *
+    * The fold is OVERLAP-SAFE and therefore idempotent (round-15
+    * advice): band rows are deduplicated on their full identity
+    * (db, band, mh) before bucket populations are derived FROM the
+    * deduplicated union — never by summing the per-segment counts —
+    * so compacting overlapping segments (a re-compaction of
+    * [compacted, newDelta] where rows repeat, or accidentally folding
+    * a segment with itself) yields exactly the artifact a from-scratch
+    * build of the union of doc_ids would; tsets likewise collapse to
+    * one row per db (a doc's token set is a function of its text, so
+    * cross-segment repeats are identical rows). Cost is unchanged —
+    * the pre-fix fold already streamed every band row to re-denormalize
+    * `pop`; the dedup rides the same shuffle.
+    *
+    * The cache key mixes in the SEGMENT IDENTITIES (round-15 advice):
+    * [[IndexStore.ensureBuilt]] treats an existing artifact as final,
+    * so keying on (fingerprint, tag) alone made a later call with the
+    * same tag but a grown segment set (base+delta1+delta2 after another
+    * append — the exact lifecycle this primitive exists for) a silent
+    * no-op that returned the stale fold and MISSED every duplicate in
+    * the newer delta. Each distinct segment set now compacts into its
+    * own keyed artifact. */
   private[graft] def compactIndexSegments(s: SparkSession, dir: String,
                                           tag: String,
                                           segs: Seq[String]): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_ingest_index/${IndexStore.fingerprint(src)}-$tag-v2")
+      s"graft_ingest_index/${IndexStore.fingerprint(src)}-$tag-" +
+        s"${segDigest(segs)}-v2")
     IndexStore.ensureBuilt(base) { tmp =>
       val popsPath = new java.io.File(tmp, "pops").getPath
-      segs.map(d => s.read.parquet(s"$d/pops").toDF("band", "mh", "pop"))
-        .reduce(_ unionByName _)
-        .groupBy(col("band"), col("mh"))
-        .agg(sum(col("pop")).as("pop"))
-        .write.mode("overwrite").parquet(popsPath)
-      // Join the UNION bands to the just-written fold (bucket-grain,
-      // one cheap re-read) rather than recomputing it — per-segment
-      // `pop` values are dropped; the compacted rows carry the union
-      // population, exactly what a fresh single-segment build stores.
-      segs.map(d => s.read.parquet(s"$d/bands")
+      // One deduplicated union of band rows feeds BOTH outputs: the
+      // bucket-grain pops (count per bucket of the deduped union — the
+      // exact union population, overlap or not) and the per-row
+      // denormalized `pop` a fresh single-segment build stores.
+      val ubands = segs.map(d => s.read.parquet(s"$d/bands")
           .select(col("db"), col("band"), col("mh")))
         .reduce(_ unionByName _)
+        .distinct()
+      ubands.groupBy(col("band"), col("mh"))
+        .agg(count(lit(1)).as("pop"))
+        .write.mode("overwrite").parquet(popsPath)
+      ubands
         .join(s.read.parquet(popsPath), Seq("band", "mh"))
         .select(col("db"), col("band"), col("mh"), col("pop"))
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "bands").getPath)
       segs.map(d => s.read.parquet(s"$d/tsets")).reduce(_ unionByName _)
+        .dropDuplicates("db")
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "tsets").getPath)
       // hashes are per-segment DISTINCT but can repeat ACROSS segments
@@ -560,6 +584,16 @@ object Dedup {
         .parquet(new java.io.File(tmp, "hashes").getPath)
     }
   }
+
+  /** 8-hex digest of a segment set's identities — order-insensitive
+    * (the fold is a union) and content-addressed via each segment's
+    * published directory name, which already embeds its corpus
+    * fingerprint and predicate tag. Part of the compaction cache key. */
+  private[graft] def segDigest(segs: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(segs.map(new java.io.File(_).getName).sorted
+        .mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
 
   /** Corpus-side CAPPED band table off index artifacts (round-13,
     * verdict #1): the probe-time replacement for re-aggregating corpus

@@ -215,14 +215,47 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fp = new java.io.File(s"$dir/documents.parquet")
     val tmpdir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val key = graft.llm.IndexStore.fingerprint(fp)
-    def part(tag: String, p: String) = spark.read
-      .parquet(s"$tmpdir/graft_ingest_index/$key-$tag-v2/$p")
+    // d43's exact segment set, re-derived here to address the compacted
+    // artifact (round-15: the compaction cache key mixes in the segment
+    // identities, so same-tag-different-segments can never alias).
+    import org.apache.spark.sql.functions.{col => fcol}
+    val baseSeg = graft.llm.Dedup.ensureIngestIndexWhere(spark, dir,
+      "base", fcol("doc_id") % 7 =!= 0 && fcol("doc_id") % 7 =!= 3)
+    val deltaSeg = graft.llm.Dedup.ensureIngestIndexWhere(spark, dir,
+      "delta", fcol("doc_id") % 7 === 3)
+    val cmpDir = graft.llm.Dedup.compactIndexSegments(spark, dir, "cmp",
+      Seq(baseSeg, deltaSeg))
+    def partAt(dirPath: String, p: String) = spark.read
+      .parquet(s"$dirPath/$p")
       .collect().map(_.toString).sorted.toSeq
+    def part(tag: String, p: String) =
+      partAt(s"$tmpdir/graft_ingest_index/$key-$tag-v2", p)
     for (p <- Seq("bands", "pops", "tsets", "hashes")) {
-      val (cmp, full) = (part("cmp", p), part("full", p))
+      val (cmp, full) = (partAt(cmpDir, p), part("full", p))
       assert(cmp.nonEmpty && cmp == full,
         s"compacted $p differs from the monolithic index " +
           s"(${cmp.size} vs ${full.size} rows)")
+    }
+    // RE-COMPACTION (round-15 advice): the lifecycle the primitive
+    // exists for is "compact, append, compact again". Folding the
+    // already-compacted artifact with one of its own inputs (maximal
+    // overlap — every delta row repeats) must (a) build a NEW artifact
+    // under a new key, not silently return the stale one, and (b) be
+    // content-equal, part by part, to the from-scratch single-segment
+    // build — pinning both the segment-keyed cache and the
+    // overlap-safe fold (dedup'd bands, pops derived from the deduped
+    // union, one tset row per db).
+    val recmp = graft.llm.Dedup.compactIndexSegments(spark, dir, "cmp",
+      Seq(cmpDir, deltaSeg))
+    assert(recmp != cmpDir,
+      "re-compaction with a different segment set aliased the cached " +
+        "artifact — the cache key must include segment identities")
+    for (p <- Seq("bands", "pops", "tsets", "hashes")) {
+      val (re, full) = (partAt(recmp, p), part("full", p))
+      assert(re.nonEmpty && re == full,
+        s"re-compacted $p differs from the monolithic index " +
+          s"(${re.size} vs ${full.size} rows) — overlapping segments " +
+          "must fold to the same artifact as a from-scratch build")
     }
   }
 
