@@ -97,8 +97,8 @@ object Bench {
     // Round-10 (verdict #4): attribute in-suite inflation per child —
     // each group records ITS child's sentinel so a q9-style in-suite
     // number is mechanically traceable to its JVM's load window.
-    val groupInfo =
-      scala.collection.mutable.ArrayBuffer[(Seq[String], Option[Double])]()
+    val groupInfo = scala.collection.mutable
+      .ArrayBuffer[(Seq[String], Option[Double], Option[Double])]()
 
     val javaBin = new File(new File(System.getProperty("java.home"), "bin"), "java").getPath
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -116,11 +116,13 @@ object Bench {
       val code = pb.start().waitFor()
       val seen = scala.collection.mutable.Set[String]()
       var groupSentinel: Option[Double] = None
+      var groupPre: Option[Double] = None
       if (Files.exists(out)) {
         Files.readAllLines(out).asScala.foreach { line =>
           line.split("\t") match {
             case Array("T", n, sec) => results(n) = sec.toDouble; seen += n
             case Array("E", n, cls) => errors(n) = cls; seen += n
+            case Array("P", _, sec) => groupPre = Some(sec.toDouble)
             case Array("S", _, sec) =>
               sentinels += sec.toDouble
               groupSentinel = Some(sec.toDouble)
@@ -132,7 +134,7 @@ object Bench {
       // A crashed child (OOM, launcher failure) must not silently drop
       // its queries from the totals.
       grp.filterNot(seen).foreach(n => errors(n) = s"ChildJvmExit$code")
-      groupInfo += ((grp, groupSentinel))
+      groupInfo += ((grp, groupSentinel, groupPre))
     }
     emit(names, results.toMap, errors, sentinels.toSeq, groupInfo.toSeq)
   }
@@ -156,6 +158,15 @@ object Bench {
       try runOne(spark, SparkEntry.queries(n))
       catch { case e: Throwable => errors(n) = e.getClass.getSimpleName }
     }
+    // PRE-sentinel (round 15): the after-group sentinel alone cannot
+    // see a load window that opens during the measured passes and
+    // closes before it runs — exactly how r14's c28 reported 2.7×
+    // while its group sentinel read normal. Bracketing the window
+    // (one sentinel after warmup, one after the passes) makes such a
+    // spike visible in the artifact: pre/post disagreement flags the
+    // group's numbers as load-contaminated.
+    val sentinelPre =
+      try Some(measureSentinel(spark)) catch { case _: Throwable => None }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     (1 to 2).foreach { _ =>
       names.filterNot(errors.contains).foreach { n =>
@@ -172,10 +183,11 @@ object Bench {
     val sentinelLine =
       try Some(f"S\t$Sentinel\t${measureSentinel(spark)}%.3f")
       catch { case _: Throwable => None }
+    val preLine = sentinelPre.map(v => f"P\t$Sentinel\t$v%.3f")
     val lines = names.flatMap { n =>
       if (errors.contains(n)) Some(s"E\t$n\t${errors(n)}")
       else best.get(n).map(sec => f"T\t$n\t$sec%.3f")
-    } ++ sentinelLine
+    } ++ preLine ++ sentinelLine
     Files.writeString(Paths.get(outPath), lines.mkString("", "\n", "\n"))
     spark.stop()
   }
@@ -210,7 +222,8 @@ object Bench {
   private def emit(names: Seq[String], results: Map[String, Double],
                    errors: scala.collection.mutable.LinkedHashMap[String, String],
                    sentinels: Seq[Double],
-                   groupInfo: Seq[(Seq[String], Option[Double])] = Nil): Unit = {
+                   groupInfo: Seq[(Seq[String], Option[Double],
+                     Option[Double])] = Nil): Unit = {
     val ok = names.filter(results.contains)
     val qs = ok.map(k => "\"" + k + "\":" + f"${results(k)}%.3f").mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
@@ -232,15 +245,35 @@ object Bench {
     // child's own sentinel — an inflated in-suite time is attributable
     // to its group's load window without a manual isolated re-run.
     val groupsJson = if (groupInfo.isEmpty) "" else {
-      val gs = groupInfo.zipWithIndex.map { case ((qs0, s), i) =>
+      val gs = groupInfo.zipWithIndex.map { case ((qs0, s, pre), i) =>
         val qlist = qs0.map("\"" + _ + "\"").mkString("[", ",", "]")
         val sent = s.map(v => f"$v%.3f").getOrElse("null")
-        s""""g$i":{"sentinel_sec":$sent,"queries":$qlist}"""
+        val preS = pre.map(v => f"$v%.3f").getOrElse("null")
+        s""""g$i":{"sentinel_pre":$preS,"sentinel_sec":$sent,"queries":$qlist}"""
       }.mkString("{", ",", "}")
       s""","groups":$gs"""
     }
+    // CORPUS-SHAPE record (round 15): the r13→r14 pin drift could not
+    // be attributed because the regenerated corpus and the re-pin
+    // landed together and the artifact recorded nothing about the
+    // data's shape — row counts stayed identical while per-doc text
+    // cost apparently grew. On-disk bytes per table (compression held
+    // constant) are a cheap proxy the artifact now carries, so the
+    // next corpus-vs-code question is answered by diffing two JSONs.
+    val corpusJson = {
+      def bytes(f: File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty[File])
+          .map(bytes).sum
+      val tables = Option(new File(sfDir).listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      if (tables.isEmpty) "" else tables
+        .map(t => s""""${t.getName.stripSuffix(".parquet")}":${bytes(t)}""")
+        .mkString(""","corpus_bytes":{""", ",", "}")
+    }
     val out =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson$sentinelJson$groupsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson$sentinelJson$groupsJson$corpusJson,"sf":"$sfDir"}"""
     // Round-12 (verdict #7), corrected round-13 (verdict #4): the full
     // line runs to tens of KB at 270+ queries, and the driver captures a
     // bounded TAIL of stdout — so the compact self-contained summary

@@ -57,11 +57,14 @@ object SparkEntry {
     "avro_scan" ->("environment-blocked: spark-avro is a separate jar not " +
       "in /opt/spark/jars and the build has zero egress; the reference " +
       "reads Avro via its listing-table machinery (README.md:49). The " +
-      "CSV/JSON/Parquet/Arrow-IPC sources cover the same scan surface."),
+      "CSV/JSON/Parquet/Arrow-IPC sources cover the same scan surface. " +
+      "Re-checked round 15: a filesystem-wide search found no " +
+      "spark-avro jar in any local ivy/coursier cache either."),
     "s3_object_store" -> ("environment-blocked: the reference registers " +
       "S3/HTTP object stores (core/src/object_store.rs:54-129); Spark's " +
       "equivalent is the s3a:// FileSystem, but hadoop-aws is not in " +
       "/opt/spark/jars and the container has no egress. The path-based " +
       "source surface is identical to the local-file reads tested in " +
-      "SourcesSpec — only the FileSystem scheme differs."))
+      "SourcesSpec — only the FileSystem scheme differs. Re-checked " +
+      "round 15: no hadoop-aws jar exists anywhere on the box."))
 }

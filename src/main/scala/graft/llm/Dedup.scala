@@ -552,7 +552,7 @@ object Dedup {
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_ingest_index/${IndexStore.fingerprint(src)}-$tag-" +
-        s"${segDigest(segs)}-v2")
+        s"${segDigest(segs.map(new java.io.File(_).getName))}-v2")
     IndexStore.ensureBuilt(base) { tmp =>
       val popsPath = new java.io.File(tmp, "pops").getPath
       // One deduplicated union of band rows feeds BOTH outputs: the
@@ -585,14 +585,16 @@ object Dedup {
     }
   }
 
-  /** 8-hex digest of a segment set's identities — order-insensitive
-    * (the fold is a union) and content-addressed via each segment's
-    * published directory name, which already embeds its corpus
-    * fingerprint and predicate tag. Part of the compaction cache key. */
-  private[graft] def segDigest(segs: Seq[String]): String =
+  /** 8-hex digest of a segment set's identity strings —
+    * order-insensitive (compaction folds are unions). Callers pass
+    * identities that name each segment uniquely within the artifact
+    * family: here the published segment directory names (which embed
+    * the corpus fingerprint and predicate tag); the ANN compaction
+    * passes parent/child pairs because its segments are parts INSIDE
+    * one index directory. Part of every compaction cache key. */
+  private[graft] def segDigest(ids: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(segs.map(new java.io.File(_).getName).sorted
-        .mkString("|").getBytes("UTF-8"))
+      .digest(ids.sorted.mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
 
   /** Corpus-side CAPPED band table off index artifacts (round-13,
@@ -1785,6 +1787,56 @@ object Dedup {
       val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
         .select(col("da"), col("db")))
       triangleStats(pairs)
+    },
+
+    "d29b_triangle_sampled" -> { (s, dir) =>
+      // DOULION-style SAMPLED triangle estimate (Tsourakakis et al.,
+      // KDD 2009) — d29's scale escape, graded as a companion while
+      // the exact leg stays the audit: on a clique-union near-dup
+      // corpus ~99.8% of wedges close, so d29's wedge volume is
+      // INHERENT output (sf10 measured 5.9× for 10× data) — the
+      // standard industrial answer is edge sparsification. Keep each
+      // mined edge iff a DETERMINISTIC hash elects it (md5 fixed
+      // point, the d14 shard arithmetic — both engines recompute the
+      // same coin, so the estimate is hash-exact, not a seeded RNG),
+      // p = 1/4: wedge volume drops p² = 16×, each surviving triangle
+      // is counted with weight 1/p³ = 64 (unbiased — a triangle
+      // survives iff its 3 independent edge-coins all land). Graded at
+      // the log2-degree-bucket grain (length(bin(degree)) — integer-
+      // exact in both engines): per bucket the FULL-graph vertex count,
+      // degree mass and exact wedge count, the sampled triangle mass,
+      // its ×64 estimate, and the estimated bucket clustering
+      // coefficient in basis points — the report a curation pipeline
+      // reads ("are high-degree docs template families or bridges?")
+      // without ever paying the full wedge volume. Scale: the
+      // sparsifier is one codegen'd filter on the mined pairs; the
+      // triangle core runs on the p-thinned graph (same degree-ordered
+      // orientation + hash-built closing join as d29); the full-graph
+      // side contributes only a degree aggregate.
+      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+        .select(col("da"), col("db")))
+      val kept = pairs.filter(
+        conv(substring(md5(concat(col("da").cast("string"), lit(":"),
+          col("db").cast("string"), lit(":ts1")).cast("binary")),
+          1, 15), 16, 10).cast("long") % 4 === 0)
+      val sampled = triangleStats(kept)
+        .select(col("doc_id"), col("triangles"))
+      val sym = pairs.unionByName(
+        pairs.select(col("db").as("da"), col("da").as("db")))
+      val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("degree"))
+        .select(col("da").as("doc_id"), col("degree"))
+      deg.join(sampled, Seq("doc_id"), "left_outer")
+        .withColumn("t3", coalesce(col("triangles"), lit(0L)))
+        .groupBy(length(bin(col("degree"))).cast("long").as("deg_bucket"))
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(col("degree")).as("sum_degree"),
+          sum(expr("degree * (degree - 1) div 2")).as("wedges"),
+          sum(col("t3")).as("t3_sampled"))
+        .withColumn("t3_est", col("t3_sampled") * 64)
+        .withColumn("cc_bp_est",
+          when(col("wedges") > 0,
+            expr("(t3_est * 10000) div wedges")).otherwise(0L))
+        .orderBy(col("deg_bucket"))
     },
 
     "d30_importance_select" -> { (s, dir) =>
@@ -3865,6 +3917,58 @@ object Dedup {
            |  ELSE 0 END AS BIGINT) AS cc_bp
            |FROM deg d LEFT JOIN tc ON d.id = tc.id
            |ORDER BY doc_id""".stripMargin,
+
+      // d29b: the same degree-ordered triangle core as d29, run over
+      // the deterministically p=1/4-thinned edge set (md5 coin — the
+      // d14 shard arithmetic), re-aggregated to log2-degree buckets of
+      // the FULL graph with the ×64 Doulion correction.
+      "d29b_triangle_sampled" ->
+        s"""WITH $lshPairCtes,
+           |eo AS (SELECT da AS a, db AS b FROM dup_pairs),
+           |ke AS (
+           | SELECT a, b FROM eo
+           | WHERE ('0x' || substr(md5(CAST(a AS VARCHAR) || ':' ||
+           |   CAST(b AS VARCHAR) || ':ts1'), 1, 15))::BIGINT % 4 = 0),
+           |ksym AS (SELECT a, b FROM ke UNION ALL SELECT b, a FROM ke),
+           |kdeg AS (
+           | SELECT a AS id, COUNT(*) AS degree FROM ksym GROUP BY a),
+           |kdedge AS (
+           | SELECT CASE WHEN lt THEN a ELSE b END AS u,
+           |  CASE WHEN lt THEN b ELSE a END AS v,
+           |  CASE WHEN lt THEN dgb ELSE dga END AS dv
+           | FROM (
+           |  SELECT ke.a, ke.b, dx.degree AS dga, dy.degree AS dgb,
+           |   (dx.degree < dy.degree OR
+           |    (dx.degree = dy.degree AND ke.a < ke.b)) AS lt
+           |  FROM ke JOIN kdeg dx ON ke.a = dx.id
+           |   JOIN kdeg dy ON ke.b = dy.id) t),
+           |ktri AS (
+           | SELECT w1.u AS a, w1.v AS b, w2.v AS c
+           | FROM kdedge w1 JOIN kdedge w2 ON w1.u = w2.u
+           |  AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+           | JOIN kdedge cl ON cl.u = w1.v AND cl.v = w2.v),
+           |ktv AS (SELECT unnest([a, b, c]) AS id FROM ktri),
+           |ktc AS (SELECT id, COUNT(*) AS t FROM ktv GROUP BY id),
+           |sym AS (SELECT a, b FROM eo UNION ALL SELECT b, a FROM eo),
+           |deg AS (
+           | SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a),
+           |j AS (
+           | SELECT d.id, d.degree, COALESCE(ktc.t, 0) AS t3
+           | FROM deg d LEFT JOIN ktc ON d.id = ktc.id),
+           |bkt AS (
+           | SELECT CAST(length(bin(degree)) AS BIGINT) AS deg_bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           |  CAST(SUM(degree) AS BIGINT) AS sum_degree,
+           |  CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS wedges,
+           |  CAST(SUM(t3) AS BIGINT) AS t3_sampled
+           | FROM j GROUP BY 1)
+           |SELECT deg_bucket, n_vertices, sum_degree, wedges,
+           | t3_sampled,
+           | CAST(t3_sampled * 64 AS BIGINT) AS t3_est,
+           | CAST(CASE WHEN wedges > 0
+           |  THEN (t3_sampled * 64 * 10000) // wedges
+           |  ELSE 0 END AS BIGINT) AS cc_bp_est
+           |FROM bkt ORDER BY deg_bucket""".stripMargin,
 
       "d30_importance_select" -> {
         val bg = tokHashSqlDuck.format("toks[i+1] || ' ' || toks[i+2]")

@@ -467,6 +467,44 @@ object Similarity {
     }
   }
 
+  /** LSM-style segment COMPACTION for the ANN delta chain (round 15 —
+    * the d43 discipline applied to the v-family): fold k cell
+    * segments of one delta index into a SINGLE cells artifact with
+    * v18's one-segment contract, carrying the frozen codebook over
+    * verbatim. The fold is ARTIFACT-to-ARTIFACT: embeddings are never
+    * re-read and nothing is re-assigned — cell rows union and dedup
+    * on c_id (a vector's cell is a pure function of the frozen
+    * codebook and its embedding, so cross-segment repeats are
+    * identical rows; the dedup also makes re-compaction of a
+    * compacted artifact with one of its own inputs idempotent, the
+    * round-15 compaction rule). Probes against the compacted artifact
+    * run ONE FileScan instead of k — the bound on the delta chain's
+    * growth axis, exactly d23→d43's argument at the vector grain.
+    * Cost ∝ index rows (c_id, c_cell + the denormalized embedding),
+    * never corpus re-quantization. The cache key mixes the segment
+    * identities (parent/part pairs — parts live INSIDE an index dir)
+    * so a grown segment set can never alias a stale fold. */
+  private[graft] def compactAnnSegments(s: SparkSession, dir: String,
+      tag: String, centsPath: String, segs: Seq[String]): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val ids = segs.map { p =>
+      val f = new java.io.File(p)
+      s"${f.getParentFile.getName}/${f.getName}"
+    }
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_ann_dindex/${IndexStore.fingerprint(src)}-$tag-cmp-" +
+        s"${Dedup.segDigest(ids)}-e1t2")
+    IndexStore.ensureBuilt(base) { tmp =>
+      s.read.parquet(centsPath).write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "cents").getPath)
+      segs.map(s.read.parquet(_)).reduce(_ unionByName _)
+        .dropDuplicates("c_id")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "cells").getPath)
+    }
+  }
+
   /** d33's ANN leg: each probe vector's single nearest INDEXED
     * neighbor (cosine, over the probed cells of base ∪ delta, segment
     * provenance carried) — the semantic-dup check a serving-side
@@ -586,6 +624,58 @@ object Similarity {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"), col("rnk"), col("sim"),
           col("seg"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    "v19b_ann_compaction" -> { (s, dir) =>
+      // ANN SEGMENT COMPACTION — the maintenance step that bounds
+      // v19's one growth axis (a nightly append adds a cells FileScan
+      // to every probe), graded end-to-end: [[compactAnnSegments]]
+      // folds cells_base ∪ cells_delta into ONE artifact (pure
+      // artifact fold — embeddings never re-read, codebook frozen and
+      // carried verbatim), and today's queries probe the compacted
+      // index. Semantics are EXACTLY v19's minus segment provenance
+      // (compaction is what ERASES provenance — the fold collapses
+      // base/delta into the standing corpus), so the oracle is v19's
+      // CTE chain with the seg column dropped, and SimilaritySpec pins
+      // row-equality against v19 plus part-level content equality of
+      // the compacted cells to the segment union. At 100 TB: appends
+      // stay |delta|-cost, probes stay one scan, compaction costs
+      // O(index rows) on whatever cadence keeps k bounded — rebuild
+      // (codebook retrain, the v23-gated decision) stays a separate,
+      // rarer event. ≙ the reference's consumers-union-materialized-
+      // partitions design (core/src/execution_plans/shuffle_reader.rs:
+      // 100) with compaction bounding the union's k.
+      val idx = ensureAnnDeltaIndex(s, dir)
+      val cmp = compactAnnSegments(s, dir, "v19", s"$idx/cents",
+        Seq(s"$idx/cells_base", s"$idx/cells_delta"))
+      val cents = s.read.parquet(s"$cmp/cents")
+      val cells = s.read.parquet(s"$cmp/cells")
+      val e = Tables.load(s, dir, "embeddings")
+      val nBase = e.filter(col("vec_id") % 7 =!= 0).count()
+      val kSz = math.round(math.sqrt(nBase.toDouble))
+      val nProbe = math.max(1L, math.round(kSz / 4.0)).toInt
+      val isQuery = col("vec_id") >= 100 && col("vec_id") < 120
+      val qe = e.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("cid"))
+      val probes = ivfQv(e.filter(isQuery))
+        .select(col("vec_id").as("q_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", ivfIntDist(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= nProbe)
+        .select(col("q_id"), col("cid").as("p_cell"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      probes.join(qe, "q_id")
+        .join(cells, col("p_cell") === col("c_cell") &&
+          col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr("cosine_sim(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
         .orderBy(col("q_id"), col("rnk"))
     },
 
@@ -2948,6 +3038,17 @@ object Similarity {
       s"""WITH ${annServeCtes("vec_id % 7 <> 0", "vec_id % 7 = 0",
           "q.vec_id >= 100 AND q.vec_id < 120")}
          |SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim, seg
+         |FROM reranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    "v19b_ann_compaction" -> {
+      // Compaction is a view change, not a semantic one: the compacted
+      // probe must return v19's rows exactly, minus the provenance the
+      // fold erases — so the twin is v19's CTE chain without seg.
+      s"""WITH ${annServeCtes("vec_id % 7 <> 0", "vec_id % 7 = 0",
+          "q.vec_id >= 100 AND q.vec_id < 120")}
+         |SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim
          |FROM reranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin
     },

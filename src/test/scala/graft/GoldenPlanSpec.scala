@@ -321,6 +321,21 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // leg would show here); the per-vertex count is one explode + a
     // partial-aggregated groupBy.
     "d29_triangle_cc",
+    // d29's Doulion companion: the sampled triangle core must sit
+    // BEHIND the deterministic md5 edge filter (the p=1/4 coin as a
+    // plain codegen'd Filter over the mined pairs — wedges then open
+    // on the thinned graph only), keep d29's hash-built closing join,
+    // and close with one log2-degree-bucket hash aggregate; a wedge
+    // join over the UNfiltered pair set here would mean the sparsifier
+    // silently stopped paying for itself.
+    "d29b_triangle_sampled",
+    // ANN segment compaction: the probe must read the compacted cells
+    // artifact (ONE graft_ann_dindex -cmp- FileScan carrying the
+    // denormalized embedding) plus the broadcast codebook — a
+    // cells_base/cells_delta pair surviving here means probes kept
+    // paying the per-segment scan the compaction exists to fold away;
+    // no training subtree, no corpus quantization pass.
+    "v19b_ann_compaction",
     // DSIR importance selection: the ≤4096-row weight table must
     // BROADCAST back into the bigram stream (a corpus-sized shuffle
     // against the weights would show), the bucket counts stay

@@ -153,6 +153,45 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected all 45 cluster pairs, got $clusterPairs")
   }
 
+  test("ANN delta compaction (v19b): probe rows equal v19 minus " +
+    "provenance, compacted cells content-equal to the segment union, " +
+    "and re-compaction with a grown segment set never aliases") {
+    def rows(name: String, drop: Seq[String] = Nil) =
+      graft.llm.Similarity.queries(name)(spark, sf)
+        .drop(drop: _*).collect().map(_.toString).toSeq
+    // Compaction erases provenance and must change nothing else.
+    val v19 = rows("v19_delta_ann", drop = Seq("seg"))
+    val cmp = rows("v19b_ann_compaction")
+    assert(v19.nonEmpty && cmp == v19,
+      s"compacted probe diverged from v19 (${cmp.size} vs ${v19.size})")
+    // Part-level pin: compacted cells == base ∪ delta rows, codebook
+    // carried verbatim.
+    val idx = graft.llm.Similarity.ensureAnnDeltaIndexWhere(spark, sf,
+      "v19", col("vec_id") % 7 =!= 0, col("vec_id") % 7 === 0)
+    val cmpDir = graft.llm.Similarity.compactAnnSegments(spark, sf,
+      "v19", s"$idx/cents", Seq(s"$idx/cells_base", s"$idx/cells_delta"))
+    def part(p: String) = spark.read.parquet(p)
+      .select(col("c_id"), col("c_cell"))
+      .collect().map(_.toString).sorted.toSeq
+    val union = (part(s"$idx/cells_base") ++ part(s"$idx/cells_delta"))
+      .sorted
+    assert(part(s"$cmpDir/cells") == union,
+      "compacted cells differ from the segment union")
+    assert(spark.read.parquet(s"$cmpDir/cents").collect().map(_.toString)
+      .sorted.toSeq ==
+      spark.read.parquet(s"$idx/cents").collect().map(_.toString)
+        .sorted.toSeq, "compaction must carry the frozen codebook verbatim")
+    // Re-compaction: folding the compacted artifact with one of its own
+    // inputs (maximal overlap) must build under a NEW key and dedup back
+    // to the same cells — the d43 round-15 idempotence rule.
+    val recmp = graft.llm.Similarity.compactAnnSegments(spark, sf,
+      "v19", s"$idx/cents", Seq(s"$cmpDir/cells", s"$idx/cells_delta"))
+    assert(recmp != cmpDir,
+      "re-compaction with a different segment set aliased the cache")
+    assert(part(s"$recmp/cells") == union,
+      "re-compacted cells differ from the segment union")
+  }
+
   test("v05 graded projection matches the array form element-wise") {
     val graded = graft.llm.Similarity.queries("v05_quantize_int8")(spark, sf)
     val arr = graft.llm.Similarity.quantizeInt8(spark, sf)
