@@ -49,6 +49,32 @@ object GraftExtensions {
         graft.functions.HyperplaneSig(children(0), n)
       }))
     e.injectFunction((
+      FunctionIdentifier("int_l2"),
+      new ExpressionInfo(classOf[graft.functions.IntL2Dist].getName,
+        "int_l2"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "int_l2", "expectedNum" -> "2",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        graft.functions.IntL2Dist(children(0), children(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("ivf_argmin"),
+      new ExpressionInfo(classOf[graft.functions.IvfArgmin].getName,
+        "ivf_argmin"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "ivf_argmin", "expectedNum" -> "2",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        graft.functions.IvfArgmin(children(0), children(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("tok_hashes"),
       new ExpressionInfo(classOf[graft.functions.TokHashes].getName,
         "tok_hashes"),

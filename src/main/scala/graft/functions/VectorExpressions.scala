@@ -147,3 +147,172 @@ case class HyperplaneSig(child: Expression, nPlanes: Int)
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
 }
+
+/** Exact integer squared-L2 distance between two `array<bigint>`
+  * quantized vectors: Σ (aᵢ − bᵢ)², a single codegen'd loop.
+  *
+  * Replaces the `aggregate(zip_with(...))` composition `ivfIntDist`
+  * shipped with through round 14: higher-order functions are
+  * CodegenFallback in Spark — every distance evaluation allocated an
+  * intermediate 64-element array and walked two interpreted lambda
+  * dispatches per element. That interpreted cost IS the IVF build:
+  * the sampled trainer alone evaluates 3·256·K² distances (1.5·10⁸ at
+  * sf10) and measured 360 s — dominating the index build after round
+  * 15's two-level routing removed the N×K assignment wall. Same
+  * integer arithmetic bit-for-bit (inputs are ±1000-bounded
+  * quantizations, so Σ diff² ≤ 64·4·10⁶ — nowhere near int64), so
+  * every DuckDB twin (`list_sum(list_transform(range(64), …))`) is
+  * unchanged.
+  *
+  * Callers feed fixed-dimension arrays (both sides are 64-dim
+  * quantized vectors by construction); the loop runs over the shorter
+  * length, matching zip_with on every equal-length input.
+  */
+case class IntL2Dist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_l2 expects (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      long $s = 0L;
+      for (int $i = 0; $i < $n; $i++) {
+        long $d = $a.getLong($i) - $b.getLong($i);
+        $s += $d * $d;
+      }
+      ${ev.value} = $s;
+    """})
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** IVF cell argmin: the centroid id minimizing exact integer squared-L2
+  * distance to `vec`, ties to the SMALLER cid — over a centroid table
+  * carried as one broadcast `array<struct<cid:bigint, cv:array<bigint>>>`
+  * value, one codegen'd loop per row.
+  *
+  * This is the assignment step's true shape: K is bounded (√N sizing,
+  * ≤ ~thousands) while N is the corpus, so materializing an N×K join
+  * and collapsing it back through a hash aggregate whose GROUPING KEY
+  * is the 64-long vector (the round-14 `ivfAssign`) pays row-copy and
+  * array-hash costs ∝ N·K for what is per-row scalar arithmetic. With
+  * the centroids as ONE broadcast array value, each Lloyd round / cell
+  * assignment is a linear whole-stage-codegen projection: K·dim fused
+  * ops per row, no join fan-out, no shuffle, no array-key hashing.
+  * Identical arithmetic to the struct-MIN form ((dist, cid)
+  * lexicographic minimum, exact int64), so every DuckDB row_number
+  * twin is unchanged. Returns null for a null vector or an empty
+  * centroid array (callers filter, matching the join form's implicit
+  * drop).
+  */
+case class IvfArgmin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _),
+            ArrayType(StructType(Array(a, b)), _)) =>
+        a.dataType == LongType && b.dataType == ArrayType(LongType, false) ||
+          a.dataType == LongType && b.dataType == ArrayType(LongType, true)
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ivf_argmin expects (array<bigint>, array<struct<bigint, array<bigint>>>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    val carr = b.asInstanceOf[ArrayData]
+    val k = carr.numElements()
+    if (k == 0) return null
+    var bestDist = Long.MaxValue; var bestCid = Long.MaxValue
+    var j = 0
+    while (j < k) {
+      val row = carr.getStruct(j, 2)
+      val cid = row.getLong(0)
+      val cv = row.getArray(1)
+      val n = math.min(qv.numElements(), cv.numElements())
+      var s = 0L; var i = 0
+      while (i < n) {
+        val d = qv.getLong(i) - cv.getLong(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestDist || (s == bestDist && cid < bestCid)) {
+        bestDist = s; bestCid = cid
+      }
+      j += 1
+    }
+    bestCid
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k"); val j = ctx.freshName("j")
+      val row = ctx.freshName("row"); val cid = ctx.freshName("cid")
+      val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bestDist"); val bc = ctx.freshName("bestCid")
+      s"""
+      int $k = $b.numElements();
+      if ($k == 0) { ${ev.isNull} = true; } else {
+        long $bd = Long.MAX_VALUE; long $bc = Long.MAX_VALUE;
+        for (int $j = 0; $j < $k; $j++) {
+          InternalRow $row = $b.getStruct($j, 2);
+          long $cid = $row.getLong(0);
+          ArrayData $cv = $row.getArray(1);
+          int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+          long $s = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            long $d = $a.getLong($i) - $cv.getLong($i);
+            $s += $d * $d;
+          }
+          if ($s < $bd || ($s == $bd && $cid < $bc)) { $bd = $s; $bc = $cid; }
+        }
+        ${ev.value} = $bc;
+      }
+    """})
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

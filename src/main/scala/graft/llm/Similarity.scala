@@ -136,9 +136,14 @@ object Similarity {
           .otherwise(round(x / col("nrm") * 1000).cast("long")))
         .as("qv"))
 
+  /** Exact integer squared-L2 — the codegen'd [[graft.functions.
+    * IntL2Dist]] native expression since round 15 (the former
+    * `aggregate(zip_with(...))` composition is CodegenFallback:
+    * interpreted lambda dispatch + a per-row intermediate array, and
+    * it dominated the IVF trainer at the sf10 leg). Same integer
+    * arithmetic bit-for-bit; every DuckDB twin unchanged. */
   private[graft] def ivfIntDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, v) => acc + v)
+    call_function("int_l2", a, b)
 
   /** The k vectors with smallest md5(vec_id) — a TakeOrdered top-k,
     * not a scan prefix. */
@@ -183,27 +188,30 @@ object Similarity {
     ivfTrain(samp, ivfSeed(samp, k), rounds)
   }
 
-  /** Exact integer L2 argmin assignment (tie-break centroid id);
-    * codebook broadcasts, the corpus never shuffles — in either
-    * direction: the argmin is a struct-MIN AGGREGATE (lexicographic
-    * (dist, cid), identical to the former row_number window's
-    * (dist, cid) order), so the map-side partial collapses each
-    * vector's K candidate rows inside its scan partition and the
-    * exchange carries ~N one-struct rows, not N·K rows each dragging
-    * the 64-long qv array through a window sort. Found at the sf1
-    * leg in round 9: the window form made v17's trainer the suite's
-    * worst query at 10× (≈90 s); the aggregate form removes the
-    * N·K-row shuffle entirely. qv rides the grouping key (it is
-    * functionally dependent on vec_id) so the result schema is
-    * unchanged for the update step and the index writers. */
-  private[graft] def ivfAssign(qvAll: DataFrame, cents: DataFrame): DataFrame =
-    qvAll.crossJoin(broadcast(cents))
+  /** Exact integer L2 argmin assignment (tie-break centroid id).
+    * Round-15 shape: the codebook rides as ONE broadcast
+    * `array<struct<cid, cv>>` value and each vector's argmin is the
+    * codegen'd [[graft.functions.IvfArgmin]] scalar — a LINEAR
+    * whole-stage-codegen projection, K·dim fused ops per row, no join
+    * fan-out, no shuffle, no aggregate. The round-9 struct-MIN
+    * aggregate form this replaces had already removed the N·K-row
+    * exchange, but still materialized the N×K crossJoin rows and
+    * hashed the 64-long qv array as a grouping key — measured as the
+    * dominant trainer cost at the sf10 leg (the trainer runs this
+    * 3·256·K² times). Arithmetic unchanged: lexicographic (dist, cid)
+    * minimum in exact int64 — every DuckDB row_number twin is
+    * bit-identical. The isNotNull filter mirrors the join form's
+    * implicit drop on an empty codebook (never hit in practice: K ≥ 1
+    * by sizing). */
+  private[graft] def ivfAssign(qvAll: DataFrame, cents: DataFrame): DataFrame = {
+    val carr = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("__carr"))
+    qvAll.crossJoin(broadcast(carr))
       .select(col("vec_id"), col("qv"),
-        struct(ivfIntDist(col("qv"), col("cv")).as("dist"),
-          col("cid").as("cid")).as("dc"))
-      .groupBy(col("vec_id"), col("qv"))
-      .agg(min(col("dc")).as("dc"))
-      .select(col("vec_id"), col("qv"), col("dc.cid").as("cid"))
+        call_function("ivf_argmin", col("qv"), col("__carr")).as("cid"))
+      .filter(col("cid").isNotNull)
+  }
 
   /** Floor-mean centroid update re-projected onto the 1000-sphere
     * (spherical k-means; see v09's design note). */
@@ -273,19 +281,23 @@ object Similarity {
       .select(col("vec_id").as("fcid"), col("cid").as("gid"))
     val routed = ivfAssign(qvAll, coarse)
       .select(col("vec_id"), col("qv"), col("cid").as("gid"))
+    // Per-group fine codebooks as broadcast arrays (the round-15
+    // ivfAssign shape at group grain): the fine argmin is one
+    // codegen'd scalar over the routed group's own centroid array —
+    // the expected K/G candidates per row ride a bounded broadcast
+    // join instead of fanning N·K/G materialized rows through an
+    // array-keyed aggregate.
     val fineCands = fineMap
       .join(centsQv.select(col("vec_id").as("fcid"), col("qv").as("cv")),
         "fcid")
-      .select(col("gid").as("fgid"), col("fcid"), col("cv"))
+      .groupBy(col("gid").as("fgid"))
+      .agg(sort_array(collect_list(
+        struct(col("fcid").as("cid"), col("cv")))).as("garr"))
     routed
       .join(broadcast(fineCands), col("gid") === col("fgid"))
       .select(col("vec_id"), col("qv"), col("gid"),
-        struct(ivfIntDist(col("qv"), col("cv")).as("dist"),
-          col("fcid").as("cid")).as("dc"))
-      .groupBy(col("vec_id"), col("qv"), col("gid"))
-      .agg(min(col("dc")).as("dc"))
-      .select(col("vec_id"), col("qv"), col("gid"),
-        col("dc.cid").as("cid"))
+        call_function("ivf_argmin", col("qv"), col("garr")).as("cid"))
+      .filter(col("cid").isNotNull)
   }
 
   /** Pre-materialized ANN index — v18's engine and the v-family twin of
