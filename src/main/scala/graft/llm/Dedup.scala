@@ -1796,25 +1796,30 @@ object Dedup {
       // corpus ~99.8% of wedges close, so d29's wedge volume is
       // INHERENT output (sf10 measured 5.9× for 10× data) — the
       // standard industrial answer is edge sparsification. Keep each
-      // mined edge iff a DETERMINISTIC hash elects it (md5 fixed
-      // point, the d14 shard arithmetic — both engines recompute the
-      // same coin, so the estimate is hash-exact, not a seeded RNG),
-      // p = 1/4: wedge volume drops p² = 16×, each surviving triangle
-      // is counted with weight 1/p³ = 64 (unbiased — a triangle
-      // survives iff its 3 independent edge-coins all land). Graded at
-      // the log2-degree-bucket grain (length(bin(degree)) — integer-
-      // exact in both engines): per bucket the FULL-graph vertex count,
+      // edge iff a DETERMINISTIC hash elects it (md5 fixed point, the
+      // d14 shard arithmetic — both engines recompute the same coin,
+      // so the estimate is hash-exact, not a seeded RNG), p = 1/4:
+      // wedge volume drops p² = 16×, each surviving triangle is
+      // counted with weight 1/p³ = 64 (unbiased — a triangle survives
+      // iff its 3 independent edge-coins all land). Graded at the
+      // log2-degree-bucket grain (length(bin(degree)) — integer-exact
+      // in both engines): per bucket the FULL-graph vertex count,
       // degree mass and exact wedge count, the sampled triangle mass,
       // its ×64 estimate, and the estimated bucket clustering
       // coefficient in basis points — the report a curation pipeline
       // reads ("are high-degree docs template families or bridges?")
-      // without ever paying the full wedge volume. Scale: the
-      // sparsifier is one codegen'd filter on the mined pairs; the
-      // triangle core runs on the p-thinned graph (same degree-ordered
-      // orientation + hash-built closing join as d29); the full-graph
-      // side contributes only a degree aggregate.
-      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
-        .select(col("da"), col("db")))
+      // without ever paying the full wedge volume. Scale: the edges
+      // come OFF THE MATERIALIZED PAIR ARTIFACT (the d25/d07
+      // discipline — mining is a pipeline STAGE run once per corpus
+      // version, and graph reports are its consumers; d29 stays the
+      // self-contained re-mining audit), so the whole plan is an
+      // artifact scan + one codegen'd coin filter + the p-thinned
+      // triangle core (same degree-ordered orientation + hash-built
+      // closing join as d29) + a full-graph degree aggregate over the
+      // same artifact. The round-15 sf10 leg measured the re-mining
+      // form at 5.9× for 10× data — entirely the shared mining floor;
+      // the artifact-probing form rides the d25 probe curve instead.
+      val pairs = clusterPairs(s, dir)
       val kept = pairs.filter(
         conv(substring(md5(concat(col("da").cast("string"), lit(":"),
           col("db").cast("string"), lit(":ts1")).cast("binary")),

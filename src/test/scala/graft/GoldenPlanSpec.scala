@@ -321,13 +321,13 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // leg would show here); the per-vertex count is one explode + a
     // partial-aggregated groupBy.
     "d29_triangle_cc",
-    // d29's Doulion companion: the sampled triangle core must sit
-    // BEHIND the deterministic md5 edge filter (the p=1/4 coin as a
-    // plain codegen'd Filter over the mined pairs — wedges then open
-    // on the thinned graph only), keep d29's hash-built closing join,
-    // and close with one log2-degree-bucket hash aggregate; a wedge
-    // join over the UNfiltered pair set here would mean the sparsifier
-    // silently stopped paying for itself.
+    // d29's Doulion companion: the edges come off the MATERIALIZED
+    // pair artifact (plain FileScans — a minhash/Generate mining
+    // subtree appearing here means the report regressed to re-mining),
+    // the sampled triangle core sits BEHIND the deterministic md5 edge
+    // filter (the p=1/4 coin as a codegen'd Filter — wedges open on
+    // the thinned graph only), keeps d29's hash-built closing join,
+    // and closes with one log2-degree-bucket hash aggregate.
     "d29b_triangle_sampled",
     // ANN segment compaction: the probe must read the compacted cells
     // artifact (ONE graft_ann_dindex -cmp- FileScan carrying the

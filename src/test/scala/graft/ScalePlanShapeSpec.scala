@@ -169,6 +169,48 @@ class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected >=2 exchange-free bucketed base joins at sf1:\n$p")
   }
 
+  test("sf10: the bucketed/colocated family holds at 100× — c28's " +
+    "exchange-free base joins, c30's no-shuffle window, c31's pruned " +
+    "point lookup (round-14 verdict #4: zero-Exchange claims are " +
+    "exactly the claims that die at scale boundaries)") {
+    assume(sf10Present, "sf10 corpus absent (run graft.tools.ScaleUp ×10)")
+    // c28: same invariant as the sf1 leg — the un-reordered base joins
+    // consume bucket-sorted splits directly (bucketed scans, no
+    // orderkey exchange in their subtree). Bucket count is fixed (32)
+    // while data grew 100×: per-bucket splits grow, the LAYOUT claim
+    // (join key co-location) is what must survive.
+    val p28 = planAt(sf10, "c28_colocated_frequent_best")
+    assert("Bucketed: true".r.findAllIn(p28).size >= 4,
+      s"expected bucketed fact scans at sf10:\n$p28")
+    assert(p28.contains("SelectedBucketsCount: 32 out of 32"),
+      s"expected full bucket-aligned read at sf10:\n$p28")
+    val lines = p28.linesIterator.toArray
+    val cleanJoins = lines.indices.count { i =>
+      lines(i).contains("SortMergeJoin [l_orderkey") && {
+        val seg = lines.slice(i, math.min(i + 14, lines.length))
+        seg.count(_.contains("Bucketed: true")) >= 2 &&
+        !seg.exists(l => l.contains("Exchange hashpartitioning(l_orderkey") ||
+          l.contains("Exchange hashpartitioning(o_orderkey"))
+      }
+    }
+    assert(cleanJoins >= 2,
+      s"expected >=2 exchange-free bucketed base joins at sf10:\n$p28")
+    // c30: the window's clustered distribution is satisfied by the
+    // bucketed scan's HashPartitioning at ANY data size — no
+    // hash exchange may appear (the sole exchange is the closing
+    // ORDER BY rangepartitioning).
+    val p30 = planAt(sf10, "c30_colocated_window")
+    assert(p30.contains("Bucketed: true"),
+      s"c30 must read the bucketed fact at sf10:\n$p30")
+    assert(!p30.contains("Exchange hashpartitioning"),
+      s"c30's window re-shuffled a co-located fact at sf10:\n$p30")
+    // c31: the 4-key point lookup must stay a 4-of-32 bucket read —
+    // pruning is a layout property, independent of per-bucket growth.
+    val p31 = planAt(sf10, "c31_bucket_pruned_lookup")
+    assert(p31.contains("SelectedBucketsCount: 4 out of 32"),
+      s"c31 lost bucket pruning at sf10:\n$p31")
+  }
+
   test("sf1: d21 probes the materialized index segments, no corpus re-hash") {
     assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
     val p = plan("d21_indexed_ingest")
