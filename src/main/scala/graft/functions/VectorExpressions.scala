@@ -165,13 +165,25 @@ case class HyperplaneSig(child: Expression, nPlanes: Int)
   * unchanged.
   *
   * Callers feed fixed-dimension arrays (both sides are 64-dim
-  * quantized vectors by construction); the loop runs over the shorter
-  * length, matching zip_with on every equal-length input.
+  * quantized vectors by construction). Round 16: a length mismatch or
+  * a null element returns NULL — the semantics of the replaced
+  * `aggregate(zip_with(...))` form — so a malformed vector surfaces as
+  * a null downstream instead of a silently wrong distance. The
+  * per-element null checks are emitted only when the static
+  * `containsNull` flag says nulls are possible; the length check is
+  * one comparison per row.
   */
 case class IntL2Dist(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -188,9 +200,12 @@ case class IntL2Dist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elemNullable(left) || elemNullable(right)
     var s = 0L; var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val d = x.getLong(i) - y.getLong(i)
       s += d * d
       i += 1
@@ -202,14 +217,22 @@ case class IntL2Dist(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val s = ctx.freshName("s")
       val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
-      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-      long $s = 0L;
-      for (int $i = 0; $i < $n; $i++) {
-        long $d = $a.getLong($i) - $b.getLong($i);
-        $s += $d * $d;
+      int $n = $a.numElements();
+      if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+        long $s = 0L; boolean $bad = false;
+        for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
+          long $d = $a.getLong($i) - $b.getLong($i);
+          $s += $d * $d;
+        }
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
       }
-      ${ev.value} = $s;
     """})
 
   override protected def withNewChildrenInternal(
@@ -232,9 +255,14 @@ case class IntL2Dist(left: Expression, right: Expression)
   * ops per row, no join fan-out, no shuffle, no array-key hashing.
   * Identical arithmetic to the struct-MIN form ((dist, cid)
   * lexicographic minimum, exact int64), so every DuckDB row_number
-  * twin is unchanged. Returns null for a null vector or an empty
+  * twin is unchanged. Returns null for a null vector, an empty
   * centroid array (callers filter, matching the join form's implicit
-  * drop).
+  * drop), or — round 16, matching [[IntL2Dist]] — any dimension
+  * mismatch / null element between the vector and a candidate: a
+  * malformed input poisons the whole argmin to null rather than
+  * silently ranking against a truncated distance. Null/length checks
+  * beyond the one per-candidate comparison are gated on the static
+  * `containsNull` flags.
   */
 case class IvfArgmin(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -258,20 +286,48 @@ case class IvfArgmin(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  private def qvElemNullable: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+  private def centStructNullable: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+  private def centFieldNullable: Boolean = right.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 =>
+      fs(0).nullable || fs(1).nullable
+    case _ => true
+  }
+  private def cvElemNullable: Boolean = right.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 =>
+      fs(1).dataType match {
+        case ArrayType(_, cn) => cn
+        case _                => true
+      }
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val qv = a.asInstanceOf[ArrayData]
     val carr = b.asInstanceOf[ArrayData]
     val k = carr.numElements()
     if (k == 0) return null
+    val nq = qv.numElements()
+    val checkElems = qvElemNullable || cvElemNullable
     var bestDist = Long.MaxValue; var bestCid = Long.MaxValue
     var j = 0
     while (j < k) {
+      if (centStructNullable && carr.isNullAt(j)) return null
       val row = carr.getStruct(j, 2)
+      if (centFieldNullable && (row.isNullAt(0) || row.isNullAt(1)))
+        return null
       val cid = row.getLong(0)
       val cv = row.getArray(1)
-      val n = math.min(qv.numElements(), cv.numElements())
+      if (cv.numElements() != nq) return null
       var s = 0L; var i = 0
-      while (i < n) {
+      while (i < nq) {
+        if (checkElems && (qv.isNullAt(i) || cv.isNullAt(i))) return null
         val d = qv.getLong(i) - cv.getLong(i)
         s += d * d
         i += 1
@@ -288,27 +344,45 @@ case class IvfArgmin(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val k = ctx.freshName("k"); val j = ctx.freshName("j")
       val row = ctx.freshName("row"); val cid = ctx.freshName("cid")
-      val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
+      val cv = ctx.freshName("cv"); val nq = ctx.freshName("nq")
       val s = ctx.freshName("s"); val i = ctx.freshName("i")
-      val d = ctx.freshName("d")
+      val d = ctx.freshName("d"); val bad = ctx.freshName("bad")
       val bd = ctx.freshName("bestDist"); val bc = ctx.freshName("bestCid")
+      val structCheck =
+        if (centStructNullable)
+          s"if ($b.isNullAt($j)) { $bad = true; break; }"
+        else ""
+      val fieldCheck =
+        if (centFieldNullable)
+          s"if ($row.isNullAt(0) || $row.isNullAt(1)) { $bad = true; break; }"
+        else ""
+      val elemCheck =
+        if (qvElemNullable || cvElemNullable)
+          s"if ($a.isNullAt($i) || $cv.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
       int $k = $b.numElements();
       if ($k == 0) { ${ev.isNull} = true; } else {
+        int $nq = $a.numElements();
         long $bd = Long.MAX_VALUE; long $bc = Long.MAX_VALUE;
+        boolean $bad = false;
         for (int $j = 0; $j < $k; $j++) {
+          $structCheck
           InternalRow $row = $b.getStruct($j, 2);
+          $fieldCheck
           long $cid = $row.getLong(0);
           ArrayData $cv = $row.getArray(1);
-          int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+          if ($cv.numElements() != $nq) { $bad = true; break; }
           long $s = 0L;
-          for (int $i = 0; $i < $n; $i++) {
+          for (int $i = 0; $i < $nq; $i++) {
+            $elemCheck
             long $d = $a.getLong($i) - $cv.getLong($i);
             $s += $d * $d;
           }
+          if ($bad) break;
           if ($s < $bd || ($s == $bd && $cid < $bc)) { $bd = $s; $bc = $cid; }
         }
-        ${ev.value} = $bc;
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $bc; }
       }
     """})
 

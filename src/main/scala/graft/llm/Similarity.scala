@@ -293,10 +293,26 @@ object Similarity {
       .groupBy(col("gid").as("fgid"))
       .agg(sort_array(collect_list(
         struct(col("fcid").as("cid"), col("cv")))).as("garr"))
+    // EMPTY-GROUP FALLBACK (round 16): the post-update coarse codebook
+    // gc2 can own corpus vectors while winning zero fine centroids (the
+    // fine map re-assigns against gc2, not against the assignment that
+    // produced it) — an inner join here would silently DROP those
+    // vectors from the index forever, invisibly to both the
+    // flat-agreement audit (it aggregates only surviving rows) and the
+    // DuckDB twins (which reproduced the same inner join). Left-join
+    // instead, and fall back to the exact flat argmin over the FULL
+    // codebook (one broadcast array value — K·dim ops only for the
+    // rare unmatched row, zero cost when no group is empty). The
+    // oracles recompute the identical fallback branch.
+    val fullArr = centsQv.agg(sort_array(collect_list(
+      struct(col("vec_id").as("cid"), col("qv").as("cv")))).as("farr"))
     routed
-      .join(broadcast(fineCands), col("gid") === col("fgid"))
+      .join(broadcast(fineCands), col("gid") === col("fgid"), "left_outer")
+      .crossJoin(broadcast(fullArr))
       .select(col("vec_id"), col("qv"), col("gid"),
-        call_function("ivf_argmin", col("qv"), col("garr")).as("cid"))
+        coalesce(
+          call_function("ivf_argmin", col("qv"), col("garr")),
+          call_function("ivf_argmin", col("qv"), col("farr"))).as("cid"))
       .filter(col("cid").isNotNull)
   }
 
@@ -315,12 +331,13 @@ object Similarity {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      // "-t2": cells are TWO-LEVEL-routed since round 15 (the flat
+      // "-t2f": cells are TWO-LEVEL-routed since round 15 (the flat
       // N×K assignment was the engine's last superlinear build term —
-      // see [[twoLevelAssign]]); the suffix keys the routing so a
-      // flat-assigned artifact can never serve a probe whose oracle
-      // recomputes the two-level cells.
-      s"graft_ann_index/${IndexStore.fingerprint(src)}-t2")
+      // see [[twoLevelAssign]]); "f" since round 16 — the route gained
+      // the empty-group flat fallback, so a pre-fallback artifact (which
+      // could have silently dropped vectors) can never serve a probe
+      // whose oracle recomputes the fallback-complete cells.
+      s"graft_ann_index/${IndexStore.fingerprint(src)}-t2f")
     IndexStore.ensureBuilt(base) { tmp =>
       val qvAll = ivfQv(Tables.load(s, dir, "embeddings"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -431,9 +448,10 @@ object Similarity {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       // "-e1": cells carry the float embedding since round 12 — the
       // suffix keys the layout so a pre-e1 artifact can never serve a
-      // probe expecting the denormalized column. "-t2": cells are
-      // two-level-routed since round 15 (see [[twoLevelAssign]]).
-      s"graft_ann_dindex/${IndexStore.fingerprint(src)}-$tag-e1t2")
+      // probe expecting the denormalized column. "-t2f": cells are
+      // two-level-routed since round 15, with the round-16 empty-group
+      // flat fallback (see [[twoLevelAssign]]).
+      s"graft_ann_dindex/${IndexStore.fingerprint(src)}-$tag-e1t2f")
     IndexStore.ensureBuilt(base) { tmp =>
       val qvAll = ivfQv(Tables.load(s, dir, "embeddings"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -485,11 +503,12 @@ object Similarity {
     * v18's one-segment contract, carrying the frozen codebook over
     * verbatim. The fold is ARTIFACT-to-ARTIFACT: embeddings are never
     * re-read and nothing is re-assigned — cell rows union and dedup
-    * on c_id (a vector's cell is a pure function of the frozen
-    * codebook and its embedding, so cross-segment repeats are
-    * identical rows; the dedup also makes re-compaction of a
-    * compacted artifact with one of its own inputs idempotent, the
-    * round-15 compaction rule). Probes against the compacted artifact
+    * by full-row distinct (a vector's cell is a pure function of the
+    * frozen codebook and its embedding, so cross-segment repeats are
+    * identical rows and collapse; rows that DISAGREE on a c_id both
+    * survive so the conflict is loud, and the dedup makes
+    * re-compaction of a compacted artifact with one of its own inputs
+    * idempotent, the round-15 compaction rule). Probes against the compacted artifact
     * run ONE FileScan instead of k — the bound on the delta chain's
     * growth axis, exactly d23→d43's argument at the vector grain.
     * Cost ∝ index rows (c_id, c_cell + the denormalized embedding),
@@ -506,12 +525,19 @@ object Similarity {
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_ann_dindex/${IndexStore.fingerprint(src)}-$tag-cmp-" +
-        s"${Dedup.segDigest(ids)}-e1t2")
+        s"${Dedup.segDigest(ids)}-e1t2f")
     IndexStore.ensureBuilt(base) { tmp =>
       s.read.parquet(centsPath).write.mode("overwrite")
         .parquet(new java.io.File(tmp, "cents").getPath)
+      // Full-row distinct (round 16, matching compactIndexSegments):
+      // identical cross-segment repeats collapse exactly as before, but
+      // if segments ever DISAGREE on a c_id (e.g. segments of different
+      // codebooks passed by mistake) both rows survive and the
+      // part-level content-equality spec catches the conflict — a
+      // c_id-keyed dropDuplicates would keep an arbitrary winner and
+      // mask it nondeterministically.
       segs.map(s.read.parquet(_)).reduce(_ unionByName _)
-        .dropDuplicates("c_id")
+        .distinct()
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "cells").getPath)
     }
@@ -2284,7 +2310,14 @@ object Similarity {
          |   row_number() OVER (PARTITION BY r.vec_id
          |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
          |  FROM routedq r JOIN fmap fm ON r.cid = fm.gid
-         |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1),
+         |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1
+         | UNION ALL
+         | SELECT vec_id AS c_id, cell AS c_cell FROM (
+         |  SELECT r.vec_id, c.cid AS cell,
+         |   row_number() OVER (PARTITION BY r.vec_id
+         |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
+         |  FROM routedq r CROSS JOIN d3 c
+         |  WHERE r.cid NOT IN (SELECT gid FROM fmap)) t WHERE rn = 1),
          |probes AS (
          | SELECT q_id, p_cell FROM (
          |  SELECT q.vec_id AS q_id, c.cid AS p_cell,
@@ -2403,14 +2436,28 @@ object Similarity {
        |   row_number() OVER (PARTITION BY r.vec_id
        |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
        |  FROM routb r JOIN fmap fm ON r.cid = fm.gid
-       |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1),
+       |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1
+       | UNION ALL
+       | SELECT vec_id AS c_id, cell AS c_cell FROM (
+       |  SELECT r.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY r.vec_id
+       |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
+       |  FROM routb r CROSS JOIN d3 c
+       |  WHERE r.cid NOT IN (SELECT gid FROM fmap)) t WHERE rn = 1),
        |afd AS (
        | SELECT vec_id AS c_id, cell AS c_cell FROM (
        |  SELECT r.vec_id, c.cid AS cell,
        |   row_number() OVER (PARTITION BY r.vec_id
        |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
        |  FROM routd r JOIN fmap fm ON r.cid = fm.gid
-       |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1),
+       |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1
+       | UNION ALL
+       | SELECT vec_id AS c_id, cell AS c_cell FROM (
+       |  SELECT r.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY r.vec_id
+       |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
+       |  FROM routd r CROSS JOIN d3 c
+       |  WHERE r.cid NOT IN (SELECT gid FROM fmap)) t WHERE rn = 1),
        |cells AS (
        | SELECT c_id, c_cell, 'base' AS seg FROM afb
        | UNION ALL
@@ -3025,7 +3072,14 @@ object Similarity {
          |   row_number() OVER (PARTITION BY r.vec_id
          |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
          |  FROM routed r JOIN fmap fm ON r.cid = fm.gid
-         |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1),
+         |   JOIN d3 c ON fm.fcid = c.cid) t WHERE rn = 1
+         | UNION ALL
+         | SELECT vec_id, gid, cell FROM (
+         |  SELECT r.vec_id, r.cid AS gid, c.cid AS cell,
+         |   row_number() OVER (PARTITION BY r.vec_id
+         |     ORDER BY ${dist("r.qv", "c.cv")}, c.cid) AS rn
+         |  FROM routed r CROSS JOIN d3 c
+         |  WHERE r.cid NOT IN (SELECT gid FROM fmap)) t WHERE rn = 1),
          |sampv AS (SELECT vec_id, qv FROM q WHERE vec_id % 97 = 0),
          |${assignCte("flat", "d3", "sampv")}
          |SELECT two.gid,
