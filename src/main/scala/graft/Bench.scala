@@ -272,8 +272,32 @@ object Bench {
         .map(t => s""""${t.getName.stripSuffix(".parquet")}":${bytes(t)}""")
         .mkString(""","corpus_bytes":{""", ",", "}")
     }
+    // PIN-FRESHNESS record (round 16, verdict #1): the r15 pin was
+    // committed BEFORE the round's two biggest perf commits, so the
+    // "pinned artifact is authoritative" rule pointed at dead code for
+    // ~15 rows. The artifact now records the HEAD commit it measured
+    // and whether src/main was dirty at measure time;
+    // PinFreshnessSpec fails the suite when src/main gains commits
+    // after the pinned commit, making staleness loud instead of a
+    // verdict finding.
+    val headJson = {
+      def git(cmd: String*): Option[String] = try {
+        val p = new ProcessBuilder(("git" +: cmd).asJava)
+          .redirectErrorStream(true).start()
+        val o = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0) Some(o) else None
+      } catch { case _: Throwable => None }
+      val head = git("rev-parse", "HEAD")
+      val dirty = git("status", "--porcelain", "--", "src/main")
+        .map(_.nonEmpty)
+      (head, dirty) match {
+        case (Some(h), Some(d)) => s""","head_commit":"$h","src_dirty":$d"""
+        case (Some(h), None)    => s""","head_commit":"$h""""
+        case _                  => ""
+      }
+    }
     val out =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson$sentinelJson$groupsJson$corpusJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson$sentinelJson$groupsJson$corpusJson$headJson,"sf":"$sfDir"}"""
     // Round-12 (verdict #7), corrected round-13 (verdict #4): the full
     // line runs to tens of KB at 270+ queries, and the driver captures a
     // bounded TAIL of stdout — so the compact self-contained summary

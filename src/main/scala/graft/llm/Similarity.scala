@@ -1646,6 +1646,52 @@ object Similarity {
         .orderBy(col("gid"))
     },
 
+    "v30_retrain_gate" -> { (s, dir) =>
+      // RETRAIN-DECISION GATE (round 16) — the graded decision the
+      // v23/v28 audits exist to drive, closing the serving lifecycle
+      // the way d43/v19b closed storage: measurements that nothing
+      // acts on are dashboards, not gates. One row: the exact integer
+      // evidence (suite-level sums of v23's delta-recall audit and
+      // v28's int8-agreement audit), a 0/1 verdict per pinned policy
+      // axis ([[RetrainRecallMinPct]] etc. — thresholds shared
+      // verbatim with the DuckDB twin), and the keep/retrain decision
+      // a nightly index job would branch on. All comparisons are
+      // integer cross-multiplications (sum·100 ≥ pct·denominator) —
+      // no float thresholds, so the decision is bit-identical across
+      // engines by construction. Cost: the two audits it aggregates
+      // (both |Q|-bounded probes over materialized artifacts); the
+      // gate itself is two 1-row aggregates and a broadcast cross
+      // join — nothing corpus-sized moves, at any scale.
+      val d = queries("v23_delta_recall")(s, dir)
+        .agg(count(lit(1)).as("n_q_delta"),
+          sum(col("hits")).as("sum_hits"),
+          sum(col("n_truth_delta")).as("sum_truth_delta"),
+          sum(col("hits_delta")).as("sum_hits_delta"))
+      val i = queries("v28_int8_recall_audit")(s, dir)
+        .agg(count(lit(1)).as("n_q_int8"),
+          sum(col("n_overlap")).as("sum_overlap"),
+          sum(col("top1_same")).as("sum_top1"))
+      d.crossJoin(broadcast(i))
+        .withColumn("recall_ok",
+          when(col("sum_hits") * 100L >=
+            lit(RetrainRecallMinPct) * 5L * col("n_q_delta"), 1L)
+            .otherwise(0L))
+        .withColumn("delta_ok",
+          when(col("sum_truth_delta") === 0L ||
+            col("sum_hits_delta") * 100L >=
+              lit(RetrainDeltaMinPct) * col("sum_truth_delta"), 1L)
+            .otherwise(0L))
+        .withColumn("int8_ok",
+          when(col("sum_overlap") * 100L >=
+            lit(RetrainInt8MinPct) * 5L * col("n_q_int8") &&
+            col("sum_top1") * 100L >=
+              lit(RetrainTop1MinPct) * col("n_q_int8"), 1L)
+            .otherwise(0L))
+        .withColumn("decision",
+          when(col("recall_ok") + col("delta_ok") + col("int8_ok")
+            === 3L, lit("keep")).otherwise(lit("retrain")))
+    },
+
     "v14_embed_dup_clusters" -> { (s, dir) =>
       // Duplicate CLUSTERING over the banded embedding near-dup pairs —
       // the embedding-side twin of d06, and the step SemDeDup-style
@@ -2088,6 +2134,21 @@ object Similarity {
   private val PqK = 8   // centroids per subspace
   private val PqSub = 8 // dims per subspace (64 / PqM)
   private val PqShortlist = 20 // ADC candidates kept for exact re-rank
+
+  /** v30 retrain-gate thresholds (round 16) — the PINNED policy the
+    * v23/v28 audit measurements exist to drive, shared verbatim with
+    * the DuckDB twin so both engines derive the identical decision by
+    * exact integer comparison (never a float threshold): keep the
+    * frozen codebook only while (a) overall probe recall holds
+    * ≥ 85 % of the 5-deep truth, (b) recall ON THE DELTA SEGMENT —
+    * the staleness axis, vectors quantized under a codebook that never
+    * saw them — holds ≥ 70 % of the delta truth, and (c) the int8
+    * serving quantizer agrees with float on ≥ 80 % of top-5 members
+    * and ≥ 90 % of top-1s. Any failing axis ⇒ retrain. */
+  private val RetrainRecallMinPct = 85L
+  private val RetrainDeltaMinPct = 70L
+  private val RetrainInt8MinPct = 80L
+  private val RetrainTop1MinPct = 90L
 
   /** Exact integer squared L2 over equal-length int64 arrays. */
   private def intSqDist(a: Column, b: Column): Column =
@@ -3145,6 +3206,107 @@ object Similarity {
          |FROM truth t LEFT JOIN approx a
          | ON t.q_id = a.q_id AND t.c_id = a.c_id
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+    },
+
+    "v30_retrain_gate" -> {
+      // DuckDB twin of the retrain gate: v23's serving+truth chain and
+      // v28's int8 chain recomputed inline, suite-level integer sums,
+      // and the IDENTICAL pinned-threshold cross-multiplications —
+      // both engines derive the decision from exact integer
+      // comparisons, so the verdict string is hash-stable.
+      s"""WITH ${annServeCtes("vec_id % 7 <> 0", "vec_id % 7 = 0",
+          "q.vec_id >= 100 AND q.vec_id < 120")},
+         |approx AS (SELECT q_id, c_id FROM reranked WHERE rnk <= 5),
+         |tp AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id >= 100 AND q.vec_id < 120),
+         |tr AS (
+         | SELECT q_id, c_id,
+         |  CASE WHEN c_id % 7 = 0 THEN 1 ELSE 0 END AS is_delta,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+         | FROM tp),
+         |truth AS (SELECT q_id, c_id, is_delta FROM tr WHERE rnk <= 5),
+         |d_audit AS (
+         | SELECT t.q_id,
+         |  CAST(COUNT(a.c_id) AS BIGINT) AS hits,
+         |  CAST(SUM(t.is_delta) AS BIGINT) AS n_truth_delta,
+         |  CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN t.is_delta
+         |    ELSE 0 END) AS BIGINT) AS hits_delta
+         | FROM truth t LEFT JOIN approx a
+         |  ON t.q_id = a.q_id AND t.c_id = a.c_id
+         | GROUP BY t.q_id),
+         |pf AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${cos("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |tf AS (
+         | SELECT q_id, c_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id) AS BIGINT) AS r_f
+         | FROM pf QUALIFY r_f <= 5),
+         |q8 AS (
+         | SELECT vec_id, list_transform(ed, x ->
+         |   CAST(round(x * (CASE WHEN mab = 0 THEN 0.0
+         |     ELSE 127.0 / mab END)) AS BIGINT)) AS q8
+         | FROM (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+         |     x -> abs(x))) AS mab
+         |  FROM embeddings WHERE embedding IS NOT NULL) t),
+         |pq AS (
+         | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |  CAST(list_sum(list_transform(range(64),
+         |    i -> a.q8[i+1] * b.q8[i+1])) AS BIGINT) AS dot
+         | FROM q8 a JOIN q8 b ON a.vec_id <> b.vec_id
+         | WHERE a.vec_id < 20),
+         |tq AS (
+         | SELECT q_id, c_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dot DESC, c_id) AS BIGINT) AS r_q
+         | FROM pq QUALIFY r_q <= 5),
+         |f AS (
+         | SELECT COALESCE(tf.q_id, tq.q_id) AS q_id,
+         |  COALESCE(tf.c_id, tq.c_id) AS c_id, tf.r_f, tq.r_q
+         | FROM tf FULL OUTER JOIN tq
+         |  ON tf.q_id = tq.q_id AND tf.c_id = tq.c_id),
+         |i_audit AS (
+         | SELECT q_id,
+         |  CAST(SUM(CASE WHEN r_f IS NOT NULL AND r_q IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         |  CAST(CASE WHEN MAX(CASE WHEN r_f = 1 THEN c_id END) =
+         |    MAX(CASE WHEN r_q = 1 THEN c_id END)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS top1_same
+         | FROM f GROUP BY q_id),
+         |dagg AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n_q_delta,
+         |  CAST(SUM(hits) AS BIGINT) AS sum_hits,
+         |  CAST(SUM(n_truth_delta) AS BIGINT) AS sum_truth_delta,
+         |  CAST(SUM(hits_delta) AS BIGINT) AS sum_hits_delta
+         | FROM d_audit),
+         |iagg AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n_q_int8,
+         |  CAST(SUM(n_overlap) AS BIGINT) AS sum_overlap,
+         |  CAST(SUM(top1_same) AS BIGINT) AS sum_top1
+         | FROM i_audit)
+         |SELECT *, CASE WHEN recall_ok + delta_ok + int8_ok = 3
+         |  THEN 'keep' ELSE 'retrain' END AS decision
+         |FROM (
+         | SELECT n_q_delta, sum_hits, sum_truth_delta, sum_hits_delta,
+         |  n_q_int8, sum_overlap, sum_top1,
+         |  CAST(CASE WHEN sum_hits * 100 >=
+         |    $RetrainRecallMinPct * 5 * n_q_delta
+         |    THEN 1 ELSE 0 END AS BIGINT) AS recall_ok,
+         |  CAST(CASE WHEN sum_truth_delta = 0 OR sum_hits_delta * 100 >=
+         |    $RetrainDeltaMinPct * sum_truth_delta
+         |    THEN 1 ELSE 0 END AS BIGINT) AS delta_ok,
+         |  CAST(CASE WHEN sum_overlap * 100 >=
+         |    $RetrainInt8MinPct * 5 * n_q_int8
+         |    AND sum_top1 * 100 >= $RetrainTop1MinPct * n_q_int8
+         |    THEN 1 ELSE 0 END AS BIGINT) AS int8_ok
+         | FROM dagg CROSS JOIN iagg) z""".stripMargin
     },
 
     "v18_indexed_ann" ->

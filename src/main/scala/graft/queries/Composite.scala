@@ -50,6 +50,89 @@ object Composite {
         Tables.load(s, dir, "orders"), 32, "o_orderkey"))
   }
 
+  /** REBUCKETING compaction (round 16) — the lifecycle fix for the
+    * bucketed warehouse's one frozen constant: c28's sf10 ratio (3.3×
+    * for 10× data) is per-bucket split growth with the bucket count
+    * pinned at 32 while data grew 100× — the exact argument d43/v19b
+    * settled for the text/ANN indexes, at the warehouse grain. The
+    * production answer is not "re-ingest the corpus at 128 buckets"
+    * but an ARTIFACT-to-ARTIFACT rewrite: read the existing 32-bucket
+    * tables (never the raw corpus) and re-bucket 32 → 128 — each
+    * table pays exactly ONE shuffle (the repartition that IS the
+    * re-bucketing) plus a bucket-aligned write, and every downstream
+    * exchange-free join/window/pruning shape survives unchanged on
+    * the new count (both facts re-bucket together — the co-location
+    * contract says the counts MUST agree). Cached under its own
+    * family key, so the 32- and 128-bucket warehouses coexist and the
+    * graded c28/c30/c31 rows keep their original layout. */
+  private def ensureRebucketedFacts(s: SparkSession,
+                                    dir: String): (DataFrame, DataFrame) = {
+    val (l32, o32) = ensureBucketedFacts(s, dir)
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    (CatalogPublish.bucketed(s, s"graft_l_bkt128_$key",
+      new java.io.File(s"$dir/lineitem.parquet"), "graft_l_bkt128",
+      l32, 128, "l_orderkey"),
+      CatalogPublish.bucketed(s, s"graft_o_bkt128_$key",
+        new java.io.File(s"$dir/orders.parquet"), "graft_o_bkt128",
+        o32, 128, "o_orderkey"))
+  }
+
+  /** c28's report body over an explicit bucketed (lineitem, orders)
+    * pair — factored (round 16) so the 32-bucket graded row and the
+    * re-bucketed 128-bucket row run the IDENTICAL plan over the two
+    * layouts; same rows as c09 (bucketing is physical, not
+    * semantics). */
+  private def colocFrequentBest(l: DataFrame, o: DataFrame): DataFrame = {
+    val lo = l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+    val freq = lo.filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 4).select(col("l_partkey"))
+    val spend = lo.groupBy(col("o_custkey"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .as("spend"))
+    val thresh = spend
+      .agg((max(col("spend")).cast("double") / 2).as("half_max"))
+    val best = spend.crossJoin(thresh)
+      .filter(col("spend").cast("double") > col("half_max"))
+      .select(col("o_custkey"))
+    lo.filter(year(col("o_orderdate")) === 1997)
+      .join(freq, Seq("l_partkey"), "left_semi")
+      .join(best, Seq("o_custkey"), "left_semi")
+      .groupBy(month(col("o_orderdate")).cast("long").as("mth"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("rev"),
+        count(lit(1)).as("n"))
+      .orderBy(col("mth"))
+  }
+
+  /** c30's exchange-free window body over an explicit bucketed
+    * lineitem (see [[colocFrequentBest]]'s factoring rationale). */
+  private def colocWindow(l: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    l.filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("line_seq", row_number().over(w).cast("long"))
+      .withColumn("run_amount",
+        sum(dec(col("l_extendedprice"))).over(w.rowsBetween(uPre, 0))
+          .cast("double"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("line_seq"),
+        col("run_amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** c31's bucket-pruned point lookup over an explicit bucketed
+    * lineitem (see [[colocFrequentBest]]'s factoring rationale). */
+  private def bucketLookup(l: DataFrame): DataFrame =
+    l.filter(col("l_orderkey").isin(1L, 7L, 33L, 129L))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_orderkey"))
+
   /** 2-d bit-interleave of two [[zorderNormalized]] 10-bit keys — the
     * Z-value every real `OPTIMIZE ... ZORDER BY` computes (shared by
     * c29's exact-ntile layout and c29b's sketch-cut layout). */
@@ -65,10 +148,16 @@ object Composite {
     * file footers): the step every real Z-ORDER implementation performs,
     * and load-bearing — raw interleave lets the wider key's high bits
     * dominate and degenerates to a 1-d sort (see c29's rationale). */
-  private def zorderNormalized(s: SparkSession, dir: String): DataFrame = {
-    val l0 = Tables.load(s, dir, "lineitem")
+  private def zorderNormalized(s: SparkSession, dir: String,
+      rowFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val l0full = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
+    // Optional deterministic row subset (c29c): the filter applies
+    // BEFORE the stats pass, so the sampled audit is self-contained —
+    // normalization, tile boundaries and bounding boxes all derive
+    // from the sampled sub-corpus, exactly as the DuckDB twin does.
+    val l0 = rowFilter.map(l0full.filter).getOrElse(l0full)
     val stats = l0.agg(min(col("l_partkey")).as("pkmn"),
       max(col("l_partkey")).as("pkmx"),
       min(col("l_suppkey")).as("skmn"),
@@ -82,6 +171,67 @@ object Composite {
           " ELSE ((l_suppkey - skmn) * 1023) div (skmx - skmn) END"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"), col("npk"), col("nsk"))
+  }
+
+  /** c29's exact two-grain ntile layout audit over an explicit
+    * normalized frame — factored (round 16) so the full-corpus audit
+    * row (c29) and the md5-sampled bounded row (c29c) run the
+    * IDENTICAL prefix-sum machinery; only the input frame differs. */
+  private def zorderExactAudit(l: DataFrame): DataFrame = {
+    val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val uFol = org.apache.spark.sql.expressions.Window.unboundedFollowing
+    def leg(name: String, key: org.apache.spark.sql.Column,
+            bucketShift: Int): DataFrame = {
+      // Coarse bucket = high bits of the sort key: order-compatible
+      // with the total order, bounded count, so the only global
+      // window runs over bucket TOTALS, not rows.
+      val keyed = l.withColumn("k", key)
+        .withColumn("bucket", shiftrightunsigned(col("k"), bucketShift))
+      val wCut = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+      val cuts = keyed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("cum_before",
+          coalesce(sum(col("bn")).over(wCut.rowsBetween(uPre, -1)),
+            lit(0L)))
+        .withColumn("total", sum(col("bn")).over(wCut.rowsBetween(uPre, uFol)))
+        .select(col("bucket"), col("cum_before"), col("total"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"))
+        .orderBy(col("k"), col("l_orderkey"), col("l_linenumber"))
+      // Exact ntile(32) boundaries from (rn, total): the first
+      // total%32 tiles carry one extra row.
+      keyed.join(broadcast(cuts), "bucket")
+        .withColumn("rn", col("cum_before") + row_number().over(wIn))
+        .withColumn("base", expr("total div 32"))
+        .withColumn("rem", col("total") % 32)
+        .withColumn("cutoff", col("rem") * (col("base") + 1))
+        .withColumn("f", expr(
+          "CAST(CASE WHEN rn <= cutoff THEN (rn - 1) div (base + 1) + 1" +
+            " ELSE rem + (rn - cutoff - 1) div base + 1 END AS BIGINT)"))
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"),
+          max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"),
+          max(col("l_suppkey")).as("sk_max"))
+        .withColumn("layout", lit(name))
+        // Dx rule: exact DECIMAL product (≙ HUGEINT), one closing
+        // double cast. At the sf10 leg a file's span on each key
+        // reaches ~1e11, so a long product overflows 2^63 and ANSI
+        // mode throws — the bounding-box product must be
+        // overflow-proof at any scale; both engines round the same
+        // exact integer to the same double.
+        .withColumn("span_product", expr(
+          "CAST(CAST(pk_max - pk_min AS DECIMAL(19,0))" +
+            " * CAST(sk_max - sk_min AS DECIMAL(19,0)) AS DOUBLE)"))
+    }
+    leg("pk_sort", col("l_partkey"), 8)
+      .unionByName(leg("zorder", zval(col("npk"), col("nsk")), 13))
+      .select(col("layout"), col("f"), col("n_rows"),
+        col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+        col("span_product"))
+      .orderBy(col("layout"), col("f"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -810,26 +960,35 @@ object Composite {
       // where the graded SF would broadcast, so the frozen plan IS the
       // at-scale plan.
       val (l, o) = ensureBucketedFacts(s, dir)
-      val lo = l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
-      val freq = lo.filter(year(col("o_orderdate")) === 1996)
-        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 4).select(col("l_partkey"))
-      val spend = lo.groupBy(col("o_custkey"))
-        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
-          .as("spend"))
-      val thresh = spend
-        .agg((max(col("spend")).cast("double") / 2).as("half_max"))
-      val best = spend.crossJoin(thresh)
-        .filter(col("spend").cast("double") > col("half_max"))
-        .select(col("o_custkey"))
-      lo.filter(year(col("o_orderdate")) === 1997)
-        .join(freq, Seq("l_partkey"), "left_semi")
-        .join(best, Seq("o_custkey"), "left_semi")
-        .groupBy(month(col("o_orderdate")).cast("long").as("mth"))
-        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
-            .cast("double").as("rev"),
-          count(lit(1)).as("n"))
-        .orderBy(col("mth"))
+      colocFrequentBest(l, o)
+    },
+
+    "c28r_rebucketed_join" -> { (s, dir) =>
+      // c28 OVER THE RE-BUCKETED (32 → 128) warehouse — the graded
+      // proof that [[ensureRebucketedFacts]]'s artifact-to-artifact
+      // rewrite preserves the co-location contract: the identical
+      // report body runs exchange-free on the new bucket count (plan
+      // pins in PlanShapeSpec assert zero fact-side Exchange and
+      // 128-bucket scans), and the oracle is c28's verbatim — the
+      // rewrite is physical layout only. At 100 TB this is the
+      // nightly answer to per-bucket split growth: re-bucket at one
+      // shuffle's cost instead of living with 32 ever-fatter buckets.
+      val (l, o) = ensureRebucketedFacts(s, dir)
+      colocFrequentBest(l, o)
+    },
+
+    "c30r_rebucketed_window" -> { (s, dir) =>
+      // c30's exchange-free window, re-graded on the 128-bucket
+      // layout (oracle verbatim — see c28r).
+      colocWindow(ensureRebucketedFacts(s, dir)._1)
+    },
+
+    "c31r_rebucketed_lookup" -> { (s, dir) =>
+      // c31's bucket-pruned lookup, re-graded on the 128-bucket
+      // layout: the same 4 keys now prune to ≤4 of 128 buckets —
+      // pruning selectivity IMPROVES with the re-bucket while the
+      // result stays bit-identical (oracle verbatim — see c28r).
+      bucketLookup(ensureRebucketedFacts(s, dir)._1)
     },
 
     "c26_sales_returns_rollup" -> { (s, dir) =>
@@ -937,61 +1096,30 @@ object Composite {
       // in production this assignment IS the repartitionByRange write;
       // the audit aggregate is 64 rows. The span-product column makes
       // the comparison one ORDER BY away.
-      val l = zorderNormalized(s, dir)
-      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
-      val uFol = org.apache.spark.sql.expressions.Window.unboundedFollowing
-      def leg(name: String, key: org.apache.spark.sql.Column,
-              bucketShift: Int): DataFrame = {
-        // Coarse bucket = high bits of the sort key: order-compatible
-        // with the total order, bounded count, so the only global
-        // window runs over bucket TOTALS, not rows.
-        val keyed = l.withColumn("k", key)
-          .withColumn("bucket", shiftrightunsigned(col("k"), bucketShift))
-        val wCut = org.apache.spark.sql.expressions.Window
-          .orderBy(col("bucket"))
-        val cuts = keyed.groupBy(col("bucket"))
-          .agg(count(lit(1)).as("bn"))
-          .withColumn("cum_before",
-            coalesce(sum(col("bn")).over(wCut.rowsBetween(uPre, -1)),
-              lit(0L)))
-          .withColumn("total", sum(col("bn")).over(wCut.rowsBetween(uPre, uFol)))
-          .select(col("bucket"), col("cum_before"), col("total"))
-        val wIn = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("bucket"))
-          .orderBy(col("k"), col("l_orderkey"), col("l_linenumber"))
-        // Exact ntile(32) boundaries from (rn, total): the first
-        // total%32 tiles carry one extra row.
-        keyed.join(broadcast(cuts), "bucket")
-          .withColumn("rn", col("cum_before") + row_number().over(wIn))
-          .withColumn("base", expr("total div 32"))
-          .withColumn("rem", col("total") % 32)
-          .withColumn("cutoff", col("rem") * (col("base") + 1))
-          .withColumn("f", expr(
-            "CAST(CASE WHEN rn <= cutoff THEN (rn - 1) div (base + 1) + 1" +
-              " ELSE rem + (rn - cutoff - 1) div base + 1 END AS BIGINT)"))
-          .groupBy(col("f"))
-          .agg(count(lit(1)).as("n_rows"),
-            min(col("l_partkey")).as("pk_min"),
-            max(col("l_partkey")).as("pk_max"),
-            min(col("l_suppkey")).as("sk_min"),
-            max(col("l_suppkey")).as("sk_max"))
-          .withColumn("layout", lit(name))
-          // Dx rule: exact DECIMAL product (≙ HUGEINT), one closing
-          // double cast. At the sf10 leg a file's span on each key
-          // reaches ~1e11, so a long product overflows 2^63 and ANSI
-          // mode throws — the bounding-box product must be
-          // overflow-proof at any scale; both engines round the same
-          // exact integer to the same double.
-          .withColumn("span_product", expr(
-            "CAST(CAST(pk_max - pk_min AS DECIMAL(19,0))" +
-              " * CAST(sk_max - sk_min AS DECIMAL(19,0)) AS DOUBLE)"))
-      }
-      leg("pk_sort", col("l_partkey"), 8)
-        .unionByName(leg("zorder", zval(col("npk"), col("nsk")), 13))
-        .select(col("layout"), col("f"), col("n_rows"),
-          col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
-          col("span_product"))
-        .orderBy(col("layout"), col("f"))
+      zorderExactAudit(zorderNormalized(s, dir))
+    },
+
+    "c29c_zorder_exact_sampled" -> { (s, dir) =>
+      // c29's EXACT ntile audit, bounded (round 16): the full-corpus
+      // exact leg is an expensive oracle at scale (152.5 s and a
+      // 48 GiB heap at sf10, for an audit whose production path c29b
+      // answers at 37.7 s on the default heap) — so the exact-regime
+      // audit a scale leg runs is this one: the identical two-grain
+      // prefix-sum ntile machinery over a DETERMINISTIC md5-elected
+      // ~1/8 row subset (the d29b coin discipline — both engines
+      // recompute the same coin, so the report stays hash-exact, not
+      // a seeded sample). The filter applies BEFORE the stats pass:
+      // normalization, tile boundaries and bounding boxes all derive
+      // from the sampled sub-corpus, so the audit is self-contained
+      // and its layout conclusions (1-d sort leaves full-range
+      // suppkey spans; z-order bounds both) read the same. The
+      // full-corpus exact leg (c29) stays the ≤sf1 audit; c29b stays
+      // the production path with its full-corpus oracle.
+      val coin = conv(substring(md5(concat(
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"), lit(":zs1"))
+        .cast("binary")), 1, 15), 16, 10).cast("long") % 8 === 0
+      zorderExactAudit(zorderNormalized(s, dir, Some(coin)))
     },
 
     "c29b_zorder_sketch_cuts" -> { (s, dir) =>
@@ -1066,20 +1194,7 @@ object Composite {
       // shuffling a single row; the plan golden pins the bucketed scan
       // with zero Exchange below the Window. Exact decimal running sum
       // (the Dx rule), one closing double cast.
-      val (l, _) = ensureBucketedFacts(s, dir)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
-      val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
-      l.filter(col("l_orderkey") <= 2000)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"))
-        .withColumn("line_seq", row_number().over(w).cast("long"))
-        .withColumn("run_amount",
-          sum(dec(col("l_extendedprice"))).over(w.rowsBetween(uPre, 0))
-            .cast("double"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("line_seq"),
-          col("run_amount"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      colocWindow(ensureBucketedFacts(s, dir)._1)
     },
 
     "c31_bucket_pruned_lookup" -> { (s, dir) =>
@@ -1095,13 +1210,7 @@ object Composite {
       // composes with the zero-Exchange join/window shapes on the same
       // layout. The aggregate itself is a bounded per-order summary
       // (the Dx decimal rule for the money sums).
-      val (l, _) = ensureBucketedFacts(s, dir)
-      l.filter(col("l_orderkey").isin(1L, 7L, 33L, 129L))
-        .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_lines"),
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"))
-        .orderBy(col("l_orderkey"))
+      bucketLookup(ensureBucketedFacts(s, dir)._1)
     },
 
     "c32_dpp_prune" -> { (s, dir) =>
@@ -1378,27 +1487,13 @@ object Composite {
         |GROUP BY 1 ORDER BY mth""".stripMargin,
 
     // c28 computes exactly c09's report (bucketing is physical layout,
-    // not semantics) — its oracle is c09's SQL verbatim.
-    "c28_colocated_frequent_best" ->
-      """WITH lo AS (
-        | SELECT l_partkey, o_custkey, o_orderdate,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS rev
-        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |freq AS (
-        | SELECT l_partkey FROM lo WHERE year(o_orderdate) = 1996
-        | GROUP BY l_partkey HAVING COUNT(*) > 4),
-        |spend AS (
-        | SELECT o_custkey, SUM(rev) AS spend FROM lo GROUP BY o_custkey),
-        |best AS (
-        | SELECT o_custkey FROM spend
-        | WHERE CAST(spend AS DOUBLE) > (SELECT CAST(MAX(spend) AS DOUBLE) / 2 FROM spend))
-        |SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
-        | CAST(SUM(rev) AS DOUBLE) AS rev, COUNT(*) AS n
-        |FROM lo
-        |WHERE year(o_orderdate) = 1997
-        |  AND l_partkey IN (SELECT l_partkey FROM freq)
-        |  AND o_custkey IN (SELECT o_custkey FROM best)
-        |GROUP BY 1 ORDER BY mth""".stripMargin,
+    // not semantics) — its oracle is c09's SQL verbatim; c28r/c30r/
+    // c31r (the 128-bucket re-graded rows) share the IDENTICAL
+    // strings, because the re-bucket must change nothing but layout.
+    "c28_colocated_frequent_best" -> colocFrequentBestSql,
+    "c28r_rebucketed_join" -> colocFrequentBestSql,
+    "c30r_rebucketed_window" -> colocWindowSql,
+    "c31r_rebucketed_lookup" -> bucketLookupSql,
 
     "c10_having_count" ->
       """SELECT c_custkey, c_name, c_mktsegment, cnt
@@ -1782,52 +1877,17 @@ object Composite {
         | sz_bucket ASC NULLS FIRST, p_size ASC NULLS FIRST
         |LIMIT 100""".stripMargin,
 
-    "c29_zorder_layout" -> {
-      val z = (0 until 10).map(i =>
-        s"(((npk >> $i) & 1) << ${2 * i + 1})" +
-          s" + (((nsk >> $i) & 1) << ${2 * i})")
-        .mkString("\n    + ")
-      def leg(name: String, key: String): String =
-        s"""SELECT '$name' AS layout, f, COUNT(*) AS n_rows,
-           |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
-           |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,
-           |  CAST(CAST(MAX(l_partkey) - MIN(l_partkey) AS HUGEINT)
-           |    * (MAX(l_suppkey) - MIN(l_suppkey)) AS DOUBLE)
-           |   AS span_product
-           | FROM (
-           |  SELECT l_partkey, l_suppkey,
-           |   CAST(CASE WHEN rn <= rem * (base + 1)
-           |     THEN (rn - 1) // (base + 1) + 1
-           |     ELSE rem + (rn - rem * (base + 1) - 1) // base + 1 END
-           |    AS BIGINT) AS f
-           |  FROM (
-           |   SELECT l_partkey, l_suppkey,
-           |    row_number() OVER
-           |      (ORDER BY $key, l_orderkey, l_linenumber) AS rn,
-           |    COUNT(*) OVER () // 32 AS base,
-           |    COUNT(*) OVER () % 32 AS rem
-           |   FROM zl))
-           | GROUP BY f""".stripMargin
-      s"""WITH stats AS (
-         | SELECT MIN(l_partkey) AS pkmn, MAX(l_partkey) AS pkmx,
-         |  MIN(l_suppkey) AS skmn, MAX(l_suppkey) AS skmx
-         | FROM lineitem),
-         |nl AS (
-         | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         |  CASE WHEN pkmx = pkmn THEN CAST(0 AS BIGINT)
-         |   ELSE ((l_partkey - pkmn) * 1023) // (pkmx - pkmn) END AS npk,
-         |  CASE WHEN skmx = skmn THEN CAST(0 AS BIGINT)
-         |   ELSE ((l_suppkey - skmn) * 1023) // (skmx - skmn) END AS nsk
-         | FROM lineitem CROSS JOIN stats),
-         |zl AS (
-         | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         |  ($z) AS zk
-         | FROM nl)
-         |${leg("pk_sort", "l_partkey")}
-         |UNION ALL
-         |${leg("zorder", "zk")}
-         |ORDER BY layout, f""".stripMargin
-    },
+    "c29_zorder_layout" -> zorderExactAuditSql("lineitem"),
+
+    // c29c: the identical exact-audit SQL over the md5-elected ~1/8
+    // row subset — the coin applies BEFORE the stats pass on both
+    // engines, so the sampled audit is self-contained (see the Spark
+    // side's rationale).
+    "c29c_zorder_exact_sampled" -> zorderExactAuditSql(
+      "(SELECT * FROM lineitem WHERE ('0x' || " +
+        "substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR) || ':zs1'), 1, 15))::BIGINT " +
+        "% 8 = 0) li"),
 
     "c29b_zorder_sketch_cuts" -> {
       val z = (0 until 10).map(i =>
@@ -1885,26 +1945,107 @@ object Composite {
          |ORDER BY layout, f""".stripMargin
     },
 
-    "c30_colocated_window" ->
-      """SELECT l_orderkey, l_linenumber,
-        | CAST(row_number() OVER w AS BIGINT) AS line_seq,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER
-        |   (PARTITION BY l_orderkey ORDER BY l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS DOUBLE) AS run_amount
-        |FROM lineitem WHERE l_orderkey <= 2000
-        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "c30_colocated_window" -> colocWindowSql,
 
     // Bucketing is physical layout only — the pruned scan must return
     // exactly what the plain parquet scan returns.
-    "c31_bucket_pruned_lookup" ->
-      """SELECT l_orderkey, COUNT(*) AS n_lines,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-        |   AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-        |   AS sum_price
-        |FROM lineitem WHERE l_orderkey IN (1, 7, 33, 129)
-        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+    "c31_bucket_pruned_lookup" -> bucketLookupSql
   )
+
+  /** c29's exact-ntile audit SQL over a parameterized row source —
+    * `src` is either `lineitem` (c29) or the md5-coin-filtered
+    * subquery (c29c); everything downstream (stats, normalization,
+    * z-interleave, exact tile math, bounding boxes) derives from the
+    * same source on both engines. */
+  private def zorderExactAuditSql(src: String): String = {
+    val z = (0 until 10).map(i =>
+      s"(((npk >> $i) & 1) << ${2 * i + 1})" +
+        s" + (((nsk >> $i) & 1) << ${2 * i})")
+      .mkString("\n    + ")
+    def leg(name: String, key: String): String =
+      s"""SELECT '$name' AS layout, f, COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+         |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,
+         |  CAST(CAST(MAX(l_partkey) - MIN(l_partkey) AS HUGEINT)
+         |    * (MAX(l_suppkey) - MIN(l_suppkey)) AS DOUBLE)
+         |   AS span_product
+         | FROM (
+         |  SELECT l_partkey, l_suppkey,
+         |   CAST(CASE WHEN rn <= rem * (base + 1)
+         |     THEN (rn - 1) // (base + 1) + 1
+         |     ELSE rem + (rn - rem * (base + 1) - 1) // base + 1 END
+         |    AS BIGINT) AS f
+         |  FROM (
+         |   SELECT l_partkey, l_suppkey,
+         |    row_number() OVER
+         |      (ORDER BY $key, l_orderkey, l_linenumber) AS rn,
+         |    COUNT(*) OVER () // 32 AS base,
+         |    COUNT(*) OVER () % 32 AS rem
+         |   FROM zl))
+         | GROUP BY f""".stripMargin
+    s"""WITH stats AS (
+       | SELECT MIN(l_partkey) AS pkmn, MAX(l_partkey) AS pkmx,
+       |  MIN(l_suppkey) AS skmn, MAX(l_suppkey) AS skmx
+       | FROM $src),
+       |nl AS (
+       | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CASE WHEN pkmx = pkmn THEN CAST(0 AS BIGINT)
+       |   ELSE ((l_partkey - pkmn) * 1023) // (pkmx - pkmn) END AS npk,
+       |  CASE WHEN skmx = skmn THEN CAST(0 AS BIGINT)
+       |   ELSE ((l_suppkey - skmn) * 1023) // (skmx - skmn) END AS nsk
+       | FROM $src CROSS JOIN stats),
+       |zl AS (
+       | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ($z) AS zk
+       | FROM nl)
+       |${leg("pk_sort", "l_partkey")}
+       |UNION ALL
+       |${leg("zorder", "zk")}
+       |ORDER BY layout, f""".stripMargin
+  }
+
+  /** Shared oracle SQL for the bucketed family, used verbatim by both
+    * the 32-bucket graded rows (c28/c30/c31) and their 128-bucket
+    * re-graded twins (c28r/c30r/c31r): bucket layout may never change
+    * a row. */
+  private val colocFrequentBestSql =
+    """WITH lo AS (
+      | SELECT l_partkey, o_custkey, o_orderdate,
+      |  CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS rev
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |freq AS (
+      | SELECT l_partkey FROM lo WHERE year(o_orderdate) = 1996
+      | GROUP BY l_partkey HAVING COUNT(*) > 4),
+      |spend AS (
+      | SELECT o_custkey, SUM(rev) AS spend FROM lo GROUP BY o_custkey),
+      |best AS (
+      | SELECT o_custkey FROM spend
+      | WHERE CAST(spend AS DOUBLE) > (SELECT CAST(MAX(spend) AS DOUBLE) / 2 FROM spend))
+      |SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+      | CAST(SUM(rev) AS DOUBLE) AS rev, COUNT(*) AS n
+      |FROM lo
+      |WHERE year(o_orderdate) = 1997
+      |  AND l_partkey IN (SELECT l_partkey FROM freq)
+      |  AND o_custkey IN (SELECT o_custkey FROM best)
+      |GROUP BY 1 ORDER BY mth""".stripMargin
+
+  private val colocWindowSql =
+    """SELECT l_orderkey, l_linenumber,
+      | CAST(row_number() OVER w AS BIGINT) AS line_seq,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER
+      |   (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS run_amount
+      |FROM lineitem WHERE l_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private val bucketLookupSql =
+    """SELECT l_orderkey, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |   AS sum_price
+      |FROM lineitem WHERE l_orderkey IN (1, 7, 33, 129)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 }

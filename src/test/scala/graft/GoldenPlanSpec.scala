@@ -286,6 +286,12 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // machinery it exists to replace); the audit is one hash aggregate
     // per leg over the persisted normalization.
     "c29b_zorder_sketch_cuts",
+    // z-order exact audit, md5-sampled bounded leg (round 16): the
+    // same two-grain machinery as c29 but the codegen'd md5 coin
+    // filter must sit IN the scan stage (a missing coin means the
+    // bounded audit silently regressed to the full-corpus exact leg
+    // it exists to replace at scale).
+    "c29c_zorder_exact_sampled",
     // PageRank authority: each of the 3 rounds is ONE edge⋈rank
     // equi-join + partial-aggregated groupBy(dst); the edge list reads
     // off the d06-style checkpoint barrier (a re-mined pair join per
@@ -357,6 +363,17 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // golden) — a scan reading all 32 buckets for a 4-key point lookup
     // is a regression.
     "c31_bucket_pruned_lookup",
+    // round-16 re-bucketed warehouse (32 → 128 artifact-to-artifact
+    // rewrite): the SAME three layout payoffs must survive the new
+    // bucket count — c28r's base joins exchange-free SMJ over
+    // 128-bucket scans, c30r's window with zero Exchange below it,
+    // c31r's lookup pruned to ≤4 of 128 buckets. A fact-side Exchange
+    // (or "out of 32" scans) in any of these goldens means the
+    // re-bucket silently broke the co-location contract it exists to
+    // carry forward.
+    "c28r_rebucketed_join",
+    "c30r_rebucketed_window",
+    "c31r_rebucketed_lookup",
     // charset audit: one codegen'd projection over the scan + one
     // bounded per-source aggregate — any Exchange before the groupBy's
     // partial aggregate (or a regex-bearing filter) would show here.
