@@ -68,4 +68,45 @@ class PinFreshnessSpec extends AnyFunSuite {
         "the full sf0.1 bench on HEAD and re-pin as the round's last " +
         "act.")
   }
+
+  // Round-16 (verdict #2): the per-query bench deliberately warms the
+  // materialized indexes, so a BUILD-path regression — the exact class
+  // round 15 fixed — is invisible to bench_pinned.json. The committed
+  // ann_build.json (graft.tools.BuildBench: cold-vs-warm lifecycle
+  // rows for the ANN and text index families, sentinel-normalized) is
+  // the instrument; this test makes its presence, coverage and
+  // freshness part of the suite.
+  test("ann_build.json: committed, covers both index lifecycles, and " +
+    "postdates every src/main commit") {
+    val p = Paths.get("ann_build.json")
+    assert(Files.exists(p),
+      "ann_build.json missing — run SPARK_GRAFT_CPUS=32 sbt " +
+        "'runMain graft.tools.BuildBench' and commit the artifact.")
+    val txt = Files.readString(p)
+    val required = Seq("v18_indexed_ann", "v19_delta_ann",
+      "v19b_ann_compaction", "d21_indexed_ingest",
+      "d23_index_delta_append", "d43_index_compaction")
+    val missing = required.filterNot(r => txt.contains("\"" + r + "\""))
+    assert(missing.isEmpty,
+      s"ann_build.json lacks lifecycle rows: ${missing.mkString(", ")}")
+    assert(txt.contains("\"sentinel_sec\""),
+      "ann_build.json carries no sentinel — build numbers are not " +
+        "load-normalizable across rounds")
+    val head = """"head_commit":"([0-9a-f]{7,40})"""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    assert(head.nonEmpty, "ann_build.json carries no head_commit")
+    val dirty = """"src_dirty":(true|false)""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    assert(!dirty.contains("true"),
+      "ann_build.json was measured on a dirty src/main tree")
+    assume(git("rev-parse", "HEAD").isDefined, "git unavailable")
+    assume(gitOk("cat-file", "-e", head.get),
+      "build pin's head_commit unknown to this clone")
+    val lastSrc = git("log", "-1", "--format=%H", "HEAD", "--",
+      "src/main")
+    assume(lastSrc.exists(_.nonEmpty), "no src/main history visible")
+    assert(gitOk("merge-base", "--is-ancestor", lastSrc.get, head.get),
+      s"src/main moved after ann_build.json was measured — re-run " +
+        "graft.tools.BuildBench on HEAD and re-commit the artifact.")
+  }
 }
