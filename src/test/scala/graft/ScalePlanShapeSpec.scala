@@ -211,6 +211,39 @@ class ScalePlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"c31 lost bucket pruning at sf10:\n$p31")
   }
 
+  test("sf10: the RE-BUCKETED (32→128) warehouse re-earns every " +
+    "layout payoff at 100× — c28r exchange-free base joins over " +
+    "128-bucket scans, c30r no-shuffle window, c31r 4-of-128 pruning " +
+    "(round 16: the rebucket is pointless unless the co-location " +
+    "contract survives the artifact-to-artifact rewrite AT the scale " +
+    "that motivated it)") {
+    assume(sf10Present, "sf10 corpus absent (run graft.tools.ScaleUp ×10)")
+    val p28 = planAt(sf10, "c28r_rebucketed_join")
+    assert("Bucketed: true".r.findAllIn(p28).size >= 4,
+      s"expected bucketed fact scans at sf10 (128):\n$p28")
+    assert(p28.contains("SelectedBucketsCount: 128 out of 128"),
+      s"expected full 128-bucket-aligned read at sf10:\n$p28")
+    val lines = p28.linesIterator.toArray
+    val cleanJoins = lines.indices.count { i =>
+      lines(i).contains("SortMergeJoin [l_orderkey") && {
+        val seg = lines.slice(i, math.min(i + 14, lines.length))
+        seg.count(_.contains("Bucketed: true")) >= 2 &&
+        !seg.exists(l => l.contains("Exchange hashpartitioning(l_orderkey") ||
+          l.contains("Exchange hashpartitioning(o_orderkey"))
+      }
+    }
+    assert(cleanJoins >= 2,
+      s"expected >=2 exchange-free 128-bucket base joins at sf10:\n$p28")
+    val p30 = planAt(sf10, "c30r_rebucketed_window")
+    assert(p30.contains("Bucketed: true"),
+      s"c30r must read the re-bucketed fact at sf10:\n$p30")
+    assert(!p30.contains("Exchange hashpartitioning"),
+      s"c30r's window re-shuffled a co-located fact at sf10:\n$p30")
+    val p31 = planAt(sf10, "c31r_rebucketed_lookup")
+    assert(p31.contains("SelectedBucketsCount: 4 out of 128"),
+      s"c31r lost bucket pruning on the 128-bucket layout at sf10:\n$p31")
+  }
+
   test("sf1: d21 probes the materialized index segments, no corpus re-hash") {
     assume(sf1Present, "sf1 corpus absent (run graft.tools.ScaleUp)")
     val p = plan("d21_indexed_ingest")
