@@ -292,6 +292,20 @@ class GoldenPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bounded audit silently regressed to the full-corpus exact leg
     // it exists to replace at scale).
     "c29c_zorder_exact_sampled",
+    // retrain gate: the decision must derive from the two audit
+    // subtrees' aggregates — both |Q|-bounded probe plans (v23's
+    // broadcast 20-query truth join + v19's indexed serving scan,
+    // v28's vec_id<20 slices), two 1-row aggregates, one broadcast
+    // cross join; a corpus×corpus subtree or a third corpus scan
+    // appearing here means an audit regressed.
+    "v30_retrain_gate",
+    // simhash dedup: crossed the 2×-sentinel line by 0.3% in the
+    // round-16 pin (1.376 s vs 0.686 median, its child's PRE sentinel
+    // read 0.855 — a loaded window); the rule is mechanical, so the
+    // plan freezes: one tokenize→sign-accumulate projection into the
+    // banded self-join on the 16-bit band keys, no corpus×corpus
+    // candidate pair stage.
+    "d05_simhash",
     // PageRank authority: each of the 3 rounds is ONE edge⋈rank
     // equi-join + partial-aggregated groupBy(dst); the edge list reads
     // off the d06-style checkpoint barrier (a re-mined pair join per

@@ -1060,8 +1060,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet(s"$tmpdir/graft_postings_index/$pfp/postings")
     val vocab = s.read.parquet(s"$tmpdir/graft_postings_index/$pfp/vocab")
     val stats = s.read.parquet(s"$tmpdir/graft_postings_index/$pfp/stats")
-    val cents = s.read.parquet(s"$tmpdir/graft_ann_index/$afp-t2/cents")
-    val cells = s.read.parquet(s"$tmpdir/graft_ann_index/$afp-t2/cells")
+    val cents = s.read.parquet(s"$tmpdir/graft_ann_index/$afp-t2f/cents")
+    val cells = s.read.parquet(s"$tmpdir/graft_ann_index/$afp-t2f/cells")
     val emb = Tables.load(s, sf, "embeddings")
     val nProbe = math.max(1L, math.round(
       math.round(math.sqrt(emb.count().toDouble)) / 4.0)).toInt
