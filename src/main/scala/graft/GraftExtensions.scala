@@ -88,6 +88,19 @@ object GraftExtensions {
         graft.functions.TokHashes(children(0))
       }))
     e.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[graft.functions.Simhash16].getName,
+        "simhash16"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "simhash16", "expectedNum" -> "1",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        graft.functions.Simhash16(children(0))
+      }))
+    e.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
         "shingle_hashes"),

@@ -89,6 +89,71 @@ case class ShingleHashes(child: Expression, k: Int)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `simhash16(hashes)` — the 16-bit SimHash bit-majority vote over an
+  * `array<bigint>` of token hashes, fused into one codegen'd loop
+  * (round 16, guide §4): for each bit j, vote +1 per element with bit j
+  * set and −1 otherwise; the result sets bit j iff the vote is
+  * positive. Bit-identical to the `(0 until 16).map(j => aggregate(th,
+  * ...))` higher-order composition it replaces — that form dispatched
+  * 16 interpreted lambda folds per ROW (16·|tokens| interpreted ops —
+  * the d16 signature pass and the streaming near-dedup's per-doc cost);
+  * this walks the array once, accumulating all 16 votes. Null elements
+  * cannot occur (`tok_hashes` declares containsNull=false); a null
+  * array yields null, matching the HOF form. StreamingSpec pins the
+  * row-wise result equal to d05's distributed groupBy simhash.
+  */
+case class Simhash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash16 expects array<bigint> (containsNull=false), " +
+            s"got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    Simhash16.compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Simhash16.compute($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object Simhash16 {
+  /** Called from both interpreted eval and generated code. */
+  def compute(th: ArrayData): Long = {
+    val n = th.numElements()
+    // votes(j) = Σ ±1 over elements for bit j; start at −n and add 2 per
+    // set bit — equivalent and branch-free per element.
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      val h = th.getLong(i)
+      var j = 0
+      while (j < 16) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 2
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 16) {
+      if (votes(j) - n > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
 object TokHashes {
   private val P = 2147483647L // 2^31 - 1, the shared token-hash modulus
   private val Space = Array[Byte](0x20)

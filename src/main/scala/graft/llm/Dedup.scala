@@ -48,15 +48,14 @@ object Dedup {
     * per-row scoring, streaming ingest (StreamOps.nearDedupStream).
     * StreamingSpec pins row-wise == d05's distributed groupBy result.
     * Order-invariant over the token multiset by construction. */
-  def simhashExpr(text: Column): Column = {
-    val th = tokHashes(text)
-    (0 until 16).map { j =>
-      val vote = aggregate(th, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1) === 1, lit(1L))
-          .otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhashExpr(text: Column): Column =
+    // Round 16 (guide §4): the former 16 × aggregate(tok_hashes, ±1)
+    // higher-order composition dispatched 16 interpreted folds per row
+    // (16·|tokens| lambda calls — the dominant per-row cost of the d16
+    // signature pass and the streaming near-dedup). The codegen'd
+    // functions.Simhash16 walks the hash array once; bit-identical
+    // (StreamingSpec keeps pinning row-wise == d05's groupBy form).
+    call_function("simhash16", tokHashes(text))
 
   // The label-propagation loop and its iteration barrier live in
   // operators/ConnectedComponents.scala since round 6 (pointer-jumping
@@ -2405,6 +2404,14 @@ object Dedup {
       val ks = Seq(8, 16, 32)
       val docs = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
+        // docsWithTokens' spread rule (round 16, found by StageProfile):
+        // the single-row-group test parquet makes the scan ONE task, and
+        // the heaviest stage of this query — ~3 window-md5s per token
+        // across all three grains — ran serialized on one core (3.2 s of
+        // a 10 s plan, 31 threads idle). One shuffle of the tiny raw
+        // docs parallelizes it; at production scale the file count makes
+        // the spread proportionally free.
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       // greatest(size-k, 0) keeps sequence() total on short docs; the
       // one spurious short-window gram it emits there carries k > n and

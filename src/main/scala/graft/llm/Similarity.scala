@@ -805,15 +805,19 @@ object Similarity {
             .cast("long"))
       val seedSub = seeds.select(col("code"),
         posexplode(subSlices(col("rv"))).as(Seq("m", "cv")))
+      // Same round-16 rewrite as pqEncode's assign: per-subspace argmin
+      // via the codegen'd ivf_argmin over a broadcast per-m codebook
+      // array — no N·M·K fan-out, no (vec_id, m) Exchange+Sort per
+      // call. Identical (dist, code) tie rule, exact int64.
       def assign(cb: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("d"), col("code"))
-        rsubs.join(broadcast(cb), "m")
-          .withColumn("d", intSqDist(col("sub"), col("cv")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        val cbArr = cb.groupBy(col("m"))
+          .agg(sort_array(collect_list(struct(col("code").as("cid"),
+            col("cv")))).as("marr"))
+        rsubs.join(broadcast(cbArr), "m")
           .select(col("vec_id"), col("cell"), col("m"), col("sub"),
-            col("code"))
+            call_function("ivf_argmin", col("sub"), col("marr"))
+              .as("code"))
+          .filter(col("code").isNotNull)
       }
       val rcb = assign(seedSub)
         .select(col("m"), col("code"),
@@ -826,8 +830,15 @@ object Similarity {
           .as("mv"))
         .select(col("m"), col("code"),
           transform(col("mv"), st => st.getField("mval")).as("cv"))
+        // 64 rows feeding the encode + the query distance table —
+        // persist so the training aggregates run once (pqEncode note).
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val codes = assign(rcb)
         .select(col("vec_id"), col("cell"), col("m"), col("code"))
+        // Exchange-free encode (argmin projection) has no shuffle for
+        // AQE to reuse across the adc/ncand branches — persist the tiny
+        // (ids, code) rows instead (pqEncode note).
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // Held-out queries: top-4 cells, per-cell residual distance table.
       val isQ = col("vec_id") >= 100 && col("vec_id") < 120
       val wp = Window.partitionBy(col("q_id"))
@@ -2150,16 +2161,30 @@ object Similarity {
   private val RetrainInt8MinPct = 80L
   private val RetrainTop1MinPct = 90L
 
-  /** Exact integer squared L2 over equal-length int64 arrays. */
+  /** Exact integer squared L2 over equal-length int64 arrays — the
+    * codegen'd [[graft.functions.IntL2Dist]] since round 16 (guide §4):
+    * the `aggregate(zip_with(...))` composition this wrapped is
+    * CodegenFallback (interpreted lambda dispatch + a per-row
+    * intermediate array) and sat on the PQ hot paths — every
+    * sub-distance of the v10/v11/v20/v24 encode/ADC/SDC family. Same
+    * arithmetic bit-for-bit, same NULL-on-mismatch semantics (the
+    * round-16 IntL2Dist contract), so every DuckDB twin is unchanged. */
   private def intSqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, v) => acc + v)
+    call_function("int_l2", a, b)
 
   /** L2-normalized int64-quantized vectors — v09's integer scheme
     * (round(x/||x||*1000)): exact enough to rank, deterministic enough
     * to hash-compare across engines. */
   private def normQuant(e: DataFrame): DataFrame = e
     .filter(col("embedding").isNotNull) // NULL guard (see quantizeInt8)
+    // Same rule as ivfQv (round 9) — the embeddings parquet is a single
+    // row group at test SF, so without the spread EVERY downstream PQ
+    // stage (encode, ADC scan, SDC scan, truth re-rank) serializes onto
+    // one core; StageProfile measured the whole v10/v11/v24 family as
+    // 1-task stages (31 idle threads). At production scale the file
+    // count makes this one-time spread of the tiny raw vectors
+    // proportionally free.
+    .repartition(e.sparkSession.sparkContext.defaultParallelism)
     .select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ed"))
     .withColumn("nrm", sqrt(aggregate(
@@ -2198,14 +2223,24 @@ object Similarity {
         .cast("long"))
     val seedSub = seeds.select(col("code"),
       posexplode(subSlices(col("qv"))).as(Seq("m", "cv")))
+    // Per-subspace argmin as the codegen'd ivf_argmin scalar over a
+    // broadcast per-m codebook array (round 16 — the round-15 ivfAssign
+    // shape applied at subspace grain): the former broadcast-join
+    // fan-out (N·M·K materialized rows) + row_number window paid an
+    // Exchange AND a sort keyed on (vec_id, m) per assign call — twice
+    // per encode, recomputed per consumer subtree. Now each of the N·M
+    // sub-vector rows computes its code in one whole-stage-codegen
+    // projection (K·PqSub fused ops), no exchange, no sort, no fan-out.
+    // Arithmetic unchanged: lexicographic (dist, code) minimum in exact
+    // int64 — the DuckDB row_number twins are bit-identical.
     def assign(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("dist"), col("code"))
-      subs.join(broadcast(cb), "m")
-        .withColumn("dist", intSqDist(col("sub"), col("cv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("sub"), col("code"))
+      val cbArr = cb.groupBy(col("m"))
+        .agg(sort_array(collect_list(struct(col("code").as("cid"),
+          col("cv")))).as("marr"))
+      subs.join(broadcast(cbArr), "m")
+        .select(col("vec_id"), col("m"), col("sub"),
+          call_function("ivf_argmin", col("sub"), col("marr")).as("code"))
+        .filter(col("code").isNotNull)
     }
     val cb = assign(seedSub)
       .select(col("m"), col("code"),
@@ -2218,7 +2253,20 @@ object Similarity {
         .as("mv"))
       .select(col("m"), col("code"),
         transform(col("mv"), st => st.getField("mval")).as("cv"))
+      // M·K = 64 rows feeding the encode, every ADC/SDC distance table
+      // and (in v24) the SDC self-join — persist so no consumer re-runs
+      // the training aggregates.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // With the round-16 argmin projection the encode is exchange-FREE —
+    // which also means no shuffle materialization point remains for AQE
+    // to reuse across consumer subtrees (the old window form's Exchange
+    // was doubling as an implicit cache; dropping it made v11/v24
+    // RECOMPUTE the encode once per report branch — measured 1.9× worse
+    // before this persist). Codes are 3 ints per (vector, subspace):
+    // the canonical tiny-artifact persist, same lifecycle contract as
+    // qvAll above (Bench/Verify clearCache() between queries).
     val codes = assign(cb).select(col("vec_id"), col("m"), col("code"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     (qvAll, subs, cb, codes)
   }
 
