@@ -88,6 +88,19 @@ object GraftExtensions {
         graft.functions.TokHashes(children(0))
       }))
     e.injectFunction((
+      FunctionIdentifier("inter_count"),
+      new ExpressionInfo(classOf[graft.functions.IntersectCount].getName,
+        "inter_count"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "inter_count", "expectedNum" -> "2",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        graft.functions.IntersectCount(children(0), children(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[graft.functions.Simhash16].getName,
         "simhash16"),

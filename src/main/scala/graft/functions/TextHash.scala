@@ -89,6 +89,115 @@ case class ShingleHashes(child: Expression, k: Int)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `inter_count(a, b)` — |a ∩ b| over two `array<bigint>` columns with
+  * SET semantics, fused into one codegen'd pass (round 16, guide §4):
+  * exactly `size(array_intersect(a, b))` — the Jaccard numerator every
+  * pair-verification stage computes per candidate pair — without
+  * materializing the intersection ARRAY and without ArrayIntersect's
+  * boxed per-element hash set. One primitive open-addressing table is
+  * built from b (distinct-insert), then a's elements probe it with
+  * remove-on-hit, so duplicates on either side count once — the
+  * array_intersect contract — including its null-element rule (a null
+  * in BOTH arrays counts once), so the swap is semantics-free on any
+  * input. Per-element null checks are emitted only when the static
+  * containsNull flag says nulls are possible (the IntL2Dist discipline;
+  * every engine lineage is tok_hashes / shingle_hashes / array_distinct
+  * / collect_set with containsNull=false — the checks exist for
+  * artifact-read columns whose parquet schema round-trip widens the
+  * flag).
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"inter_count expects (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], elemNullable(left), elemNullable(right))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.IntersectCount.compute($a, $b, " +
+        s"${elemNullable(left)}, ${elemNullable(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCount {
+  /** Murmur-style avalanche to a non-negative long — spreads the
+    * md5-folded token hashes across the table. */
+  private def scramble(v: Long): Long = {
+    val h = v * -7046029254386353131L
+    (h ^ (h >>> 32)) & Long.MaxValue
+  }
+
+  /** Called from both interpreted eval and generated code. Open
+    * addressing with linear probing at load factor ≤ 0.5; slot states:
+    * 0 = empty, 1 = present, 2 = already counted (so duplicates on
+    * either side count once — array_intersect's distinct semantics).
+    * chkA/chkB are compile-time constants in generated code (the static
+    * containsNull flags), so the null branches vanish under JIT on the
+    * null-free lineages. A null element present in both arrays counts
+    * once — array_intersect's rule. */
+  def compute(a: ArrayData, b: ArrayData,
+              chkA: Boolean, chkB: Boolean): Long = {
+    val n = b.numElements()
+    val m = a.numElements()
+    if (n == 0 || m == 0) return 0L
+    var cap = 4
+    while (cap < (n << 1)) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val state = new Array[Byte](cap)
+    var bHasNull = false
+    var i = 0
+    while (i < n) {
+      if (chkB && b.isNullAt(i)) bHasNull = true
+      else {
+        val v = b.getLong(i)
+        var j = (scramble(v) & mask).toInt
+        while (state(j) != 0 && keys(j) != v) j = (j + 1) & mask
+        if (state(j) == 0) { state(j) = 1; keys(j) = v }
+      }
+      i += 1
+    }
+    var cnt = 0L
+    var nullCounted = false
+    i = 0
+    while (i < m) {
+      if (chkA && a.isNullAt(i)) {
+        if (bHasNull && !nullCounted) { nullCounted = true; cnt += 1 }
+      } else {
+        val v = a.getLong(i)
+        var j = (scramble(v) & mask).toInt
+        while (state(j) != 0 && keys(j) != v) j = (j + 1) & mask
+        if (state(j) == 1) { state(j) = 2; cnt += 1 }
+      }
+      i += 1
+    }
+    cnt
+  }
+}
+
 /** `simhash16(hashes)` — the 16-bit SimHash bit-majority vote over an
   * `array<bigint>` of token hashes, fused into one codegen'd loop
   * (round 16, guide §4): for each bit j, vote +1 per element with bit j

@@ -286,7 +286,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shs").as("sb2")), "db")
       .withColumn("inter",
-        size(array_intersect(col("sa"), col("sb2"))).cast("long"))
+        call_function("inter_count", col("sa"), col("sb2")))
       .withColumn("jac", col("inter").cast("double") /
         ((size(col("sa")) + size(col("sb2"))).cast("long") - col("inter")))
       .filter(col("jac") >= 0.5)
@@ -378,7 +378,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("db"), col("tset").as("tb")),
         "db")
       .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        call_function("inter_count", col("ta"), col("tb")))
       .withColumn("jac", col("inter").cast("double") /
         ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
       .filter(col("jac") >= t)
@@ -726,7 +726,7 @@ object Dedup {
         "da")
       .join(tsets, "db")
       .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        call_function("inter_count", col("ta"), col("tb")))
       .withColumn("jac", col("inter").cast("double") /
         ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
       .groupBy(col("da"))
@@ -843,8 +843,12 @@ object Dedup {
         "da")
       .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
         "db")
+      // inter_count == size(array_intersect(...)) without materializing
+      // the intersection array or ArrayIntersect's boxed hash set —
+      // this is the per-candidate-pair cost of every verify stage
+      // (round 16, guide §4; functions/IntersectCount).
       .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        call_function("inter_count", col("ta"), col("tb")))
       .withColumn("uni",
         (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni"))
@@ -1141,7 +1145,7 @@ object Dedup {
         col("sh16").as("hb"))
       pairs.join(a, "da").join(b, "db")
         .withColumn("sh_inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          call_function("inter_count", col("sa"), col("sb")))
         .withColumn("sh_jac", col("sh_inter").cast("double") /
           ((size(col("sa")) + size(col("sb"))).cast("long")
             - col("sh_inter")))
@@ -1191,7 +1195,7 @@ object Dedup {
           .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
             "db")
           .withColumn("inter",
-            size(array_intersect(col("ta"), col("tb"))).cast("long"))
+            call_function("inter_count", col("ta"), col("tb")))
           .withColumn("jac", col("inter").cast("double") /
             ((size(col("ta")) + size(col("tb"))).cast("long")
               - col("inter")))
@@ -1285,7 +1289,7 @@ object Dedup {
         .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
           "db")
         .withColumn("inter",
-          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          call_function("inter_count", col("ta"), col("tb")))
         .withColumn("jac", col("inter").cast("double") /
           ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
         .groupBy(col("da"))
@@ -1571,7 +1575,7 @@ object Dedup {
         .join(tsets.select(col("doc_id").as("db"), col("tset").as("tb")),
           "db")
         .withColumn("inter",
-          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          call_function("inter_count", col("ta"), col("tb")))
         .withColumn("jac", col("inter").cast("double") /
           ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
         .groupBy(col("source"))
@@ -1733,9 +1737,15 @@ object Dedup {
       // edge-join + struct-max groupBy.
       val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
         .select(col("da"), col("db")))
-      val edges = pairs
+      // Pre-partitioned on the per-round join key + barriered (the
+      // round-16 ConnectedComponents.run rule): each PR round joins
+      // edges on src — an un-partitioned edge list would re-shuffle
+      // rounds × |edges| bytes; now it crosses the wire once, and the
+      // deg aggregate + its per-round join reuse the same partitioning.
+      val edges = barrier(pairs
         .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
         .toDF("src", "dst")
+        .repartition(col("src")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val r0 = deg.select(col("src").as("id"), lit(1000000L).as("r"))
       val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
@@ -2087,7 +2097,7 @@ object Dedup {
           "da")
         .join(tsets, "db") // brings tb AND the segment tag (db-unique)
         .withColumn("inter",
-          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          call_function("inter_count", col("ta"), col("tb")))
         .withColumn("jac", col("inter").cast("double") /
           ((size(col("ta")) + size(col("tb"))).cast("long") -
             col("inter")))
@@ -2523,6 +2533,9 @@ object Dedup {
           "da")
         .join(full.select(col("doc_id").as("db"), col("shs").as("sb")),
           "db")
+        // stays size(array_intersect(...)): this core is grain-generic —
+        // d39 feeds int64 shingle hashes but d40/d41 feed md5 hex
+        // STRINGS, which inter_count (array<bigint>-only) rejects.
         .withColumn("inter",
           size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("sz_small", size(col("sa")).cast("long"))

@@ -1892,8 +1892,11 @@ object Similarity {
       val wl = Window.partitionBy(col("q_id"))
         .orderBy(col("jac").desc, col("c_id"))
       val lex = pairs
+        // stays size(array_intersect(...)): these tsets are STRING
+        // token arrays (inter_count is array<bigint>-only).
         .withColumn("inter",
-          size(array_intersect(col("q_tset"), col("c_tset"))).cast("long"))
+          size(array_intersect(col("q_tset"), col("c_tset")))
+            .cast("long"))
         .withColumn("jac", col("inter").cast("double") /
           (size(col("q_tset")) + size(col("c_tset")) - col("inter"))
             .cast("double"))

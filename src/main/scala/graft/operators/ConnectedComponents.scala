@@ -65,8 +65,17 @@ object ConnectedComponents {
     * chains blow past the prefix and still finish in O(log d) total —
     * the same adapt-from-runtime-feedback principle as the reference's
     * AQE re-planning (`scheduler/src/state/aqe/mod.rs:66-126`). */
-  def run(edges: DataFrame, pointerJump: Boolean = true,
+  def run(edgesIn: DataFrame, pointerJump: Boolean = true,
           maxRounds: Int = 64, jumpAfter: Int = 5): (DataFrame, Int) = {
+    // Pre-partition the edge list ON THE JOIN KEY once, behind the
+    // barrier (round 16, guide §2.4): every round's propagation join is
+    // keyed src === id, and an un-partitioned edge table re-shuffled
+    // the FULL edge list every round — the largest table in the loop,
+    // rounds × |edges| shuffle bytes at 100 TB. localCheckpoint
+    // preserves the physical partitioning, so each round's join now
+    // exchanges only the label side (|nodes| rows); the edge list
+    // crosses the wire exactly once, at round 0.
+    val edges = barrier(edgesIn.repartition(col("src")))
     val nodes = edges.select(col("src").as("id")).distinct()
     var lab = barrier(nodes.withColumn("lbl", col("id")))
     // coalesce: an EMPTY edge set (a corpus with no near-dup pairs at

@@ -149,7 +149,7 @@ object StreamOps {
         "left_outer")
       .join(corpusTsets, Seq("db"), "left_outer")
       .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        call_function("inter_count", col("ta"), col("tb")))
       .withColumn("jac", col("inter").cast("double") /
         ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
     probed
@@ -757,7 +757,7 @@ object StreamOps {
         col("band") === col("bandb") && col("mh") === col("mhb"))
       .join(corpusTsets, "db") // brings tb + the segment tag (db-unique)
       .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        call_function("inter_count", col("ta"), col("tb")))
       .select(col("doc_id"), col("ts"), nl("bloom_pass", "long"),
         nl("exact_dup", "long"), col("db"),
         (col("inter").cast("double") /
