@@ -2422,21 +2422,23 @@ object Dedup {
         // docs parallelizes it; at production scale the file count makes
         // the spread proportionally free.
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
-      // greatest(size-k, 0) keeps sequence() total on short docs; the
-      // one spurious short-window gram it emits there carries k > n and
-      // drops in the filter below (no empty-array branches — concat
-      // stays one codegen'd expression).
+        .select(col("doc_id"), col("source"), col("text"))
+      // All three grains from three fused shingle_hashes passes
+      // (round 16, guide §4 — the dupSpansPerDoc rewrite): byte-span
+      // digests per window instead of a per-position
+      // md5(array_join(slice(...))) string build. shingle_hashes is
+      // empty when a doc is shorter than k (the old k <= n filter's
+      // job), and the oracle's gramCte recomputes the identical 60-bit
+      // fold. Still ONE Generate: the three hash arrays concat into a
+      // single exploded stream of (k, h).
       val gramArr = concat(ks.map { k =>
-        transform(sequence(lit(0), greatest(size(col("tk")) - k, lit(0))),
-          i => struct(lit(k.toLong).as("k"),
-            md5(array_join(slice(col("tk"), i + 1, lit(k)), " ")
-              .cast("binary")).as("h")))
+        transform(call_function("shingle_hashes", col("text"), lit(k)),
+          h => struct(lit(k.toLong).as("k"), h.as("h")))
       }: _*)
       val gd = docs
-        .select(col("doc_id"), col("source"), size(col("tk")).as("n"),
+        .select(col("doc_id"), col("source"),
           explode_outer(gramArr).as("g"))
-        .filter(col("g.k") <= col("n")) // full-length grams only
+        .filter(col("g").isNotNull)
         .select(col("g.k").as("k"), col("g.h").as("h"),
           col("source"), col("doc_id"))
         .distinct()
@@ -2621,20 +2623,15 @@ object Dedup {
     * Exposed for `DedupPropSpec`'s brute-force equivalence check. */
   private[graft] def decontaminationReport(d: DataFrame, k: Int,
                                            isEval: Column): DataFrame = {
+    // Round 16: one fused shingle_hashes pass per doc instead of a
+    // per-position md5(array_join(slice(...))) — the dupSpansPerDoc
+    // rewrite; the oracle recomputes the same 60-bit fold. Positions
+    // are irrelevant here (the probe joins on the hash set alone).
     def winHashSet(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-      .withColumn("ps",
-        when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
-          .otherwise(array().cast("array<int>")))
-      // outer + null-filter: the inner form would infer size(ps) > 0
-      // into the scan filter and re-hash below (d17/d26's
-      // InferFiltersFromGenerate note).
-      .select(col("doc_id"), col("toks"),
-        explode_outer(col("ps")).as("p"))
-      .filter(col("p").isNotNull)
       .select(col("doc_id"),
-        md5(array_join(slice(col("toks"), col("p"), lit(k)), " ")
-          .cast("binary")).as("h"))
+        explode_outer(call_function("shingle_hashes",
+          array_join(col("toks"), " "), lit(k))).as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
     // evalW feeds the per-doc window total AND the probe join — the
     // barrier stops the eval explode running twice.
@@ -2954,24 +2951,27 @@ object Dedup {
     * this to the per-source report; d24b consumes dup_toks as the
     * span-removal token adjustment feeding the quota/packing stages. */
   private[graft] def dupSpansPerDoc(docs: DataFrame, k: Int): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), col("source"), col("toks"),
-        size(col("toks")).as("n"))
     // occ feeds the fingerprint count AND the mark join-back — the
-    // localCheckpoint stops the md5-per-window scan running twice.
-    val occ = barrier(base
-      .withColumn("ps",
-        when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
-          .otherwise(array().cast("array<int>")))
-      // outer + null-filter: the non-outer form would infer
-      // size(ps) > 0 into the scan filter and re-hash below the
-      // repartition (d17's InferFiltersFromGenerate note).
-      .select(col("doc_id"), col("source"), col("toks"),
-        explode_outer(col("ps")).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("doc_id"), col("source"), col("p").cast("long").as("p"),
-        md5(array_join(slice(col("toks"), col("p"), lit(k)), " ")
-          .cast("binary")).as("h")))
+    // localCheckpoint stops the per-window hashing running twice.
+    // Round 16 (guide §4): window fingerprints come from ONE fused
+    // shingle_hashes pass per doc (byte-span digests, the d04/d16 scan
+    // expression) instead of a per-position md5(array_join(slice(...)))
+    // — which allocated a joined string + hex rendering per WINDOW, ~1
+    // per token, the heaviest stage of d24b's plan. The hash space is
+    // now the shared 60-bit md5-prefix fold; the d26/d24b oracles
+    // recompute the identical fold, and dup-window SETS (all the report
+    // sees) are unchanged. position p stays 1-based: shingle i (0-based)
+    // covers tokens i+1 .. i+k. shingle_hashes is empty when a doc has
+    // < k tokens (the old `when(n >= k, ...)` guard), and the outer
+    // explode keeps the generator-filter inference out of the scan
+    // (d17's note).
+    val occ = barrier(docs
+      .select(col("doc_id"), col("source"),
+        posexplode_outer(call_function("shingle_hashes",
+          array_join(col("toks"), " "), lit(k))).as(Seq("p0", "h")))
+      .filter(col("p0").isNotNull)
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1).cast("long").as("p"), col("h")))
     val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
     val marks = occ.join(dupH, "h")
@@ -3656,8 +3656,8 @@ object Dedup {
            | SELECT doc_id, string_split(text, ' ') AS tk FROM kept),
            |soc AS (
            | SELECT doc_id, CAST(p AS BIGINT) AS p,
-           |  md5(array_to_string(
-           |    list_slice(tk, p, p + ${DupSpanK - 1}), ' ')) AS fh
+           |  ${tokHashSqlDuck.format(
+                s"array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')")} AS fh
            | FROM (SELECT doc_id, tk,
            |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1))
            |     AS p
@@ -3812,7 +3812,8 @@ object Dedup {
            | FROM d GROUP BY source),
            |occ AS (
            | SELECT doc_id, source, CAST(p AS BIGINT) AS p,
-           |  md5(array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')) AS h
+           |  ${tokHashSqlDuck.format(
+                s"array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')")} AS h
            | FROM (SELECT doc_id, source, tk,
            |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1)) AS p
            |  FROM d)),
@@ -4206,7 +4207,8 @@ object Dedup {
            | FROM documents WHERE text IS NOT NULL),
            |w AS (
            | SELECT DISTINCT doc_id,
-           |  md5(array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')) AS h
+           |  ${tokHashSqlDuck.format(
+                s"array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')")} AS h
            | FROM (SELECT doc_id, tk,
            |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1)) AS p
            |  FROM d)),
@@ -4582,9 +4584,12 @@ object Dedup {
       // fuses them into one Generate; the oracle favors clarity),
       // distinct (k, gram, source[, doc]) grains, equi-join detection.
       "d42_contamination_sweep" -> {
+        // 60-bit md5-prefix fold — the engine's shingle_hashes space
+        // (round 16): identical bits to Spark's fused per-doc pass.
         def gramCte(k: Int): String =
           s"""SELECT CAST($k AS BIGINT) AS k,
-             |  md5(array_to_string(list_slice(tk, i + 1, i + $k), ' '))
+             |  ${tokHashSqlDuck.format(
+                  s"array_to_string(list_slice(tk, i + 1, i + $k), ' ')")}
              |    AS h,
              |  source, doc_id
              | FROM (

@@ -153,6 +153,11 @@ object Composite {
     val l0full = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
+      // Spread the single-row-group test scan before the per-row work
+      // (c29c's md5 coin, the normalization CASEs) — the docsWithTokens
+      // rule; 4 int columns, one tiny shuffle, and the stats pass +
+      // cache materialization parallelize instead of running 1-3 tasks.
+      .repartition(s.sparkContext.defaultParallelism)
     // Optional deterministic row subset (c29c): the filter applies
     // BEFORE the stats pass, so the sampled audit is self-contained —
     // normalization, tile boundaries and bounding boxes all derive
@@ -177,7 +182,15 @@ object Composite {
     * normalized frame — factored (round 16) so the full-corpus audit
     * row (c29) and the md5-sampled bounded row (c29c) run the
     * IDENTICAL prefix-sum machinery; only the input frame differs. */
-  private def zorderExactAudit(l: DataFrame): DataFrame = {
+  private def zorderExactAudit(lIn: DataFrame): DataFrame = {
+    // Persist the normalized frame (round 16, the c29b discipline
+    // applied to the exact legs): it feeds FOUR subtrees — two legs ×
+    // (bucket-cut aggregate + the keyed window join) — and unpersisted
+    // it re-ran the scan + stats broadcast + normalization (and c29c's
+    // per-row md5 coin) once per subtree; StageProfile showed four
+    // near-identical low-parallelism stages doing exactly that. Six
+    // ints per row, Bench/Verify clearCache lifecycle.
+    val l = lIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val uFol = org.apache.spark.sql.expressions.Window.unboundedFollowing
     def leg(name: String, key: org.apache.spark.sql.Column,
