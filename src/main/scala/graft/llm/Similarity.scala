@@ -881,6 +881,10 @@ object Similarity {
         .withColumn("rnk", row_number().over(wt))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"))
+        // Round 16: the exact-truth subtree (a |Q|x|N| broadcast NLJ of
+        // codegen cosines + a per-query window) feeds every leg/report
+        // branch — persist the ~|Q|*5 rows so it computes once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val rr5 = short
         .select(col("q_id"), col("vec_id").as("c_id"))
         .join(qe, "q_id")
@@ -1193,6 +1197,10 @@ object Similarity {
         .withColumn("rnk", row_number().over(wt))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"))
+        // Round 16: the exact-truth subtree (a |Q|x|N| broadcast NLJ of
+        // codegen cosines + a per-query window) feeds every leg/report
+        // branch — persist the ~|Q|*5 rows so it computes once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // One IVF leg = assign corpus to this codebook's cells, probe the
       // query's top-4 cells, exact-cosine re-rank, score vs truth.
       def leg(cents: DataFrame, sfx: String): DataFrame = {
@@ -1274,6 +1282,10 @@ object Similarity {
         .withColumn("rnk", row_number().over(wt))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"))
+        // Round 16: the exact-truth subtree (a |Q|x|N| broadcast NLJ of
+        // codegen cosines + a per-query window) feeds every leg/report
+        // branch — persist the ~|Q|*5 rows so it computes once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       def leg(cents: DataFrame, nProbe: Int, sfx: String): DataFrame = {
         val cells = ivfAssign(qvAll, cents)
           .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
@@ -1385,6 +1397,10 @@ object Similarity {
         .withColumn("rnk", row_number().over(wt))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"))
+        // Round 16: the exact-truth subtree (a |Q|x|N| broadcast NLJ of
+        // codegen cosines + a per-query window) feeds every leg/report
+        // branch — persist the ~|Q|*5 rows so it computes once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // Exact-cosine re-rank of the ADC shortlist — the second half of
       // the production PQ pipeline: the code scan prunes the corpus to
       // PqShortlist rows per query, and only those touch float payloads.
@@ -1485,6 +1501,10 @@ object Similarity {
         .withColumn("rnk", row_number().over(wt))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"))
+        // Round 16: the exact-truth subtree (a |Q|x|N| broadcast NLJ of
+        // codegen cosines + a per-query window) feeds every leg/report
+        // branch — persist the ~|Q|*5 rows so it computes once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val hitsS = truth
         .join(top5s.select(col("q_id"), col("vec_id").as("c_id"),
           lit(1L).as("hit")), Seq("q_id", "c_id"), "left_outer")
@@ -2042,6 +2062,10 @@ object Similarity {
         .withColumn("rnk", row_number().over(wt))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("c_id"))
+        // Round 16: the exact-truth subtree (a |Q|x|N| broadcast NLJ of
+        // codegen cosines + a per-query window) feeds every leg/report
+        // branch — persist the ~|Q|*5 rows so it computes once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val cells = ivfAssign(qvAll, cents)
         .select(col("vec_id").as("c_id"), col("cid").as("c_cell"))
         .join(e.select(col("vec_id").as("c_id"),
