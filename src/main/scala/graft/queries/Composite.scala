@@ -153,11 +153,6 @@ object Composite {
     val l0full = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
-      // Spread the single-row-group test scan before the per-row work
-      // (c29c's md5 coin, the normalization CASEs) — the docsWithTokens
-      // rule; 4 int columns, one tiny shuffle, and the stats pass +
-      // cache materialization parallelize instead of running 1-3 tasks.
-      .repartition(s.sparkContext.defaultParallelism)
     // Optional deterministic row subset (c29c): the filter applies
     // BEFORE the stats pass, so the sampled audit is self-contained —
     // normalization, tile boundaries and bounding boxes all derive
@@ -190,7 +185,17 @@ object Composite {
     // per-row md5 coin) once per subtree; StageProfile showed four
     // near-identical low-parallelism stages doing exactly that. Six
     // ints per row, Bench/Verify clearCache lifecycle.
-    val l = lIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The spread applies on the EXACT-audit path only (not in
+    // zorderNormalized): c29b aggregates a capacity-2^20 kll_sketch per
+    // input partition, and spreading its 1-3 scan partitions to 32
+    // multiplied the partial-sketch serialization 10× (isolated re-run
+    // measured 4.2 → 8.8 s — caught and reverted this round). Here the
+    // per-row work (c29c's md5 coin, normalization CASEs, the window
+    // md5s) is what must parallelize, and the partial state per task is
+    // bounded aggregate rows, not megabyte sketches.
+    val l = lIn
+      .repartition(lIn.sparkSession.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uPre = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val uFol = org.apache.spark.sql.expressions.Window.unboundedFollowing
     def leg(name: String, key: org.apache.spark.sql.Column,
