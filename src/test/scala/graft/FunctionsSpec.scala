@@ -116,6 +116,54 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     short.foreach(r => assert(r.getSeq[Long](0).isEmpty, r.toString))
   }
 
+  test("inter_count equals size(array_intersect) on randomized long " +
+    "arrays (dups, empties, disjoint, identical)") {
+    val s = spark
+    import s.implicits._
+    // The round-16 verify-stage expression must reproduce
+    // size(array_intersect(a, b)) EXACTLY — distinct counting under
+    // duplicates on either side included — because every Jaccard
+    // numerator in the dedup family rides it and the DuckDB oracles pin
+    // the set semantics. Randomized cases draw from a small value pool
+    // so collisions and duplicates are dense.
+    val rnd = new scala.util.Random(17)
+    def arr(): Seq[Long] =
+      (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(25).toLong)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(1L, 1L, 2L), Seq(1L, 2L, 2L)),
+      (Seq(5L, 5L, 5L), Seq(5L)),
+      (Seq(-1L, 0L, Long.MaxValue), Seq(Long.MaxValue, -1L)),
+      (Seq(1L, 2L), Seq(3L, 4L))) ++
+      (0 until 60).map(_ => (arr(), arr()))
+    val got = cases.toDF("a", "b").selectExpr(
+      "inter_count(a, b) AS f",
+      "CAST(size(array_intersect(a, b)) AS BIGINT) AS g")
+    got.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"inter_count mismatch on $r")
+    }
+  }
+
+  test("simhash16 is bit-identical to the 16-fold HOF majority vote") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val cases = Seq("", "a", "a b c", "x x x x") ++
+      (0 until 30).map(_ => (0 until (1 + rnd.nextInt(40)))
+        .map(_ => ('a' + rnd.nextInt(6)).toChar.toString).mkString(" "))
+    val hof = (0 until 16).map { j =>
+      s"(CASE WHEN aggregate(tok_hashes(text), 0L, (acc, h) -> " +
+        s"acc + (CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val got = cases.toDF("text").selectExpr(
+      "simhash16(tok_hashes(text)) AS f", s"CAST($hof AS BIGINT) AS g")
+    got.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"simhash16 mismatch on $r")
+    }
+  }
+
   test("SET / SHOW config surface (reference context_checks.rs:239-336)") {
     spark.sql("SET spark.sql.shuffle.partitions=7")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
