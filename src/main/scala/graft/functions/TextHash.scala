@@ -56,7 +56,12 @@ case class TokHashes(child: Expression) extends UnaryExpression {
   * md5-prefix hashes of every k-token shingle (tokens joined by a single
   * space), empty when the text has fewer than k tokens — exactly the
   * DuckDB oracle's `list_transform(range(len(toks) − k + 1), ...)`
-  * semantics. Each shingle digest streams the token byte spans plus
+  * semantics. Unlike the token grain, shingle fingerprints are the RAW
+  * 60-bit fold (`('0x' || substr(md5(x),1,15))::BIGINT` in DuckDB, no
+  * `% P`): window cardinality at 100 TB exceeds 2^31 by orders of
+  * magnitude, so the 31-bit reduction would saturate (round-17 fix;
+  * the MinHash `% P` domain is token-grain-only).
+  * Each shingle digest streams the token byte spans plus
   * separator spaces straight into the digest — no joined string, no hex
   * rendering, no conv parse. This is the d04/d16 corpus-scan stage (one
   * md5 over ~k tokens of bytes per position).
@@ -163,8 +168,15 @@ object IntersectCount {
     val n = b.numElements()
     val m = a.numElements()
     if (n == 0 || m == 0) return 0L
-    var cap = 4
-    while (cap < (n << 1)) cap <<= 1
+    // Capacity math in Long: `n << 1` on Int overflows negative for
+    // n ≥ 2^30, leaving a 4-slot table and an infinite probe loop
+    // (unreachable for realistic arrays — 2^30 longs is an 8 GiB cell —
+    // but fail loudly rather than hang; ADVICE r16 hardening).
+    require(n < (1 << 30),
+      s"inter_count: array of $n elements exceeds the 2^30 table bound")
+    var capL = 4L
+    while (capL < 2L * n) capL <<= 1
+    val cap = capL.toInt
     val mask = cap - 1
     val keys = new Array[Long](cap)
     val state = new Array[Byte](cap)
@@ -207,8 +219,13 @@ object IntersectCount {
   * 16 interpreted lambda folds per ROW (16·|tokens| interpreted ops —
   * the d16 signature pass and the streaming near-dedup's per-doc cost);
   * this walks the array once, accumulating all 16 votes. Null elements
-  * cannot occur (`tok_hashes` declares containsNull=false); a null
-  * array yields null, matching the HOF form. StreamingSpec pins the
+  * cannot occur (`tok_hashes` declares containsNull=false). A null
+  * array yields NULL — note this DIFFERS from the replaced HOF
+  * composition, whose when(...).otherwise(0) sum gave 0 for a null
+  * array: a null-TEXT doc now keys on NULL instead of sharing key 0
+  * with real all-zero-vote docs (strictly a better dedup key; every
+  * batch consumer filters `text IS NOT NULL` upstream, so only
+  * StreamOps.nearDedupStream can observe it). StreamingSpec pins the
   * row-wise result equal to d05's distributed groupBy simhash.
   */
 case class Simhash16(child: Expression) extends UnaryExpression {
@@ -276,12 +293,20 @@ object TokHashes {
     override def initialValue(): Array[Byte] = new Array[Byte](16)
   }
 
-  /** First 60 digest bits mod P — conv(substring(md5,1,15),16,10) % P. */
+  /** First 60 digest bits — conv(substring(md5,1,15),16,10), always
+    * non-negative, fits BIGINT in both engines. Round 17: this raw
+    * fold is the WINDOW/SHINGLE fingerprint space. The previous
+    * `% P` reduction (31 bits) only exists for the TOKEN grain, where
+    * the MinHash affine permutations need values < P and the vocab is
+    * ≪ 2^31; at the 100 TB window cardinality (~10^11–10^13) a 31-bit
+    * space saturates and every dup-span/contamination mark becomes
+    * birthday noise, while 60 bits keep expected collisions ≈ 0
+    * (~10^-6 at 10^12 windows). */
   private def fold60(h: Array[Byte]): Long = {
     var v = 0L
     var j = 0
     while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
-    ((v << 4) | ((h(7) & 0xffL) >>> 4)) % P
+    (v << 4) | ((h(7) & 0xffL) >>> 4)
   }
 
   def computeShingles(s: UTF8String, k: Int): ArrayData = {
@@ -346,7 +371,7 @@ object TokHashes {
         md.reset()
         md.update(bytes, start, i - start)
         md.digest(h, 0, 16)
-        out(tok) = fold60(h)
+        out(tok) = fold60(h) % P // token grain: the MinHash domain
         tok += 1
         start = i + 1
       }

@@ -242,6 +242,16 @@ object Dedup {
   private val tokHashSqlDuck =
     "(('0x' || substr(md5(%s),1,15))::BIGINT %% 2147483647)"
 
+  /** Shingle/window-grain DuckDB fingerprint — the RAW 60-bit fold,
+    * no `% P` (round 17, verdict #3): the engine's `shingle_hashes`
+    * space. The 31-bit reduction exists only for the token grain
+    * (MinHash permutation domain, vocab ≪ 2^31); window cardinality at
+    * 100 TB (~10^11–10^13) would saturate 2^31 and turn dup-span /
+    * contamination marks into birthday noise. 60 bits keep expected
+    * false dup-windows ≈ 10^-6 at 10^12 windows (2^-60 pair rate). */
+  private val shingleHashSqlDuck =
+    "(('0x' || substr(md5(%s),1,15))::BIGINT)"
+
   /** Document-frequency cap for d04's shingle-bucket candidate join: a
     * shingle appearing in more than this many documents (within one
     * source) is dropped from candidate generation. Without it, ONE
@@ -2468,7 +2478,14 @@ object Dedup {
 
   /** d40/d41's unit derivation: the d12 20-token block grid over any
     * (doc_id, text) frame, as per-doc DISTINCT sorted block-hash sets —
-    * the input grain [[containmentPairsCore]] mines. */
+    * the input grain [[containmentPairsCore]] mines. Round 17 (verdict
+    * #5): block fingerprints are the 60-bit md5-prefix fold (int64),
+    * not the 32-char md5 hex STRING — 4× fewer bytes through every
+    * downstream explode/distinct/candidate-join shuffle, and the
+    * array<bigint> grain lets [[containmentPairsCore]] verify with the
+    * codegen'd inter_count. Same no-%P domain as shingle_hashes (the
+    * 31-bit reduction is token-grain-only); the d40/d41 oracles
+    * recompute the identical fold. */
   private def blockSetsOf(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), split(col("text"), " ").as("tk"))
     // outer explode — sequence() is provably non-empty (chunkDedup
@@ -2477,8 +2494,9 @@ object Dedup {
       explode_outer(sequence(lit(0),
         greatest(size(col("tk")) - 1, lit(0)), lit(20))).as("idx"))
     .select(col("doc_id"),
-      md5(array_join(slice(col("tk"), col("idx") + 1, lit(20)), " ")
-        .cast("binary")).as("h"))
+      conv(substring(md5(
+        array_join(slice(col("tk"), col("idx") + 1, lit(20)), " ")
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
     .groupBy(col("doc_id"))
     .agg(sort_array(collect_set(col("h"))).as("shs"))
 
@@ -2535,11 +2553,13 @@ object Dedup {
           "da")
         .join(full.select(col("doc_id").as("db"), col("shs").as("sb")),
           "db")
-        // stays size(array_intersect(...)): this core is grain-generic —
-        // d39 feeds int64 shingle hashes but d40/d41 feed md5 hex
-        // STRINGS, which inter_count (array<bigint>-only) rejects.
+        // Round 17: every feeder is array<bigint> now (d39's shingle
+        // hashes since round 16; d40/d41's block hashes converted from
+        // md5-hex strings to the 60-bit fold this round), so the
+        // verify stage uses the codegen'd inter_count like the rest of
+        // the dedup family (guide §4).
         .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          call_function("inter_count", col("sa"), col("sb")))
         .withColumn("sz_small", size(col("sa")).cast("long"))
         .withColumn("sz_big", size(col("sb")).cast("long"))
         .filter(col("inter") * den >= col("sz_small") * num)
@@ -3336,7 +3356,7 @@ object Dedup {
           |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
       "d16_signal_compare" -> {
-        val shHash = tokHashSqlDuck.format(
+        val shHash = shingleHashSqlDuck.format(
           "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")
         val bitSums16 = (0 until 16).map(j =>
           s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
@@ -3656,7 +3676,7 @@ object Dedup {
            | SELECT doc_id, string_split(text, ' ') AS tk FROM kept),
            |soc AS (
            | SELECT doc_id, CAST(p AS BIGINT) AS p,
-           |  ${tokHashSqlDuck.format(
+           |  ${shingleHashSqlDuck.format(
                 s"array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')")} AS fh
            | FROM (SELECT doc_id, tk,
            |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1))
@@ -3812,7 +3832,7 @@ object Dedup {
            | FROM d GROUP BY source),
            |occ AS (
            | SELECT doc_id, source, CAST(p AS BIGINT) AS p,
-           |  ${tokHashSqlDuck.format(
+           |  ${shingleHashSqlDuck.format(
                 s"array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')")} AS h
            | FROM (SELECT doc_id, source, tk,
            |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1)) AS p
@@ -3997,7 +4017,7 @@ object Dedup {
            |FROM bkt ORDER BY deg_bucket""".stripMargin,
 
       "d30_importance_select" -> {
-        val bg = tokHashSqlDuck.format("toks[i+1] || ' ' || toks[i+2]")
+        val bg = shingleHashSqlDuck.format("toks[i+1] || ' ' || toks[i+2]")
         s"""WITH d AS (
            | SELECT doc_id, lang, string_split(text, ' ') AS toks
            | FROM documents WHERE text IS NOT NULL),
@@ -4207,7 +4227,7 @@ object Dedup {
            | FROM documents WHERE text IS NOT NULL),
            |w AS (
            | SELECT DISTINCT doc_id,
-           |  ${tokHashSqlDuck.format(
+           |  ${shingleHashSqlDuck.format(
                 s"array_to_string(list_slice(tk, p, p + ${DupSpanK - 1}), ' ')")} AS h
            | FROM (SELECT doc_id, tk,
            |   unnest(range(1, greatest(len(tk) - ${DupSpanK - 1}, 0) + 1)) AS p
@@ -4390,7 +4410,7 @@ object Dedup {
       // Same shingle grain as d04's oracle, same rarest-first prefix
       // (sz//10+1) probing the full postings, exact verify.
       "d39_containment_pairs" -> {
-        val shHash = tokHashSqlDuck.format(
+        val shHash = shingleHashSqlDuck.format(
           "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")
         s"""WITH d AS (
            | SELECT doc_id, string_split(text, ' ') AS toks
@@ -4450,8 +4470,9 @@ object Dedup {
           | SELECT doc_id,
           |  list_sort(list_distinct(list_transform(
           |    range(0, greatest(len(tk) - 1, 0) + 1, 20),
-          |    i -> md5(array_to_string(
-          |      list_slice(tk, i + 1, i + 20), ' '))))) AS shs
+          |    i -> ('0x' || substr(md5(array_to_string(
+          |      list_slice(tk, i + 1, i + 20), ' ')),1,15))::BIGINT)))
+          |    AS shs
           | FROM d),
           |ex AS (
           | SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz,
@@ -4501,8 +4522,9 @@ object Dedup {
              | SELECT doc_id, list_sort(list_distinct(list_transform(
              |   range(0, greatest(len(string_split(text, ' ')) - 1, 0)
              |     + 1, 20),
-             |   i -> md5(array_to_string(list_slice(
-             |     string_split(text, ' '), i + 1, i + 20), ' ')))))
+             |   i -> ('0x' || substr(md5(array_to_string(list_slice(
+             |     string_split(text, ' '), i + 1, i + 20), ' ')),
+             |     1,15))::BIGINT)))
              |   AS shs
              | FROM $src),
              |ex_$p AS (
@@ -4588,7 +4610,7 @@ object Dedup {
         // (round 16): identical bits to Spark's fused per-doc pass.
         def gramCte(k: Int): String =
           s"""SELECT CAST($k AS BIGINT) AS k,
-             |  ${tokHashSqlDuck.format(
+             |  ${shingleHashSqlDuck.format(
                   s"array_to_string(list_slice(tk, i + 1, i + $k), ' ')")}
              |    AS h,
              |  source, doc_id
@@ -4663,7 +4685,7 @@ object Dedup {
            |FROM ranked WHERE rnk = 1 ORDER BY cluster""".stripMargin,
 
       "d04_ngram_jaccard" -> {
-        val shHash = tokHashSqlDuck.format(
+        val shHash = shingleHashSqlDuck.format(
           "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")
         s"""WITH d AS (
            | SELECT doc_id, source, string_split(text, ' ') AS toks

@@ -452,13 +452,22 @@ class DedupPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
-  /** JVM mirror of shingle_hashes(text, 3): md5-prefix hash (same fold
-    * as tokHashJvm) of every 3-token shingle joined by one space,
+  /** JVM mirror of shingle_hashes(text, 3): the RAW 60-bit md5-prefix
+    * fold (round 17: shingle grain carries no % P — the reduction is
+    * token-grain-only) of every 3-token shingle joined by one space,
     * distinct; empty below 3 tokens. */
   private def shingleSetJvm(text: String): Set[Long] = {
     val toks = text.split(" ", -1)
     if (toks.length < 3) Set.empty
-    else toks.sliding(3).map(w => tokHashJvm(w.mkString(" "))).toSet
+    else toks.sliding(3).map(w => shingleHashJvm(w.mkString(" "))).toSet
+  }
+
+  /** Raw 60-bit md5-prefix fold — shingle_hashes' window space. */
+  private def shingleHashJvm(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
   test("d39 containment pairs equal brute-force C >= 0.9 shingle " +

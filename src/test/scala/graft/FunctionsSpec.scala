@@ -105,7 +105,7 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "shingle_hashes(text, 3) AS f",
       // the d04 composition: hash of each 3-token slice joined by ' '
       "transform(sequence(0, size(split(text, ' ')) - 3), i -> " +
-        "conv(substring(md5(cast(array_join(slice(split(text, ' '), i + 1, 3), ' ') AS binary)), 1, 15), 16, 10) % 2147483647L) AS g")
+        "CAST(conv(substring(md5(cast(array_join(slice(split(text, ' '), i + 1, 3), ' ') AS binary)), 1, 15), 16, 10) AS BIGINT)) AS g")
     got.collect().foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $r")
     }
@@ -142,6 +142,33 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CAST(size(array_intersect(a, b)) AS BIGINT) AS g")
     got.collect().foreach { r =>
       assert(r.getLong(0) == r.getLong(1), s"inter_count mismatch on $r")
+    }
+  }
+
+  test("inter_count equals size(array_intersect) on nullable arrays " +
+    "(null in one side, both sides, duplicated nulls)") {
+    val s = spark
+    import s.implicits._
+    // ADVICE r16: the Seq[Long] cases above have containsNull=false, so
+    // the chkA/chkB null branches (and the null-in-both-counts-once
+    // rule) were never exercised. java.lang.Long columns get
+    // containsNull=true, driving both codegen branches.
+    def J(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val N: java.lang.Long = null
+    val cases: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq(
+      (Seq(N), Seq(N)),                       // null in both → 1
+      (Seq(N, N), Seq(N)),                    // duplicated nulls → 1
+      (Seq(N), Seq(J(1))),                    // null one side → 0
+      (Seq(J(1), N, J(2)), Seq(J(2), J(3))),  // mixed, null unmatched
+      (Seq(J(1), N, N, J(2)), Seq(N, J(1))),  // mixed, null matched
+      (Seq.empty[java.lang.Long], Seq(N)),    // empty vs null-only
+      (Seq(J(5), J(5), N), Seq(N, N, J(5))))  // dups + dup nulls
+    val got = cases.toDF("a", "b").selectExpr(
+      "inter_count(a, b) AS f",
+      "CAST(size(array_intersect(a, b)) AS BIGINT) AS g")
+    got.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"inter_count null-path mismatch on $r")
     }
   }
 
