@@ -2971,30 +2971,38 @@ object Dedup {
     * this to the per-source report; d24b consumes dup_toks as the
     * span-removal token adjustment feeding the quota/packing stages. */
   private[graft] def dupSpansPerDoc(docs: DataFrame, k: Int): DataFrame = {
-    // occ feeds the fingerprint count AND the mark join-back — the
-    // localCheckpoint stops the per-window hashing running twice.
     // Round 16 (guide §4): window fingerprints come from ONE fused
     // shingle_hashes pass per doc (byte-span digests, the d04/d16 scan
     // expression) instead of a per-position md5(array_join(slice(...)))
     // — which allocated a joined string + hex rendering per WINDOW, ~1
     // per token, the heaviest stage of d24b's plan. The hash space is
-    // now the shared 60-bit md5-prefix fold; the d26/d24b oracles
-    // recompute the identical fold, and dup-window SETS (all the report
-    // sees) are unchanged. position p stays 1-based: shingle i (0-based)
-    // covers tokens i+1 .. i+k. shingle_hashes is empty when a doc has
-    // < k tokens (the old `when(n >= k, ...)` guard), and the outer
-    // explode keeps the generator-filter inference out of the scan
-    // (d17's note).
-    val occ = barrier(docs
+    // the shared 60-bit md5-prefix fold (round 17: raw, no % P); the
+    // d26/d24b oracles recompute the identical fold, and dup-window
+    // SETS (all the report sees) are unchanged. position p stays
+    // 1-based: shingle i (0-based) covers tokens i+1 .. i+k.
+    // shingle_hashes is empty when a doc has < k tokens (the old
+    // `when(n >= k, ...)` guard), and the outer explode keeps the
+    // generator-filter inference out of the scan (d17's note).
+    val occ = docs
       .select(col("doc_id"), col("source"),
         posexplode_outer(call_function("shingle_hashes",
           array_join(col("toks"), " "), lit(k))).as(Seq("p0", "h")))
       .filter(col("p0").isNotNull)
       .select(col("doc_id"), col("source"),
-        (col("p0") + 1).cast("long").as("p"), col("h")))
-    val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
-    val marks = occ.join(dupH, "h")
+        (col("p0") + 1).cast("long").as("p"), col("h"))
+    // Round 17 (guide §2.4): duplicate marking via ONE count-over-window
+    // on the fingerprint partition — `count(*) OVER (PARTITION BY h)`
+    // then filter ≥ 2 — instead of the former groupBy(h) + join-back,
+    // which re-shuffled the FULL occurrence table by h a second time
+    // for the join AND needed an eager localCheckpoint barrier so the
+    // per-window hashing didn't run once per consumer. Same rows out
+    // (every occurrence whose fingerprint appears ≥ 2 times anywhere),
+    // one Exchange(h) instead of join+agg exchanges, no barrier job.
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val marks = occ
+      .withColumn("__c", count(lit(1)).over(wh))
+      .filter(col("__c") >= 2)
+      .drop("__c")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
     val prevEnd = max(col("p") + (k - 1)).over(w.rowsBetween(

@@ -587,6 +587,14 @@ object TextAnalysis {
       // closing int64→double casts are exact in both engines.
       val nd = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull) // NULL-text guard (see t04)
+        // docsWithTokens' spread rule (round 17, found by StageProfile):
+        // the single-row-group test parquet makes the scan ONE task, and
+        // the normalize + per-character bigram explode ran serialized on
+        // one core — 2.4 s of a 3.2 s plan, 31 threads idle. One shuffle
+        // of the tiny raw docs parallelizes it; at production scale the
+        // file count makes the spread proportionally free (guide §2.5:
+        // one unsplittable input).
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           regexp_replace(lower(col("text")), "[^a-z ]", "").as("nt"))
       val bg = nd.select(col("doc_id"),
@@ -698,6 +706,12 @@ object TextAnalysis {
       def bucket(j: Int, c: Column): Column =
         conv(substring(md5(concat(c, lit(s"#$j")).cast("binary")), 1, 8),
           16, 10).cast("long") % W
+      // Spread tried and REVERTED (round 17, measured): `toks` fans out
+      // to three consumers whose single-task stages already run
+      // CONCURRENTLY (AQE materializes them as independent stage jobs),
+      // so a repartition spread oversubscribed 3×32 tasks on 32 cores
+      // and measured +15-75% (1.74 → 3.05 s in-process). The 1-task
+      // scans here are stage-parallel, unlike t18's single serial chain.
       val toks = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull) // NULL-text guard (see t04)
         .select(explode_outer(split(col("text"), " ")).as("tok"))

@@ -47,6 +47,24 @@ object ConnectedComponents {
       case None => df.localCheckpoint()
     }
 
+  /** LAZY variant of [[barrier]] for the propagation loop (round 17):
+    * lineage is truncated the same way, but materialization is left to
+    * the round's OWN convergence aggregate instead of an extra eager
+    * pass — one job per round instead of two (the per-round `sum(lbl)`
+    * action computes and persists the checkpoint blocks as it runs).
+    * Only safe where exactly one action follows before the next
+    * consumer: the jump rounds keep the EAGER barrier because the
+    * path-halving self-join reads the frame on both sides. */
+  private def lazyBarrier(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.cc.checkpointDir")
+      .filter(_.nonEmpty) match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint(eager = false)
+      case None => df.localCheckpoint(eager = false)
+    }
+
   /** Run CC over a SYMMETRIC edge list (`src`, `dst` — both directions
     * present). Returns the labels (`id`, `lbl` = min id of the
     * component) and the number of rounds taken — exposed so tests can
@@ -75,9 +93,15 @@ object ConnectedComponents {
     // preserves the physical partitioning, so each round's join now
     // exchanges only the label side (|nodes| rows); the edge list
     // crosses the wire exactly once, at round 0.
-    val edges = barrier(edgesIn.repartition(col("src")))
+    // Lazy barriers (round 17): the init/plain-round checkpoints are
+    // materialized BY the round's convergence aggregate — the loop's
+    // driver actions drop from 2 per round to 1 (measured: each eager
+    // localCheckpoint was a full extra pass over the round's blocks).
+    // The first consumer of `edges`/`lab` is the init `prevSum` action,
+    // which computes and persists both in one job.
+    val edges = lazyBarrier(edgesIn.repartition(col("src")))
     val nodes = edges.select(col("src").as("id")).distinct()
-    var lab = barrier(nodes.withColumn("lbl", col("id")))
+    var lab = lazyBarrier(nodes.withColumn("lbl", col("id")))
     // coalesce: an EMPTY edge set (a corpus with no near-dup pairs at
     // all) must converge to empty labels, not NULL-crash the scalar.
     var prevSum = lab.agg(coalesce(sum(col("lbl")), lit(0L)))
@@ -87,16 +111,19 @@ object ConnectedComponents {
     while (!converged && rounds < maxRounds) {
       val prop = edges.join(lab, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val stepped = barrier(lab.unionByName(prop)
+      val stepped = lazyBarrier(lab.unionByName(prop)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       lab = if (pointerJump && rounds >= jumpAfter) {
-        // Path halving: follow the label pointer one more hop. `stepped`
-        // is materialized by the barrier, so both sides of the self-join
-        // are cheap scans of the same blocks, and every label IS a node
+        // Path halving: follow the label pointer one more hop. The jump
+        // round keeps the EAGER barrier: the self-join reads `stepped`
+        // on both sides, so it must be materialized first (two
+        // concurrent scans of an unmaterialized lazy checkpoint would
+        // race to compute the same partitions). Every label IS a node
         // id (labels start as ids and only adopt other nodes' ids), so
         // the equi-join never drops a row.
-        val l2 = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
-        barrier(stepped.join(l2, col("lbl") === col("jid"))
+        val s2 = barrier(stepped)
+        val l2 = s2.select(col("id").as("jid"), col("lbl").as("jlbl"))
+        lazyBarrier(s2.join(l2, col("lbl") === col("jid"))
           .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl")))
       } else stepped
       val curSum = lab.agg(coalesce(sum(col("lbl")), lit(0L)))
