@@ -662,7 +662,7 @@ object Dedup {
       // the converged labels (round-12: d25's leak audit probes pairs at
       // the same per-corpus-version grain as the labels — one mining
       // pass feeds both artifacts instead of each consumer re-mining).
-      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+      val pairs = barrier(lshPairsFrom(lshSigDf(s, dir))
         .select(col("da"), col("db")))
       pairs.write.mode("overwrite")
         .parquet(new java.io.File(tmp, "pairs").getPath)
@@ -864,7 +864,6 @@ object Dedup {
       .withColumn("jac", col("inter").cast("double") / col("uni"))
       .filter(col("jac") >= 0.7)
       .select(col("da"), col("db"), col("jac"))
-      .orderBy(col("da"), col("db"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -905,7 +904,14 @@ object Dedup {
       // md5 runs ONCE per token (`__th` feeds both tset and the sig), and
       // `sig` is persisted: it feeds three consumers (bands + both tset
       // re-attach joins), which would otherwise re-hash the corpus 3×.
-      lshPairsFrom(lshSigDf(s, dir))
+      // The deterministic output ORDER lives here, not in
+      // lshPairsFrom: every inline re-miner (d06/d16/d24/d24b/d28/d29
+      // lineage) consumes the pairs order-invariantly (CC edges,
+      // aggregate inputs, equi-joins), and the sort is a RangePartition
+      // sampling pass + exchange each of them paid for nothing —
+      // especially behind a barrier, which materializes the useless
+      // ordering (round 17, guide §2.4).
+      lshPairsFrom(lshSigDf(s, dir)).orderBy(col("da"), col("db"))
     },
 
     "d04_ngram_jaccard" -> { (s, dir) =>
@@ -944,7 +950,7 @@ object Dedup {
       // graft.cc.checkpointDir is set); only one scalar sum reaches the
       // driver per round. Same fixpoint as the DuckDB recursive-CTE
       // oracle; DedupPropSpec pins jump-vs-plain round counts on a chain.
-      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+      val pairs = barrier(lshPairsFrom(lshSigDf(s, dir))
         .select(col("da"), col("db")))
       val edges = pairs
         .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
@@ -1143,7 +1149,7 @@ object Dedup {
       // per-doc shingle sets and codegen'd row-wise SimHash by equi-join
       // on doc_id (row-linear; the pair table is already mined and
       // bounded). All outputs exact ints or single-division ratios.
-      val pairs = queries("d03_minhash_lsh_pairs")(s, dir)
+      val pairs = lshPairsFrom(lshSigDf(s, dir))
       val docs = docsWithTokens(s, dir)
       val sigs = docs.select(col("doc_id"),
         array_distinct(call_function("shingle_hashes", col("text"), lit(3)))
@@ -1745,7 +1751,7 @@ object Dedup {
       // so the miner doesn't re-run per round; 3 bounded rounds, state
       // is one (node, rank) row per doc. The peak flag is one more
       // edge-join + struct-max groupBy.
-      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+      val pairs = barrier(lshPairsFrom(lshSigDf(s, dir))
         .select(col("da"), col("db")))
       // Pre-partitioned on the per-round join key + barriered (the
       // round-16 ConnectedComponents.run rule): each PR round joins
@@ -1803,7 +1809,7 @@ object Dedup {
       // force on adversarial star+clique graphs. The coefficient is
       // exact integer basis points:
       // cc_bp = (2·t·10⁴) div (deg·(deg−1)), 0 when deg < 2.
-      val pairs = barrier(queries("d03_minhash_lsh_pairs")(s, dir)
+      val pairs = barrier(lshPairsFrom(lshSigDf(s, dir))
         .select(col("da"), col("db")))
       triangleStats(pairs)
     },

@@ -1987,6 +1987,14 @@ object Similarity {
       // they dropped against the string-keyed postings before.
       val qids = broadcast(qterms).join(vocab, "tok")
         .select(col("q_id"), col("tid"))
+      // Round 17: the probe's parallelism comes from the postings
+      // artifact's FILE LAYOUT (guide §6 — ensurePostingsIndex writes
+      // range-clustered multi-file postings), not from a repartition
+      // here: a spread AFTER this join was tried and measured WORSE
+      // (the exchange materialized 30 MB of hit rows plus the
+      // sort-before-repartition pass) while the scan stage stayed one
+      // task. With the multi-file artifact the join + DECIMAL scoring
+      // parallelize inside the scan stage itself, no extra exchange.
       val hits = broadcast(qids).join(postings, "tid")
         .filter(col("q_id") =!= col("c_id"))
         .crossJoin(broadcast(stats))

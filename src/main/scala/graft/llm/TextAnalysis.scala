@@ -53,7 +53,10 @@ object TextAnalysis {
     val src = new java.io.File(s"$dir/documents.parquet")
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_postings_index/${IndexStore.fingerprint(src)}")
+      // "-v2": round-17 layout — postings are written range-clustered
+      // across defaultParallelism files instead of one global-sorted
+      // file, so a pre-layout artifact must not serve the new probes.
+      s"graft_postings_index/${IndexStore.fingerprint(src)}-v2")
     IndexStore.ensureBuilt(base) { tmp =>
       val docs = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
@@ -89,10 +92,24 @@ object TextAnalysis {
       // token at a time — the sort keeps each tid's rows contiguous
       // (parquet row-group min/max prunes non-probed tokens) and makes
       // the low-cardinality tid/df/dl columns RLE to near nothing.
+      // Round 17 (guide §6 — file layout for anything we write): the
+      // former global orderBy collapsed (via AQE range-coalescing at
+      // small SF) to ONE output file, so every later probe's scan —
+      // including the per-hit BM25 scoring that rides it — ran as ONE
+      // task (v25b: 3.6 s / 81% of its plan on one core, StageProfile).
+      // repartitionByRange with an explicit partition count keeps the
+      // (tid, c_id) clustering contract — each file covers a contiguous
+      // tid range, so parquet min/max still prunes non-probed tokens
+      // and the low-cardinality columns still RLE — while giving probe
+      // scans file-grain parallelism at any SF. The count is the
+      // scale-parameterized core count locally; a cluster build would
+      // size it by target file bytes (same §6 rule).
       tf.join(vocab, "tok")
         .select(col("tid"), col("doc_id").as("c_id"), col("tf"),
           col("df"), col("dl"))
-        .orderBy(col("tid"), col("c_id"))
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("tid"), col("c_id"))
+        .sortWithinPartitions(col("tid"), col("c_id"))
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "postings").getPath)
       docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("a"))

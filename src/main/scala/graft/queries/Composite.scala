@@ -157,7 +157,15 @@ object Composite {
     // BEFORE the stats pass, so the sampled audit is self-contained —
     // normalization, tile boundaries and bounding boxes all derive
     // from the sampled sub-corpus, exactly as the DuckDB twin does.
-    val l0 = rowFilter.map(l0full.filter).getOrElse(l0full)
+    // Round 17 (StageProfile): the coined scan is persisted — the
+    // stats aggregate AND the normalization branch both sit below the
+    // audit's persist point, so the per-row md5 coin ran twice
+    // (2 × ~1 s scan stages, the two heaviest of c29c's plan). Four
+    // ints per sampled row; only the sampled path pays the persist
+    // (c29's unfiltered stats re-scan carries no per-row md5).
+    val l0 = rowFilter.map(f => l0full.filter(f)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .getOrElse(l0full)
     val stats = l0.agg(min(col("l_partkey")).as("pkmn"),
       max(col("l_partkey")).as("pkmx"),
       min(col("l_suppkey")).as("skmn"),
