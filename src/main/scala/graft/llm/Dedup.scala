@@ -288,9 +288,11 @@ object Dedup {
     val a = rare.select(col("doc_id").as("da"), col("source"), col("h"))
     val b = rare.select(col("doc_id").as("db"), col("source").as("sb"),
       col("h").as("hb"))
-    val cand = a.join(b, col("source") === col("sb") &&
-        col("h") === col("hb") && col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+    val cand = spreadByKeys(
+      a.join(b, col("source") === col("sb") &&
+          col("h") === col("hb") && col("da") < col("db"))
+        .select(col("da"), col("db")),
+      Seq("da", "db")).dropDuplicates()
     val sets = base.select(col("doc_id"), col("shs"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
@@ -331,6 +333,25 @@ object Dedup {
   /** Shared PPJoin prefix machinery: (base = per-doc distinct token
     * set, pref = exploded df-ranked prefixes with 0-based positions).
     * Used by the d19 miner and the d22 filter audit. */
+  /** Hash-exchange `df` on `keys` with an explicitly pinned partition
+    * count (the session's defaultParallelism). The candidate-pair
+    * distinct/fold that follows is byte-tiny ((da, db) int64 pairs) but
+    * the verify stage downstream of it is CPU-dense per byte
+    * (inter_count over ~KB token-set arrays per pair), and AQE's
+    * byte-based coalescing (parallelismFirst respects only the 1 MB
+    * minPartitionSize) collapses it to 1-4 tasks — measured 41% of d22
+    * and 7-10% of d03/d19 serialized on one core. A user repartition
+    * with explicit numPartitions is exempt from AQE coalescing, and
+    * keying it on the distinct/groupBy keys means the aggregate reuses
+    * this exchange — same exchange COUNT as the plain distinct, pinned
+    * width. Scale note: N tracks the session's core count, so a cluster
+    * run pins the same order of parallelism its shuffle.partitions
+    * would give; the verify join-attach exchanges after it are sized by
+    * AQE from real bytes as before. */
+  private def spreadByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      keys.map(col): _*)
+
   private def prefixTables(docs: DataFrame): (DataFrame, DataFrame) = {
     val base = docs
       .select(col("doc_id"), col("source"),
@@ -375,12 +396,14 @@ object Dedup {
     // shuffle shrinks too.
     val obound = least(col("pa"), col("pb")) + lit(1) +
       least(col("sza") - col("pa") - 1, col("szb") - col("pb") - 1)
-    val cand = a.join(b, col("source") === col("sb") &&
-        col("h") === col("hb") && col("da") < col("db") &&
-        col("sza") * 7 <= col("szb") * 10 &&
-        col("szb") * 7 <= col("sza") * 10 &&
-        obound * 17 >= (col("sza") + col("szb")) * 7)
-      .select(col("da"), col("db")).distinct()
+    val cand = spreadByKeys(
+      a.join(b, col("source") === col("sb") &&
+          col("h") === col("hb") && col("da") < col("db") &&
+          col("sza") * 7 <= col("szb") * 10 &&
+          col("szb") * 7 <= col("sza") * 10 &&
+          obound * 17 >= (col("sza") + col("szb")) * 7)
+        .select(col("da"), col("db")),
+      Seq("da", "db")).dropDuplicates()
     val sets = base.select(col("doc_id"), col("tset"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("tset").as("ta")),
@@ -728,9 +751,11 @@ object Dedup {
     // table means the probe joins only buckets a bounded population
     // lives in — candidate volume stays ∝ |batch|·cap instead of
     // |batch|·(N/buckets), and the cap cost was paid at index BUILD.
-    val cand = bb.join(bands,
-        col("band") === col("bandb") && col("mh") === col("mhb"))
-      .select(col("da"), col("db")).distinct()
+    val cand = spreadByKeys(
+      bb.join(bands,
+          col("band") === col("bandb") && col("mh") === col("mhb"))
+        .select(col("da"), col("db")),
+      Seq("da", "db")).dropDuplicates()
     val verified = cand
       .join(bsig.select(col("doc_id").as("da"), col("tset").as("ta")),
         "da")
@@ -843,10 +868,12 @@ object Dedup {
       col("band"), col("mh"))
     val b = bands.select(col("doc_id").as("db"), col("source").as("sb"),
       col("band").as("bandb"), col("mh").as("mhb"))
-    val cand = a.join(b,
-        col("source") === col("sb") && col("band") === col("bandb") &&
-        col("mh") === col("mhb") && col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+    val cand = spreadByKeys(
+      a.join(b,
+          col("source") === col("sb") && col("band") === col("bandb") &&
+          col("mh") === col("mhb") && col("da") < col("db"))
+        .select(col("da"), col("db")),
+      Seq("da", "db")).dropDuplicates()
     val tsets = sig.select(col("doc_id"), col("tset"))
     cand
       .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
@@ -1201,10 +1228,12 @@ object Dedup {
           col("band"), col("bkey"))
         val bb = k.select(col("doc_id").as("db"), col("source").as("sb"),
           col("band").as("bandb"), col("bkey").as("bkeyb"))
-        val cand = a.join(bb, col("source") === col("sb") &&
-            col("band") === col("bandb") && col("bkey") === col("bkeyb") &&
-            col("da") < col("db"))
-          .select(col("da"), col("db")).distinct()
+        val cand = spreadByKeys(
+          a.join(bb, col("source") === col("sb") &&
+              col("band") === col("bandb") && col("bkey") === col("bkeyb") &&
+              col("da") < col("db"))
+            .select(col("da"), col("db")),
+          Seq("da", "db")).dropDuplicates()
         cand
           .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
             "da")
@@ -1295,9 +1324,11 @@ object Dedup {
       val cb = capBuckets(bands.filter(!isNew)
         .select(col("doc_id").as("db"), col("band").as("bandb"),
           col("mh").as("mhb")), Seq("bandb", "mhb"))
-      val cand = bb.join(cb,
-          col("band") === col("bandb") && col("mh") === col("mhb"))
-        .select(col("da"), col("db")).distinct()
+      val cand = spreadByKeys(
+        bb.join(cb,
+            col("band") === col("bandb") && col("mh") === col("mhb"))
+          .select(col("da"), col("db")),
+        Seq("da", "db")).dropDuplicates()
       val tsets = sig.select(col("doc_id"), col("tset"))
       val verified = cand
         .join(tsets.select(col("doc_id").as("da"), col("tset").as("ta")),
@@ -1576,11 +1607,13 @@ object Dedup {
       val obound = least(col("pa"), col("pb")) + lit(1) +
         least(col("sza") - col("pa") - 1, col("szb") - col("pb") - 1)
       val posOk = lenOk && obound * 17 >= (col("sza") + col("szb")) * 7
-      val pairs = a.join(b, col("source") === col("sb") &&
-          col("h") === col("hb") && col("da") < col("db"))
-        .select(col("source"), col("da"), col("db"),
-          when(lenOk, 1L).otherwise(0L).as("len_ok"),
-          when(posOk, 1L).otherwise(0L).as("pos_ok"))
+      val pairs = spreadByKeys(
+        a.join(b, col("source") === col("sb") &&
+            col("h") === col("hb") && col("da") < col("db"))
+          .select(col("source"), col("da"), col("db"),
+            when(lenOk, 1L).otherwise(0L).as("len_ok"),
+            when(posOk, 1L).otherwise(0L).as("pos_ok")),
+        Seq("source", "da", "db"))
         .groupBy(col("source"), col("da"), col("db"))
         .agg(max(col("len_ok")).as("len_ok"),
           max(col("pos_ok")).as("pos_ok"))
@@ -2105,9 +2138,11 @@ object Dedup {
       val tsets = seg("tsets", Seq("db", "tb"))
       val bb = bsig.select(col("doc_id").as("da"),
         posexplode_outer(col("sig")).as(Seq("band", "mh")))
-      val cand = bb.join(bands,
-          col("band") === col("bandb") && col("mh") === col("mhb"))
-        .select(col("da"), col("db")).distinct()
+      val cand = spreadByKeys(
+        bb.join(bands,
+            col("band") === col("bandb") && col("mh") === col("mhb"))
+          .select(col("da"), col("db")),
+        Seq("da", "db")).dropDuplicates()
       val verified = cand
         .join(bsig.select(col("doc_id").as("da"), col("tset").as("ta")),
           "da")
@@ -2549,10 +2584,12 @@ object Dedup {
         .select(col("da"), col("sza"), col("p.h").as("h"))
       val post = ex.select(col("doc_id").as("db"), col("sz").as("szb"),
         col("h").as("hb"))
-      val cand = pref.join(post, col("h") === col("hb") &&
-          (col("sza") < col("szb") ||
-            (col("sza") === col("szb") && col("da") < col("db"))))
-        .select(col("da"), col("db")).distinct()
+      val cand = spreadByKeys(
+        pref.join(post, col("h") === col("hb") &&
+            (col("sza") < col("szb") ||
+              (col("sza") === col("szb") && col("da") < col("db"))))
+          .select(col("da"), col("db")),
+        Seq("da", "db")).dropDuplicates()
       val full = base.select(col("doc_id"), col("shs"))
       cand
         .join(full.select(col("doc_id").as("da"), col("shs").as("sa")),
