@@ -1573,6 +1573,10 @@ object Dedup {
         .filter(col("rnk") === 1)
         .select(col("doc_id"), col("source"), col("text"),
           col("n_toks"), col("h"))
+        // Round 17 (guide §5): kept feeds the span miner AND the
+        // cleaned join-back — without the persist the labels join +
+        // keep-best window re-ran once per consumer.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val spans = dupSpansPerDoc(
         kept.select(col("doc_id"), col("source"),
           split(col("text"), " ").as("toks")), DupSpanK)
@@ -2950,7 +2954,16 @@ object Dedup {
     * quota (bucket-grain running sum + bounded bucket-cut window —
     * never one serial window per source), d14's md5 epoch shard, and
     * t17's two-grain packing prefix into B-token sequences. */
-  private def packingManifest(kept: DataFrame): DataFrame = {
+  private def packingManifest(keptIn: DataFrame): DataFrame = {
+    // Round 17 (guide §5, verdict item 4): this tail fans its input out
+    // FOUR ways (bucket cuts + quota window, then packing cuts + packing
+    // window), and the input subtree is the whole upstream pipeline —
+    // in d24b the labels join + keep-best window + the md5-per-window
+    // span pass ran once PER CONSUMER (4 ShingleHashes evaluations in
+    // the committed plan, zero ReusedExchange). The input is one short
+    // row per kept doc (ids + two longs + a 32-char hash), so persisting
+    // it collapses the upstream pipeline to one evaluation.
+    val kept = keptIn.persist(StorageLevel.MEMORY_AND_DISK)
     val B = 512L
     val quota = 40000L
     val wBucketCut = org.apache.spark.sql.expressions.Window
@@ -2972,6 +2985,10 @@ object Dedup {
       .join(cuts, Seq("source", "bucket"))
       .filter(col("cum_bucket_before") + col("cum_in_bucket") < quota)
       .select(col("doc_id"), col("n_toks"))
+      // Same §5 argument one grain later: the quota survivors feed the
+      // packing cuts AND the packing window — two (doc_id, n_toks)-wide
+      // consumers of the quota window + cuts join above.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val shard = conv(substring(md5(
       concat(col("doc_id").cast("string"), lit(":ep1"))
         .cast("binary")), 1, 15), 16, 10).cast("long") % 32
